@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * All tables are plain Parquet under `\$dir/<name>.parquet`. At 100 TB these
+  * would be date-partitioned directories; the loader API is the single seam
+  * where that changes (`spark.read.parquet(dir)` over a partitioned layout
+  * picks up partition pruning automatically — nothing downstream changes).
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
+    * as a timestamp. Read it as nanos-since-epoch (legacy long mode), then
+    * surface a micros-precision TimestampType — integer `div`, never double
+    * division (nanos exceed 2^53). Sub-microsecond ordering is recovered by
+    * the event_id tiebreaker every consumer already uses.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+}
+
+/** One verifiable query: a Spark plan plus (optionally) the equivalent ANSI
+  * SQL the driver runs in DuckDB over the same parquet tables. Column names
+  * must match exactly between the two (the driver sorts columns by name and
+  * hash-compares values). Queries without an oracle get a rows-only check.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+object Q {
+  def apply(name: String, sql: String)(f: Tables => DataFrame): Q =
+    Q(name, (s, d) => f(Tables(s, d)), Some(sql))
+  def noOracle(name: String)(f: Tables => DataFrame): Q =
+    Q(name, (s, d) => f(Tables(s, d)), None)
+}

@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Deduplication operators for a training-data pipeline (builder contract):
+  * exact (hash group-by), n-gram Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * Scale design (100 TB): exact dedup is one shuffle on a 64-hex key —
+  * perfectly partitionable. Jaccard/MinHash avoid the O(n^2) cross join:
+  * candidate pairs come from an equi-join on shingle (resp. band bucket),
+  * which shuffles on the shingle/bucket key; only candidates reach the
+  * verify step. Hashes are Spark's xxhash64 with literal seeds — fully
+  * deterministic across runs and executors (no Math.random, no uuid).
+  */
+object Dedup {
+
+  /** Distinct word-k-shingles per document: (doc_id, sh). */
+  private def shingles(docs: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = when(
+      size(toks) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(sh).as("sh"))
+  }
+
+  val a5_exact_dedup = Q(
+    "a5_exact_dedup",
+    """SELECT content_hash, count(*) AS n_copies, min(doc_id) AS canonical_doc
+      |FROM (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+      |GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+  ) { t =>
+    // SURVEY A5: content-addressed dedup (content_deduplicator.py:36-68) —
+    // one row per distinct content hash, min doc_id as the canonical copy
+    // (collect_set of paths is kept in the Dedup.exactGroups API; the oracle
+    // form uses min/count because set ordering is engine-specific).
+    t.documents
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_doc"))
+      .orderBy("content_hash")
+  }
+
+  val x2_ngram_jaccard = Q(
+    "x2_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
+      |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = doc_a
+      |JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+      |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { t =>
+    // n-gram Jaccard near-dup: word 5-shingles; candidate pairs via shingle
+    // equi-join (no cross join), exact |A∩B| / |A∪B| filter. The single
+    // double division makes the score engine-exact.
+    val sh = shingles(t.documents, 5)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+    inter
+      .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+      .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature columns: min over shingles of xxhash64(seed_i, sh). */
+  private def minhashAgg(nHashes: Int): Seq[Column] =
+    (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+
+  val x3_minhash_signatures = Q.noOracle("x3_minhash_signatures") { t =>
+    // MinHash signatures (shingle -> 16 hash slots). xxhash64(seed, sh) is
+    // deterministic; DuckDB has no xxhash64 so this is a rows-only check —
+    // the MinhashSpec unit test validates signature stability and the
+    // LSH recall property against x2's exact Jaccard instead.
+    shingles(t.documents, 5)
+      .groupBy("doc_id")
+      .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
+      .orderBy("doc_id")
+  }
+
+  val x3_minhash_lsh_pairs = Q.noOracle("x3_minhash_lsh_pairs") { t =>
+    // MinHash + LSH banding: 16 hashes -> 4 bands of 4 rows. Docs sharing
+    // any full band land in the same bucket; the bucket equi-join yields
+    // candidate pairs (threshold ~ (1/4)^(1/4) ≈ 0.71 Jaccard). This is the
+    // 100 TB path: shuffle on (band, bucket-hash), never n^2.
+    val sig = shingles(t.documents, 5)
+      .groupBy("doc_id")
+      .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
+    val bands = (0 until 4).map { b =>
+      val cols = (4 * b until 4 * b + 4).map(i => col(s"mh$i"))
+      sig.select(
+        col("doc_id"),
+        lit(b).as("band"),
+        xxhash64(cols: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+    bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val x4_simhash = Q.noOracle("x4_simhash") { t =>
+    // SimHash-64: per token, xxhash64 gives 64 bits; each bit votes +1/-1;
+    // the sign vector of the summed votes is the fingerprint. Near-dups
+    // differ in few bits (hamming distance). Pure expression pipeline —
+    // explode(tokens) + groupBy(doc), one shuffle on doc_id.
+    val tok  = t.documents.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val h    = xxhash64(col("tk"))
+    val bits = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tok
+      .groupBy("doc_id")
+      .agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    a5_exact_dedup, x2_ngram_jaccard, x3_minhash_signatures, x3_minhash_lsh_pairs,
+    x4_simhash,
+  )
+}

@@ -1,0 +1,556 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Q
+
+/** Relational core: projections, filters, joins, aggregations, sorts, set ops
+  * (SURVEY.md §2.2, §2.3, §2.4, §2.6, §2.7), expressed over the driver test
+  * tables so every query round-trips to the DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout this codebase:
+  *   - Money/quantity aggregates go through DECIMAL(18,2): the double columns
+  *     carry 2-decimal values exactly, decimal addition is exact and
+  *     order-independent, and the final CAST back to DOUBLE lands on the same
+  *     IEEE value in Spark and DuckDB. Plain SUM(double) is order-dependent
+  *     and would flap under 32-way partial aggregation.
+  *   - Averages are `CAST(decimal-sum AS DOUBLE) / COUNT` — one double
+  *     division on identical operands, never AVG(double).
+  *   - Every query ends in a total ORDER BY on a unique key set.
+  *   - Window orderings always carry a unique tiebreaker column.
+  *
+  * Scale notes (100 TB): filters/projections push to the parquet scan
+  * (verified via `.explain` — PushedFilters / ReadSchema); dimension joins
+  * (region/nation/customer at TPC-H ratios) are broadcast explicitly;
+  * fact-fact joins shuffle on the join key and AQE handles skew.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+  private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ===== Projections (P1-P3) =====
+
+  val p1_index_projection = Q(
+    "p1_index_projection",
+    """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY P1: SessionMetadata -> SessionIndexEntry narrow projection
+    // (reference: amplifier_library/sessions/manager.py:546-560). Column
+    // pruning reaches the scan: ReadSchema lists exactly these five columns.
+    t.customer
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val p2_exclude_last = Q(
+    "p2_exclude_last",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |         row_number() OVER (PARTITION BY l_orderkey
+      |                            ORDER BY l_linenumber DESC, l_partkey, l_suppkey,
+      |                                     l_extendedprice, l_quantity) AS rn
+      |  FROM lineitem) WHERE rn > 1
+      |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+  ) { t =>
+    // SURVEY P2/W4: history = all but the most recent row per group
+    // (reference: amplifier_library/execution/runner.py:83-86).
+    // (l_orderkey, l_linenumber) is NOT unique in the generated data, so the
+    // window order carries the remaining columns as tiebreakers — full rows
+    // are unique, which makes the dropped row engine-deterministic.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_orderkey").orderBy(
+      col("l_linenumber").desc, col("l_partkey"), col("l_suppkey"),
+      col("l_extendedprice"), col("l_quantity"))
+    t.lineitem
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  val p3_rename_projection = Q(
+    "p3_rename_projection",
+    """SELECT s_suppkey AS supplier_id, s_name AS supplier_name, s_acctbal AS account_balance
+      |FROM supplier ORDER BY supplier_id""".stripMargin,
+  ) { t =>
+    // SURVEY P3: snake_case -> camelCase output aliasing
+    // (reference: amplifier_library/models/base.py:8-14).
+    t.supplier
+      .select(
+        col("s_suppkey").as("supplier_id"),
+        col("s_name").as("supplier_name"),
+        col("s_acctbal").as("account_balance"),
+      )
+      .orderBy("supplier_id")
+  }
+
+  // ===== Filters (F1-F10) =====
+
+  val f1_conjunctive_filter = Q(
+    "f1_conjunctive_filter",
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin,
+  ) { t =>
+    // SURVEY F1: conjunctive equality/range filter stack
+    // (reference: sessions/manager.py:385-396). All three predicates push
+    // down to the parquet scan as PushedFilters.
+    t.orders
+      .filter(
+        col("o_orderstatus") === "F" &&
+          col("o_totalprice") > 200000.0 &&
+          col("o_orderdate") >= lit("1998-01-01").cast(TimestampType))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .orderBy("o_orderkey")
+  }
+
+  val f3_case_normalized_filter = Q(
+    "f3_case_normalized_filter",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE upper(c_mktsegment) = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY F3: case-normalized equality (routers/sessions.py:1388-1390).
+    t.customer
+      .filter(upper(col("c_mktsegment")) === "BUILDING")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  val f4_prefix_filter = Q(
+    "f4_prefix_filter",
+    """SELECT event_id, event_type FROM events
+      |WHERE event_type LIKE 's%' ORDER BY event_id""".stripMargin,
+  ) { t =>
+    // SURVEY F4: event-type prefix filter ("tool:" style, sessions.py:1391-93).
+    t.events
+      .filter(col("event_type").startsWith("s"))
+      .select("event_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  val f6_set_membership_classify = Q(
+    "f6_set_membership_classify",
+    """SELECT CASE WHEN p_type IN ('ECONOMY','STANDARD') THEN 'basic'
+      |            WHEN p_type IN ('LARGE','MEDIUM','SMALL') THEN 'sized'
+      |            ELSE 'other' END AS type_class,
+      |       count(*) AS n, count(DISTINCT p_brand) AS n_brands
+      |FROM part GROUP BY 1 ORDER BY type_class""".stripMargin,
+  ) { t =>
+    // SURVEY F6: extension-set viewability classifier as CASE WHEN
+    // (reference: routers/directories.py:205-283).
+    t.part
+      .withColumn(
+        "type_class",
+        when(col("p_type").isin("ECONOMY", "STANDARD"), "basic")
+          .when(col("p_type").isin("LARGE", "MEDIUM", "SMALL"), "sized")
+          .otherwise("other"))
+      .groupBy("type_class")
+      .agg(count(lit(1)).as("n"), countDistinct(col("p_brand")).as("n_brands"))
+      .orderBy("type_class")
+  }
+
+  val f10_age_cutoff = Q(
+    "f10_age_cutoff",
+    """SELECT o_orderstatus, count(*) AS n FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderstatus NOT IN ('P')
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  ) { t =>
+    // SURVEY F10: retention cutoff predicate (manager.py:468-487) — age
+    // threshold plus protected-status exclusion.
+    t.orders
+      .filter(
+        col("o_orderdate") < lit("1997-01-01").cast(TimestampType) &&
+          !col("o_orderstatus").isin("P"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  // ===== Joins (J1-J7) =====
+
+  val j1_join_group = Q(
+    "j1_join_group",
+    s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+       |       ${DSUM.format("o_totalprice")} AS total_spend
+       |FROM customer JOIN orders ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY J1: parent<->child hash join + per-parent aggregation
+    // (reference: RecentSessionsTable.tsx:38-74). customer is the small side
+    // at TPC-H ratios (1:10 vs orders) — broadcast it so the orders fact
+    // never shuffles.
+    t.orders
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  val j2_anti_join = Q(
+    "j2_anti_join",
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY J2: orphan detection as left-anti (RecentSessionsTable.tsx:68-72).
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  val j3_semi_join = Q(
+    "j3_semi_join",
+    """SELECT c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY J3-shape as left-semi: customers with at least one qualifying
+    // order (the tool:pre/tool:post existence check reduces to semi-join).
+    t.customer
+      .join(
+        t.orders.filter(col("o_totalprice") > 400000.0),
+        col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  val j4_outer_join = Q(
+    "j4_outer_join",
+    s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+       |       COALESCE(${DSUM.format("o_totalprice")}, 0.0) AS total_spend
+       |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY J4 + C12: left-outer lookup with COALESCE defaults
+    // (treeUtils.ts:13-43; manager.py:485).
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  val j5_star_join = Q(
+    "j5_star_join",
+    """SELECT r_name, n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+  ) { t =>
+    // TPC-H Q5-shaped star join carrying the SURVEY §2.3 matrix: the two
+    // facts (lineitem/orders) meet in a shuffled join on orderkey; every
+    // dimension (customer/nation/region) is broadcast so the fact-side rows
+    // shuffle exactly once. Revenue in exact decimal, cast to double last.
+    val revenue = sum(
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DoubleType)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val j7_latest_per_key = Q(
+    "j7_latest_per_key",
+    """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY J7/W5: latest execution per automation == newest order per
+    // customer (automation_scheduler.py:204-209). Single shuffle on the
+    // partition key; o_orderkey breaks date ties deterministically.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+  }
+
+  // ===== Aggregations (A1-A10) =====
+
+  val a1_groupby_count = Q(
+    "a1_groupby_count",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  ) { t =>
+    // SURVEY A1: the unread-counts group-by (routers/sessions.py:774-785) —
+    // the §7.2 minimum end-to-end slice. Partial aggregation happens
+    // map-side; only 6 groups cross the exchange.
+    t.lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val a1_pricing_summary = Q(
+    "a1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  ) { t =>
+    // TPC-H Q1-shaped pricing summary (BENCH headline). All sums in exact
+    // decimal; the charge product is re-quantized to DECIMAL(18,4) between
+    // multiplies so both engines stay inside 38-digit precision; averages
+    // are decimal-sum / count in double.
+    val d2  = (c: Column) => c.cast(DecimalType(18, 2))
+    val qty = sum(d2(col("l_quantity"))).cast(DoubleType)
+    val base = sum(d2(col("l_extendedprice"))).cast(DoubleType)
+    val disc = sum(d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount")))).cast(DoubleType)
+    val charge = sum(
+      (d2(col("l_extendedprice")) * (lit(1) - d2(col("l_discount"))))
+        .cast(DecimalType(18, 4)) * (lit(1) + d2(col("l_tax")))).cast(DoubleType)
+    t.lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        qty.as("sum_qty"),
+        base.as("sum_base_price"),
+        disc.as("sum_disc_price"),
+        charge.as("sum_charge"),
+        (qty / count(lit(1))).as("avg_qty"),
+        (base / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val a2_count_avg = Q(
+    "a2_count_avg",
+    s"""SELECT event_type, count(*) AS n,
+       |       ${DSUM.format("value")} / count(*) AS avg_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ) { t =>
+    // SURVEY A2: count + avg per group (useExecutionState.ts:84-112).
+    t.events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), (dsum(col("value")) / count(lit(1))).as("avg_value"))
+      .orderBy("event_type")
+  }
+
+  val a3_argmax = Q(
+    "a3_argmax",
+    """SELECT event_type, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id ASC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY event_type""".stripMargin,
+  ) { t =>
+    // SURVEY A3: arg-max — longest tool per session (useExecutionState.ts:
+    // 95-104). row_number with an event_id tiebreak instead of max_by so
+    // ties resolve identically in both engines.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "event_id", "value")
+      .orderBy("event_type")
+  }
+
+  val a6_distinct = Q(
+    "a6_distinct",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+  ) { t =>
+    // SURVEY A6: distinct event types (EventLogViewer.tsx:43-94).
+    t.events.select("event_type").distinct().orderBy("event_type")
+  }
+
+  val a7_total_counts = Q(
+    "a7_total_counts",
+    """SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+      |       (SELECT count(*) FROM orders) AS n_orders,
+      |       (SELECT count(*) FROM customer) AS n_customer""".stripMargin,
+  ) { t =>
+    // SURVEY A7: total-count for pagination metadata (sessions.py:1396-98).
+    t.lineitem
+      .agg(count(lit(1)).as("n_lineitem"))
+      .crossJoin(t.orders.agg(count(lit(1)).as("n_orders")))
+      .crossJoin(t.customer.agg(count(lit(1)).as("n_customer")))
+  }
+
+  val a9_metrics_recompute = Q(
+    "a9_metrics_recompute",
+    s"""SELECT user_id, count(*) AS n_events,
+       |       ${DSUM.format("value")} AS sum_value,
+       |       CAST(epoch_ms(max(ts)) AS BIGINT) AS last_event_ms
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  ) { t =>
+    // SURVEY A9: session counters recomputed from the log instead of
+    // mutated in place (manager.py:286-291). Timestamps leave as epoch-ms
+    // longs: the events table is nanosecond-precision parquet and the two
+    // engines truncate differently at sub-millisecond.
+    t.events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"),
+        unix_millis(max(col("ts"))).as("last_event_ms"))
+      .orderBy("user_id")
+  }
+
+  val a10_rollup = Q(
+    "a10_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin,
+  ) { t =>
+    // ROLLUP extension (SURVEY §2.4 note). NULL grouping keys are projected
+    // to 'ALL' so ORDER BY sees no NULLs (Spark sorts NULLS FIRST, DuckDB
+    // NULLS LAST — the sentinel sidesteps the divergence).
+    t.lineitem
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"),
+        col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  // ===== Sorts / limits (O1-O5) =====
+
+  val o1_topk = Q(
+    "o1_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+  ) { t =>
+    // SURVEY O1: sort desc + limit (manager.py:408-414). Catalyst plans
+    // TakeOrderedAndProject — per-partition top-k, no global sort shuffle.
+    t.orders
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+  }
+
+  val o2_pagination = Q(
+    "o2_pagination",
+    """SELECT o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderkey, o_totalprice,
+      |         row_number() OVER (ORDER BY o_orderkey) AS rn
+      |  FROM orders) WHERE rn > 40 AND rn <= 60 ORDER BY o_orderkey""".stripMargin,
+  ) { t =>
+    // SURVEY O2: offset/limit pagination (sessions.py:1395-1400), expressed
+    // as a row_number band so page boundaries are engine-independent.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("o_orderkey")
+    t.orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 40 && col("rn") <= 60)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  val o4_two_key_sort = Q(
+    "o4_two_key_sort",
+    """SELECT p_partkey, p_brand, p_name FROM part
+      |ORDER BY p_brand, lower(p_name), p_partkey LIMIT 50""".stripMargin,
+  ) { t =>
+    // SURVEY O4/O5: dirs-first, case-insensitive-name sort with early-exit
+    // top-k (routers/directories.py:168, 187-188).
+    t.part
+      .select("p_partkey", "p_brand", "p_name")
+      .orderBy(col("p_brand"), lower(col("p_name")), col("p_partkey"))
+      .limit(50)
+  }
+
+  // ===== Set ops (U1-U3) =====
+
+  val u1_union_all = Q(
+    "u1_union_all",
+    """SELECT event_id, 'purchase' AS src FROM events WHERE event_type = 'purchase'
+      |UNION ALL
+      |SELECT event_id, 'signup' AS src FROM events WHERE event_type = 'signup'
+      |ORDER BY src, event_id""".stripMargin,
+  ) { t =>
+    // SURVEY U1: union-all of per-entity logs with a lineage column
+    // (routers/sessions.py:1369-1384).
+    val a = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), lit("purchase").as("src"))
+    val b = t.events.filter(col("event_type") === "signup")
+      .select(col("event_id"), lit("signup").as("src"))
+    a.unionByName(b).orderBy("src", "event_id")
+  }
+
+  val u2_except = Q(
+    "u2_except",
+    """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |ORDER BY o_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY U2: visited-set difference as EXCEPT (mention_loader.py:102-106).
+    def year(y: Int) = t.orders
+      .filter(
+        col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
+      .select("o_custkey")
+    year(1997).except(year(1998)).orderBy("o_custkey")
+  }
+
+  val u3_intersect = Q(
+    "u3_intersect",
+    """SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |ORDER BY o_custkey""".stripMargin,
+  ) { t =>
+    // SURVEY U3: distinct-union/queue-membership as INTERSECT
+    // (mention_loader.py:119-124).
+    def year(y: Int) = t.orders
+      .filter(
+        col("o_orderdate") >= lit(s"$y-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast(TimestampType))
+      .select("o_custkey")
+    year(1997).intersect(year(1998)).orderBy("o_custkey")
+  }
+
+  val all: Seq[Q] = Seq(
+    p1_index_projection, p2_exclude_last, p3_rename_projection,
+    f1_conjunctive_filter, f3_case_normalized_filter, f4_prefix_filter,
+    f6_set_membership_classify, f10_age_cutoff,
+    j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
+    j7_latest_per_key,
+    a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
+    a7_total_counts, a9_metrics_recompute, a10_rollup,
+    o1_topk, o2_pagination, o4_two_key_sort,
+    u1_union_all, u2_except, u3_intersect,
+  )
+}

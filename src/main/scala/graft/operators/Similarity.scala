@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Similarity search over the `embeddings` table (builder contract):
+  * brute-force cosine top-k as the exact baseline, LSH-bucketed cosine as
+  * the scale path.
+  *
+  * Scale design (100 TB): brute force is O(|Q| x |C|) — fine for a bounded
+  * query set against a broadcast candidate block, wrong for all-pairs. The
+  * LSH variant buckets by random-hyperplane signature so the join shuffles
+  * on (band, signature) and only bucket-mates are scored — the standard
+  * recall/cost dial (more bands = higher recall, more candidates).
+  */
+object Similarity {
+
+  /** dot(a, b) in double precision, sequential fold (engine-reproducible). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to 6dp: double rounding absorbs the
+    * engine-side summation-order difference (~1e-15) while preserving
+    * ranking granularity.
+    */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  val x9_cosine_topk = Q(
+    "x9_cosine_topk",
+    """SELECT query_id, vec_id, sim FROM (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS sim,
+      |         row_number() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |                    c.vec_id) AS rn
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10)
+      |WHERE rn <= 5 ORDER BY query_id, rn, vec_id""".stripMargin,
+  ) { t =>
+    // Brute-force cosine top-5 for 10 query vectors. The query block is the
+    // broadcast side; candidates stream map-side, ranked per query with a
+    // vec_id tiebreak (deterministic under rounded-score ties).
+    val q = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = t.embeddings.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id", "sim")
+      .orderBy("query_id", "rn", "vec_id")
+  }
+
+  /** Sign-LSH signature: bit i = sign(dot(v, plane_i)) where plane
+    * components are pseudo-random in [-0.5, 0.5), derived from
+    * xxhash64(plane, dim) — deterministic everywhere, no stored model.
+    */
+  private def signBits(vec: Column, planes: Int): Seq[Column] =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(
+          vec,
+          sequence(lit(0), size(vec) - 1),
+          (x, i) =>
+            x.cast("double") *
+              ((pmod(xxhash64(lit(p), i), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj >= 0, 1L).otherwise(0L)
+    }
+
+  val x10_ann_lsh_pairs = Q.noOracle("x10_ann_lsh_pairs") { t =>
+    // Scale-path ANN: 2 bands x 8 hyperplanes. Vectors sharing a full 8-bit
+    // band signature become candidates (cosine-LSH: P[bit match] =
+    // 1 - angle/pi); candidates are then scored exactly with `cosine`.
+    // Rows-only check here (no xxhash64 in DuckDB); SimilaritySpec asserts
+    // recall against x9's exact top-k.
+    val bandsOf = (vec: Column) => {
+      val bits = signBits(vec, 16)
+      (0 until 2).map { b =>
+        bits.slice(8 * b, 8 * b + 8).zipWithIndex
+          .map { case (bit, i) => bit * (1L << i) }
+          .reduce(_ + _)
+      }
+    }
+    val e = t.embeddings
+    val sigs = (0 until 2).map { b =>
+      e.select(
+        col("vec_id"),
+        col("embedding"),
+        lit(b).as("band"),
+        bandsOf(col("embedding"))(b).as("sig"))
+    }.reduce(_ unionByName _)
+    sigs.as("a")
+      .join(
+        sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Exact brute-force top-k as a reusable API (not just the oracle query). */
+  def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = embeddings.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  val all: Seq[Q] = Seq(x9_cosine_topk, x10_ann_lsh_pairs)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Text-analysis operators for a training-data pipeline (builder contract):
+  * token counting, type-token quality stats, stopword-based language
+  * scoring, document fingerprinting. All pure per-row expressions over
+  * `documents` — at 100 TB these run map-side with zero shuffle (the final
+  * ORDER BY here is presentation-only for the oracle compare).
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  val x5_text_stats = Q(
+    "x5_text_stats",
+    """SELECT doc_id,
+      |       length(text) AS n_chars,
+      |       len(string_split(text, ' ')) AS n_tokens,
+      |       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |         / len(string_split(text, ' ')) AS ttr
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // Quality scoring: char/token counts + type-token ratio (the
+    // distinct-vocabulary signal used for boilerplate detection).
+    t.documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  val x6_stopword_langscore = Q(
+    "x6_stopword_langscore",
+    """SELECT doc_id, lang,
+      |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |            AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+      |       CASE WHEN CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+      |                 AS DOUBLE) / len(string_split(text, ' ')) >= 0.05
+      |            THEN 'en-like' ELSE 'other' END AS pred
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // Language-ID heuristic: English-stopword density. (The synthetic corpus
+    // shares one vocabulary across langs, so this demonstrates the operator
+    // shape, not classifier accuracy — the n-gram profile variant lives in
+    // functions.TextFunctions for real text.)
+    val stops = size(filter(toks, x => x.isin("the", "a"))).cast("double") / size(toks)
+    t.documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        stops.as("stop_ratio"),
+        when(stops >= 0.05, "en-like").otherwise("other").as("pred"))
+      .orderBy("doc_id")
+  }
+
+  val x7_regex_tokens = Q(
+    "x7_regex_tokens",
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish,
+      |       len(regexp_extract_all(text, '[a-z]{4,}')) AS n_long_words
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // Token counting: whitespace-free BPE-ish regex segmentation (letters /
+    // digits / single symbol per token). Patterns restricted to constructs
+    // with identical semantics in Java regex and RE2.
+    t.documents
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_ish"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{4,}"), lit(0)))
+          .cast("long").as("n_long_words"))
+      .orderBy("doc_id")
+  }
+
+  val x8_fingerprint = Q(
+    "x8_fingerprint",
+    """SELECT doc_id, CAST(SUM(ascii(substring(text, i, 1)) * i) % 1000000007 AS BIGINT) AS fp
+      |FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM documents)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // Document fingerprint: position-weighted character hash mod 1e9+7 —
+    // order-sensitive (permutation-detecting), pure integer arithmetic so
+    // engine-exact. Computed with a higher-order fold, no explode: stays a
+    // single map-side projection.
+    val codes = transform(
+      sequence(lit(1), length(col("text"))),
+      i => ascii(col("text").substr(i, lit(1))).cast("long") * i.cast("long"))
+    t.documents
+      .select(
+        col("doc_id"),
+        (aggregate(codes, lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(x5_text_stats, x6_stopword_langscore, x7_regex_tokens, x8_fingerprint)
+}

@@ -1,0 +1,253 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{RawEvent, TraceThinking, TraceTool, TraceTurn}
+
+/** The reference's turn state machine (SURVEY W1/ST6; reference:
+  * amplifierd/amplifierd/services/trace_aggregator.py:56-211) as one pure
+  * function shared by the batch and streaming paths — the edge semantics
+  * must be bit-exact in both (SURVEY §7.4):
+  *
+  *   - `prompt:submit` opens a turn; an already-open turn is force-closed
+  *     as `completed` with no endTime (trace_aggregator.py:100-103).
+  *   - `tool:pre` appends a `running` tool (`:112-132`); lowercase name
+  *     "task" marks a sub-agent and captures `tool_input.agent`.
+  *   - `tool:post` matches the FIRST open tool with the same
+  *     (tool_name, parallel_group_id) and status in {starting, running}
+  *     (`:134-155`); computes duration only when startTime is nonzero;
+  *     dict results route success→result / failure→error with 1000-char
+  *     truncation (`:157-179`); unmatched posts are dropped (`:180-183`).
+  *   - `thinking:delta` appends to the open turn (`:185-192`).
+  *   - `session:end` completes the open turn with endTime (`:194-199`).
+  *   - EOF with an open turn emits it still `active` (`:201-204`).
+  *   - Events before any `prompt:submit` are dropped (every handler guards
+  *     on `current_turn is not None`).
+  *
+  * Scale: the state is one open turn per session — bounded by turn width,
+  * not log length. Batch groups shuffle once on session_id; streaming holds
+  * the same state in the state store via flatMapGroupsWithState.
+  */
+object TraceSessionizer {
+
+  private val mapper = new ObjectMapper()
+
+  /** ISO-8601 (tz-aware) -> epoch ms; malformed -> 0
+    * (reference: trace_aggregator.py:24-38, naive stamps read as UTC).
+    */
+  def parseTimestampMs(ts: String): Long =
+    try {
+      java.time.OffsetDateTime.parse(ts).toInstant.toEpochMilli
+    } catch {
+      case _: Exception =>
+        try {
+          java.time.LocalDateTime.parse(ts).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        } catch { case _: Exception => 0L }
+    }
+
+  /** `text[:1000] + "... (truncated)"` (reference: trace_aggregator.py:41-53). */
+  def truncate(text: String, maxLength: Int = 1000): String =
+    if (text.length <= maxLength) text else text.substring(0, maxLength) + "... (truncated)"
+
+  private def str(n: JsonNode, field: String, default: String = ""): String = {
+    val v = n.get(field)
+    if (v == null || v.isNull) default
+    else if (v.isTextual) v.asText()
+    else v.toString // non-string payloads render as compact JSON
+  }
+
+  private def parseData(data: String): JsonNode =
+    try {
+      val n = mapper.readTree(if (data == null) "" else data)
+      if (n == null || !n.isObject) mapper.createObjectNode() else n
+    } catch { case _: Exception => mapper.createObjectNode() }
+
+  /** Mutable per-session state: the currently open turn, if any. */
+  final case class OpenTurn(
+      var turn: TraceTurn,
+      tools: ArrayBuffer[TraceTool],
+      thinking: ArrayBuffer[TraceThinking],
+  ) {
+    def closed(status: String, endTime: Option[Long]): TraceTurn =
+      turn.copy(status = status, endTime = endTime, tools = tools.toSeq, thinking = thinking.toSeq)
+  }
+
+  /** Feed one event through the state machine. Returns (completed turn if
+    * one closed, new open state). Pure aside from buffer mutation inside
+    * the passed state.
+    */
+  def step(
+      state: Option[OpenTurn],
+      e: RawEvent,
+      turnIndex: Int,
+  ): (Option[TraceTurn], Option[OpenTurn], Int) = {
+    val data = parseData(e.data)
+    e.event match {
+      case "prompt:submit" =>
+        // force-close any unclosed turn (completed, no endTime)
+        val flushed = state.map(_.closed("completed", None))
+        val opened = OpenTurn(
+          TraceTurn(
+            id = s"${e.sessionId}:t$turnIndex",
+            sessionId = e.sessionId,
+            userMessage = str(data, "prompt"),
+            status = "active",
+            startTime = parseTimestampMs(e.ts)),
+          ArrayBuffer.empty,
+          ArrayBuffer.empty)
+        (flushed, Some(opened), turnIndex + 1)
+
+      case "tool:pre" if state.isDefined =>
+        val name    = str(data, "tool_name")
+        val groupId = str(data, "parallel_group_id")
+        val input   = data.get("tool_input")
+        val isSub   = name.toLowerCase == "task"
+        val subName =
+          if (isSub && input != null && input.isObject && input.has("agent"))
+            Some(str(input, "agent"))
+          else None
+        state.get.tools += TraceTool(
+          id = if (groupId.nonEmpty) groupId else s"${e.sessionId}:l${e.lineNo}",
+          name = name,
+          parallelGroupId = groupId,
+          status = "running",
+          startTime = parseTimestampMs(e.ts),
+          arguments = Option(input).filter(n => n != null && !n.isNull).map(_.toString),
+          isSubAgent = isSub,
+          subAgentName = subName)
+        (None, state, turnIndex)
+
+      case "tool:post" if state.isDefined =>
+        val name    = str(data, "tool_name")
+        val groupId = str(data, "parallel_group_id")
+        val tools   = state.get.tools
+        val idx = tools.indexWhere(t =>
+          t.name == name && t.parallelGroupId == groupId &&
+            (t.status == "starting" || t.status == "running"))
+        if (idx >= 0) {
+          val t       = tools(idx)
+          val endTime = parseTimestampMs(e.ts)
+          val dur     = if (t.startTime != 0) Some((endTime - t.startTime).toDouble) else None
+          val result  = data.get("result")
+          val updated =
+            if (result != null && result.isObject) {
+              val childId =
+                if (t.isSubAgent && result.has("output") && result.get("output").isObject &&
+                  result.get("output").has("session_id"))
+                  Some(str(result.get("output"), "session_id"))
+                else None
+              val success = !result.has("success") || result.get("success").asBoolean(true)
+              if (success)
+                t.copy(
+                  status = "completed", endTime = Some(endTime), duration = dur,
+                  childSessionId = childId,
+                  result = Some(truncate(str(result, "output"))))
+              else {
+                val err = result.get("error")
+                val msg =
+                  if (err == null || err.isNull) "null"
+                  else if (err.isObject && err.has("message")) str(err, "message")
+                  else if (err.isTextual) err.asText()
+                  else err.toString
+                t.copy(
+                  status = "error", endTime = Some(endTime), duration = dur,
+                  childSessionId = childId, error = Some(truncate(msg)))
+              }
+            } else {
+              val raw = if (result == null || result.isNull) "" else if (result.isTextual) result.asText() else result.toString
+              t.copy(status = "completed", endTime = Some(endTime), duration = dur,
+                result = Some(truncate(raw)))
+            }
+          tools.update(idx, updated)
+        } // else: unmatched post, dropped (reference logs at debug)
+        (None, state, turnIndex)
+
+      case "thinking:delta" if state.isDefined =>
+        state.get.thinking += TraceThinking(
+          id = s"${e.sessionId}:l${e.lineNo}",
+          content = str(data, "delta"),
+          timestamp = parseTimestampMs(e.ts))
+        (None, state, turnIndex)
+
+      case "session:end" if state.isDefined =>
+        val done = state.get.closed("completed", Some(parseTimestampMs(e.ts)))
+        (Some(done), None, turnIndex)
+
+      case _ => (None, state, turnIndex) // unknown types / events before first turn
+    }
+  }
+
+  /** Pure batch assembly over one session's ordered events — the exact
+    * reference loop including the EOF flush of an active turn.
+    */
+  def assemble(events: Iterator[RawEvent]): Seq[TraceTurn] = {
+    val out                    = ArrayBuffer.empty[TraceTurn]
+    var state: Option[OpenTurn] = None
+    var idx                    = 0
+    events.foreach { e =>
+      val (done, next, nextIdx) = step(state, e, idx)
+      done.foreach(out += _)
+      state = next
+      idx = nextIdx
+    }
+    state.foreach(out += _.closed("active", None)) // EOF: still in progress
+    out.toSeq
+  }
+
+  /** Batch sessionization: one shuffle on session_id, in-memory sort of each
+    * session's events by (ts, lineNo) — a session's log is bounded (one
+    * conversation), so per-group sort is safe at any table scale.
+    */
+  def aggregate(events: Dataset[RawEvent])(implicit spark: SparkSession): Dataset[TraceTurn] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.sessionId)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toArray.sortBy(e => (parseTimestampMs(e.ts), e.lineNo))
+        assemble(sorted.iterator)
+      }
+  }
+
+  /** Per-session streaming state: serialized open turn + next turn index. */
+  final case class SessionState(
+      open: Option[TraceTurn],
+      openTools: Seq[TraceTool],
+      openThinking: Seq[TraceThinking],
+      nextIndex: Int,
+  )
+
+  /** Live sessionizer (SURVEY ST6): the same state machine inside
+    * flatMapGroupsWithState. Completed turns are emitted per micro-batch
+    * (Append mode); the open turn persists in the state store. The
+    * reference has no watermark (it rescans the file per query); here the
+    * state is bounded to one open turn per session, so NoTimeout is safe.
+    */
+  def aggregateStream(events: Dataset[RawEvent])(implicit spark: SparkSession): Dataset[TraceTurn] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.sessionId)
+      .flatMapGroupsWithState[SessionState, TraceTurn](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, batch: Iterator[RawEvent], gs: GroupState[SessionState]) =>
+          val prior = gs.getOption.getOrElse(SessionState(None, Nil, Nil, 0))
+          var state: Option[OpenTurn] = prior.open.map { t =>
+            OpenTurn(t, ArrayBuffer.from(prior.openTools), ArrayBuffer.from(prior.openThinking))
+          }
+          var idx = prior.nextIndex
+          val out = ArrayBuffer.empty[TraceTurn]
+          batch.toArray.sortBy(e => (parseTimestampMs(e.ts), e.lineNo)).foreach { e =>
+            val (done, next, nextIdx) = step(state, e, idx)
+            done.foreach(out += _)
+            state = next
+            idx = nextIdx
+          }
+          gs.update(SessionState(state.map(_.turn), state.map(_.tools.toSeq).getOrElse(Nil),
+            state.map(_.thinking.toSeq).getOrElse(Nil), idx))
+          out.iterator
+      }
+  }
+}

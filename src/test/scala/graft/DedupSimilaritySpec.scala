@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Invariant + recall tests for the LLM-pipeline extension operators on the
+  * real sf0.001 tables (500 docs / 500 embeddings).
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("exact dedup: one row per hash, copy counts sum to table size") {
+    val out  = Dedup.a5_exact_dedup.run(spark, sf0001)
+    val rows = out.collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(1)).sum == docs)
+  }
+
+  test("jaccard pairs are symmetric-free (a<b), scores in [threshold, 1]") {
+    val rows = Dedup.x2_ngram_jaccard.run(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.1 && j <= 1.0)
+    }
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val a = Dedup.x3_minhash_signatures.run(spark, sf0001).collect()
+    val b = Dedup.x3_minhash_signatures.run(spark, sf0001).collect()
+    assert(a.map(_.toSeq.toList).toList == b.map(_.toSeq.toList).toList)
+  }
+
+  test("minhash LSH candidates cover all high-jaccard pairs (recall @ J>=0.8)") {
+    // banding with 4 bands of 4: P[candidate] = 1-(1-J^4)^4 -> ~0.93 at J=0.8,
+    // ~1.0 at J=1.0. The synthetic corpus's near-dup pairs sit at J ~= 1.
+    val exact = Dedup.x2_ngram_jaccard.run(spark, sf0001)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.x3_minhash_lsh_pairs.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicate docs")
+    val missed = exact -- cand
+    assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
+  }
+
+  test("simhash: identical texts get identical fingerprints") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fp   = Dedup.x4_simhash.run(spark, sf0001)
+    val joined = docs.select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      .join(fp, "doc_id")
+      .groupBy("h").agg(countDistinct("simhash").as("n"))
+    assert(joined.filter(col("n") > 1).count() == 0)
+  }
+
+  test("LSH ANN pairs: every reported pair's cosine is self-consistent and bounded") {
+    val rows = Similarity.x10_ann_lsh_pairs.run(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("brute-force top-k: k rows per query, sims sorted desc, no self-match") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 3)
+      assert(rows.forall(_.getLong(1) != q))
+      assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** G1-G6 iterative graph operators: cycle-safe BFS, cascade closure,
+  * orphans, components, ancestor walk (FIXTURES B5 shapes: 2-cycle,
+  * missing target, multi-level tree).
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bfs reaches transitively, records first-seen depth, survives cycles") {
+    // a -> b -> c -> a (cycle) ; b -> d ; isolated e
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("x", "e")).toDF("src", "dst")
+    val roots = Seq("a").toDF("node")
+    val got = GraphOps.bfs(edges, roots).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 2))
+  }
+
+  test("bfs respects maxDepth") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = GraphOps.bfs(edges, Seq("a").toDF("node"), maxDepth = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("a", "b"))
+  }
+
+  test("descendants + cascade delete: children removed recursively, others survive") {
+    val pc = Seq(("root", "kid1"), ("root", "kid2"), ("kid1", "grand")).toDF("parent", "child")
+    val all = Seq("root", "kid1", "kid2", "grand", "bystander").toDF("id")
+    val survivors = GraphOps
+      .cascadeDeleteSurvivors(all, "id", pc, Seq("root").toDF("node"))
+      .as[String].collect().toSet
+    assert(survivors == Set("bystander"))
+  }
+
+  test("orphans: child with absent parent id") {
+    val nodes = Seq(
+      ("s1", null.asInstanceOf[String]),
+      ("s2", "s1"),
+      ("s3", "ghost")).toDF("id", "parent_id")
+    val got = GraphOps.orphans(nodes, "id", "parent_id").select("id").as[String].collect().toSet
+    assert(got == Set("s3"))
+  }
+
+  test("connected components: min-label over undirected edges") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(edges, spark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("nearestMarkedAncestor picks the deepest marked prefix") {
+    val paths   = Seq("a/b/c/file.md", "a/x.md", "q/z.md").toDF("path")
+    val markers = Seq("a", "a/b/c").toDF("marker")
+    val got = GraphOps.nearestMarkedAncestor(paths, "path", markers, "marker")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a/b/c/file.md" -> "a/b/c", "a/x.md" -> "a"))
+  }
+
+  test("childrenByParent sorts case-insensitively inside each parent") {
+    val nodes = Seq(
+      ("1", "p", "beta"), ("2", "p", "Alpha"), ("3", "q", "z")).toDF("id", "parent", "name")
+    val got = GraphOps.childrenByParent(nodes, "id", "parent", "name").collect()
+      .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(2))).toMap
+    assert(got("p") == Seq("Alpha", "beta"))
+  }
+}

@@ -1,0 +1,198 @@
+package graft
+
+import graft.model.RawEvent
+import graft.streaming.TraceSessionizer
+import graft.streaming.TraceSessionizer.{assemble, parseTimestampMs, truncate}
+
+/** Golden tests for the W1 turn state machine, one per edge case called out
+  * in SURVEY §7.4 / FIXTURES B1 (reference: trace_aggregator.py:56-211).
+  */
+class TraceSessionizerSpec extends SparkSpec {
+
+  private var line = 0L
+  private def ev(event: String, data: String, ts: String = "2025-12-17T20:21:22.794+00:00", sid: String = "s1") = {
+    line += 1
+    RawEvent(sid, ts, event, data, line)
+  }
+
+  private def t(sec: Int) = f"2025-12-17T20:21:$sec%02d.000+00:00"
+
+  test("timestamp parse: ISO with tz, naive-as-UTC, malformed -> 0") {
+    assert(parseTimestampMs("2025-12-17T20:21:22.794+00:00") == 1766002882794L)
+    assert(parseTimestampMs("2025-12-17T20:21:22.794") == 1766002882794L)
+    assert(parseTimestampMs("2025-12-17T22:21:22.794+02:00") == 1766002882794L)
+    assert(parseTimestampMs("not-a-date") == 0L)
+    assert(parseTimestampMs("") == 0L)
+  }
+
+  test("truncate: exact boundary untouched, over-boundary marked") {
+    assert(truncate("a" * 1000) == "a" * 1000)
+    assert(truncate("a" * 1001) == "a" * 1000 + "... (truncated)")
+  }
+
+  test("basic turn: prompt -> tool pre/post -> thinking -> end") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"hello"}""", t(1)),
+      ev("tool:pre", """{"tool_name":"Read","tool_input":{"path":"x"},"parallel_group_id":"pg-1"}""", t(2)),
+      ev("tool:post", """{"tool_name":"Read","parallel_group_id":"pg-1","result":{"success":true,"output":"content"}}""", t(5)),
+      ev("thinking:delta", """{"delta":"hmm"}""", t(6)),
+      ev("session:end", "{}", t(9)),
+    ))
+    assert(turns.size == 1)
+    val turn = turns.head
+    assert(turn.userMessage == "hello")
+    assert(turn.status == "completed")
+    assert(turn.endTime.contains(parseTimestampMs(t(9))))
+    assert(turn.tools.size == 1)
+    val tool = turn.tools.head
+    assert(tool.name == "Read" && tool.status == "completed")
+    assert(tool.result.contains("content"))
+    assert(tool.duration.contains(3000.0))
+    assert(turn.thinking.map(_.content) == Seq("hmm"))
+  }
+
+  test("unclosed turn at EOF is emitted as active with no endTime") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p1"}""", t(1)),
+      ev("thinking:delta", """{"delta":"d"}""", t(2)),
+    ))
+    assert(turns.size == 1)
+    assert(turns.head.status == "active")
+    assert(turns.head.endTime.isEmpty)
+  }
+
+  test("second prompt:submit force-completes the open turn without endTime") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p1"}""", t(1)),
+      ev("prompt:submit", """{"prompt":"p2"}""", t(5)),
+      ev("session:end", "{}", t(9)),
+    ))
+    assert(turns.size == 2)
+    assert(turns(0).userMessage == "p1" && turns(0).status == "completed" && turns(0).endTime.isEmpty)
+    assert(turns(1).userMessage == "p2" && turns(1).status == "completed" &&
+      turns(1).endTime.contains(parseTimestampMs(t(9))))
+  }
+
+  test("tool:post without matching pre is dropped") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p"}""", t(1)),
+      ev("tool:post", """{"tool_name":"Ghost","parallel_group_id":"pg-9","result":"x"}""", t(2)),
+      ev("session:end", "{}", t(3)),
+    ))
+    assert(turns.head.tools.isEmpty)
+  }
+
+  test("error-shaped result sets error + status=error; message extracted from dict") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p"}""", t(1)),
+      ev("tool:pre", """{"tool_name":"Run","parallel_group_id":"pg-1"}""", t(2)),
+      ev("tool:post", """{"tool_name":"Run","parallel_group_id":"pg-1","result":{"success":false,"error":{"message":"boom"}}}""", t(3)),
+    ))
+    val tool = turns.head.tools.head
+    assert(tool.status == "error")
+    assert(tool.error.contains("boom"))
+    assert(tool.result.isEmpty)
+  }
+
+  test("sub-agent task tool captures agent name + child session id") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p"}""", t(1)),
+      ev("tool:pre", """{"tool_name":"Task","tool_input":{"agent":"helper"},"parallel_group_id":"pg-1"}""", t(2)),
+      ev("tool:post", """{"tool_name":"Task","parallel_group_id":"pg-1","result":{"success":true,"output":{"session_id":"s1-00_helper"}}}""", t(3)),
+    ))
+    val tool = turns.head.tools.head
+    assert(tool.isSubAgent)
+    assert(tool.subAgentName.contains("helper"))
+    assert(tool.childSessionId.contains("s1-00_helper"))
+  }
+
+  test("results over 1000 chars are truncated with marker") {
+    val big = "x" * 1200
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p"}""", t(1)),
+      ev("tool:pre", """{"tool_name":"Read","parallel_group_id":"pg-1"}""", t(2)),
+      ev("tool:post", s"""{"tool_name":"Read","parallel_group_id":"pg-1","result":{"success":true,"output":"$big"}}""", t(3)),
+    ))
+    val r = turns.head.tools.head.result.get
+    assert(r.length == 1000 + "... (truncated)".length)
+    assert(r.endsWith("... (truncated)"))
+  }
+
+  test("parallel tools: post matches FIRST open tool with same name+group") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p"}""", t(1)),
+      ev("tool:pre", """{"tool_name":"Read","parallel_group_id":"pg"}""", t(2)),
+      ev("tool:pre", """{"tool_name":"Read","parallel_group_id":"pg"}""", t(3)),
+      ev("tool:post", """{"tool_name":"Read","parallel_group_id":"pg","result":"first"}""", t(4)),
+      ev("tool:post", """{"tool_name":"Read","parallel_group_id":"pg","result":"second"}""", t(5)),
+    ))
+    val tools = turns.head.tools
+    assert(tools(0).result.contains("first"))
+    assert(tools(1).result.contains("second"))
+    assert(tools(0).duration.contains(2000.0))
+    assert(tools(1).duration.contains(2000.0))
+  }
+
+  test("events before the first prompt:submit are dropped") {
+    val turns = assemble(Iterator(
+      ev("tool:pre", """{"tool_name":"Early","parallel_group_id":"pg"}""", t(1)),
+      ev("thinking:delta", """{"delta":"orphan"}""", t(2)),
+      ev("prompt:submit", """{"prompt":"p"}""", t(3)),
+    ))
+    assert(turns.size == 1)
+    assert(turns.head.tools.isEmpty && turns.head.thinking.isEmpty)
+  }
+
+  test("scalar (non-dict) result stored as string") {
+    val turns = assemble(Iterator(
+      ev("prompt:submit", """{"prompt":"p"}""", t(1)),
+      ev("tool:pre", """{"tool_name":"R","parallel_group_id":"pg"}""", t(2)),
+      ev("tool:post", """{"tool_name":"R","parallel_group_id":"pg","result":"plain"}""", t(3)),
+    ))
+    assert(turns.head.tools.head.result.contains("plain"))
+  }
+
+  test("batch aggregate over Dataset groups by session and sorts by (ts, lineNo)") {
+    import spark.implicits._
+    // two sessions interleaved, rows deliberately out of order
+    val events = Seq(
+      RawEvent("b", t(1), "prompt:submit", """{"prompt":"pb"}""", 10),
+      RawEvent("a", t(2), "session:end", "{}", 2),
+      RawEvent("a", t(1), "prompt:submit", """{"prompt":"pa"}""", 1),
+      RawEvent("b", t(3), "thinking:delta", """{"delta":"d"}""", 11),
+    ).toDS()
+    val turns = TraceSessionizer.aggregate(events).collect().sortBy(_.sessionId)
+    assert(turns.length == 2)
+    assert(turns(0).sessionId == "a" && turns(0).status == "completed")
+    assert(turns(1).sessionId == "b" && turns(1).status == "active" &&
+      turns(1).thinking.map(_.content) == Seq("d"))
+  }
+
+  test("streaming aggregate emits completed turns across micro-batches, keeps open state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input  = MemoryStream[RawEvent]
+    val query = TraceSessionizer.aggregateStream(input.toDS())
+      .writeStream.format("memory").queryName("turns_out").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: open a turn + a tool; nothing completes
+      input.addData(
+        RawEvent("s", t(1), "prompt:submit", """{"prompt":"p1"}""", 1),
+        RawEvent("s", t(2), "tool:pre", """{"tool_name":"R","parallel_group_id":"pg"}""", 2))
+      query.processAllAvailable()
+      assert(spark.table("turns_out").count() == 0)
+      // batch 2: close the tool and the turn -> one completed turn emitted
+      input.addData(
+        RawEvent("s", t(3), "tool:post", """{"tool_name":"R","parallel_group_id":"pg","result":"ok"}""", 3),
+        RawEvent("s", t(4), "session:end", "{}", 4))
+      query.processAllAvailable()
+      val out = spark.table("turns_out").as[graft.model.TraceTurn].collect()
+      assert(out.length == 1)
+      assert(out.head.status == "completed")
+      assert(out.head.tools.head.result.contains("ok"))
+      assert(out.head.tools.head.duration.contains(1000.0)) // state carried across batches
+    } finally query.stop()
+  }
+}

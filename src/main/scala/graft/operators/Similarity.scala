@@ -87,22 +87,17 @@ object Similarity {
     // 1 - angle/pi); candidates are then scored exactly with `cosine`.
     // Rows-only check here (no xxhash64 in DuckDB); SimilaritySpec asserts
     // recall against x9's exact top-k.
-    val bandsOf = (vec: Column) => {
-      val bits = signBits(vec, 16)
-      (0 until 2).map { b =>
-        bits.slice(8 * b, 8 * b + 8).zipWithIndex
-          .map { case (bit, i) => bit * (1L << i) }
-          .reduce(_ + _)
-      }
+    val bits = signBits(col("embedding"), 16)
+    val bandCols = (0 until 2).map { b =>
+      bits.slice(8 * b, 8 * b + 8).zipWithIndex
+        .map { case (bit, i) => bit * (1L << i) }
+        .reduce(_ + _)
     }
-    val e = t.embeddings
-    val sigs = (0 until 2).map { b =>
-      e.select(
-        col("vec_id"),
-        col("embedding"),
-        lit(b).as("band"),
-        bandsOf(col("embedding"))(b).as("sig"))
-    }.reduce(_ unionByName _)
+    // single projection computes both band signatures; posexplode fans out
+    // (unioned selects would evaluate all 16 hyperplane dots per band).
+    val sigs = t.embeddings
+      .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
     sigs.as("a")
       .join(
         sigs.as("b"),

@@ -1,0 +1,31 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of selected queries so
+  * the scan pushdown (PushedFilters/ReadSchema), join strategy (broadcast
+  * vs sort-merge), and WholeStageCodegen spans can be eyeballed per round.
+  * Usage: runMain graft.tools.ExplainAudit [sfDir] [queryName ...]
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("f1_conjunctive_filter", "p1_index_projection", "j5_star_join",
+        "a1_pricing_summary", "j3_prepost_correlate", "x3_minhash_lsh_pairs",
+        "x10_ann_lsh_pairs", "o1_topk")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n===================== $n =====================")
+      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

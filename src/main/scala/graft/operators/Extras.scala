@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Q
+
+/** Remaining SURVEY §2 rows as oracle-checked queries: F5 autocomplete
+  * prefix, O3 merge-sort-after-union, F9-style exclusion, plus the §2.12
+  * approximate-aggregate extensions (rows-only: sketch internals differ
+  * across engines by design).
+  */
+object Extras {
+
+  val f5_autocomplete_prefix = Q(
+    "f5_autocomplete_prefix",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE lower(c_name) LIKE lower('Customer#00000001') || '%'
+      |ORDER BY c_custkey LIMIT 50""".stripMargin,
+  ) { t =>
+    // SURVEY F5/O5: case-insensitive prefix autocomplete with early-exit
+    // top-k (routers/directories.py:138-188).
+    t.customer
+      .filter(lower(col("c_name")).startsWith(lower(lit("Customer#00000001"))))
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .limit(50)
+  }
+
+  val o3_union_merge_sort = Q(
+    "o3_union_merge_sort",
+    """SELECT event_id, event_type, CAST(epoch_ms(ts) AS BIGINT) AS ms FROM (
+      |  SELECT event_id, event_type, ts FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT event_id, event_type, ts FROM events WHERE event_type = 'signup')
+      |ORDER BY ms, event_id""".stripMargin,
+  ) { t =>
+    // SURVEY O3/U1: per-entity logs unioned then globally time-ordered
+    // (routers/sessions.py:1383-84). The sort is the only exchange.
+    val e = t.events.select(col("event_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    e.filter(col("event_type") === "error")
+      .unionByName(e.filter(col("event_type") === "signup"))
+      .orderBy("ms", "event_id")
+  }
+
+  val f9_hidden_exclusion = Q(
+    "f9_hidden_exclusion",
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+      |WHERE o_orderpriority NOT LIKE '5%' AND o_orderpriority NOT LIKE '4%'
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+  ) { t =>
+    // SURVEY F9: hidden-entry exclusion (!startswith) as negative prefix
+    // filters (routers/directories.py:66-67).
+    t.orders
+      .filter(!col("o_orderpriority").startsWith("5") && !col("o_orderpriority").startsWith("4"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x11_approx_stats = Q.noOracle("x11_approx_stats") { t =>
+    // §2.12 extension: the 100TB-scale counterparts of exact distinct/avg —
+    // approx_count_distinct (HLL++) and percentile_approx (KLL-ish). No
+    // oracle (sketches are engine-specific); invariants are spec-tested
+    // against exact values instead.
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val c13_map_ops = Q.noOracle("c13_map_ops") { t =>
+    // SURVEY C13: map build / merge-with-override / key lookup
+    // (amplified_directory_service.py:336-348). LAST_WIN dedup policy is
+    // set so map_concat takes the override side, like dict.update.
+    t.events.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val base     = map(lit("source"), lit("events"), lit("k"), lit("old"))
+    val override_ = map(lit("k"), get_json_object(col("props"), "$.k"))
+    t.events
+      .select(
+        col("event_id"),
+        map_concat(base, override_).as("meta"))
+      .select(
+        col("event_id"),
+        element_at(col("meta"), "k").as("k_value"),
+        element_at(col("meta"), "source").as("source"),
+        element_at(col("meta"), "missing").as("missing_default"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    f5_autocomplete_prefix, o3_union_merge_sort, f9_hidden_exclusion,
+    x11_approx_stats, c13_map_ops,
+  )
+}

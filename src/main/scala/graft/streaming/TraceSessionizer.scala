@@ -224,30 +224,48 @@ object TraceSessionizer {
     * flatMapGroupsWithState. Completed turns are emitted per micro-batch
     * (Append mode); the open turn persists in the state store. The
     * reference has no watermark (it rescans the file per query); here the
-    * state is bounded to one open turn per session, so NoTimeout is safe.
+    * state is bounded to one open turn per session. With `idleTimeoutMs`
+    * set, sessions quiet for that long flush their open turn as `active`
+    * and evict their state — the M4 idle-runner eviction (1h default in
+    * the reference) made a state-store TTL.
     */
-  def aggregateStream(events: Dataset[RawEvent])(implicit spark: SparkSession): Dataset[TraceTurn] = {
+  def aggregateStream(
+      events: Dataset[RawEvent],
+      idleTimeoutMs: Option[Long] = None,
+  )(implicit spark: SparkSession): Dataset[TraceTurn] = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.sessionId)
-      .flatMapGroupsWithState[SessionState, TraceTurn](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[SessionState, TraceTurn](OutputMode.Append(), timeoutConf) {
         (_: String, batch: Iterator[RawEvent], gs: GroupState[SessionState]) =>
-          val prior = gs.getOption.getOrElse(SessionState(None, Nil, Nil, 0))
-          var state: Option[OpenTurn] = prior.open.map { t =>
-            OpenTurn(t, ArrayBuffer.from(prior.openTools), ArrayBuffer.from(prior.openThinking))
+          if (gs.hasTimedOut) {
+            // idle eviction: surface the in-progress turn, drop the state
+            val prior = gs.get
+            val flushed = prior.open.map(t =>
+              t.copy(status = "active", tools = prior.openTools, thinking = prior.openThinking))
+            gs.remove()
+            flushed.iterator
+          } else {
+            val prior = gs.getOption.getOrElse(SessionState(None, Nil, Nil, 0))
+            var state: Option[OpenTurn] = prior.open.map { t =>
+              OpenTurn(t, ArrayBuffer.from(prior.openTools), ArrayBuffer.from(prior.openThinking))
+            }
+            var idx = prior.nextIndex
+            val out = ArrayBuffer.empty[TraceTurn]
+            batch.toArray.sortBy(e => (parseTimestampMs(e.ts), e.lineNo)).foreach { e =>
+              val (done, next, nextIdx) = step(state, e, idx)
+              done.foreach(out += _)
+              state = next
+              idx = nextIdx
+            }
+            gs.update(SessionState(state.map(_.turn), state.map(_.tools.toSeq).getOrElse(Nil),
+              state.map(_.thinking.toSeq).getOrElse(Nil), idx))
+            idleTimeoutMs.foreach(gs.setTimeoutDuration)
+            out.iterator
           }
-          var idx = prior.nextIndex
-          val out = ArrayBuffer.empty[TraceTurn]
-          batch.toArray.sortBy(e => (parseTimestampMs(e.ts), e.lineNo)).foreach { e =>
-            val (done, next, nextIdx) = step(state, e, idx)
-            done.foreach(out += _)
-            state = next
-            idx = nextIdx
-          }
-          gs.update(SessionState(state.map(_.turn), state.map(_.tools.toSeq).getOrElse(Nil),
-            state.map(_.thinking.toSeq).getOrElse(Nil), idx))
-          out.iterator
       }
   }
 }

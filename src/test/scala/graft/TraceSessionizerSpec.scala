@@ -168,6 +168,35 @@ class TraceSessionizerSpec extends SparkSpec {
       turns(1).thinking.map(_.content) == Seq("d"))
   }
 
+  test("streaming idle timeout flushes the open turn as active and evicts state (M4)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    val query = TraceSessionizer.aggregateStream(input.toDS(), idleTimeoutMs = Some(1L))
+      .writeStream.format("memory").queryName("turns_idle").outputMode(OutputMode.Append).start()
+    // NOTE: processAllAvailable can block indefinitely once processing-time
+    // timeouts are armed (timeout batches keep the query "busy"), so this
+    // test polls the sink with a deadline instead.
+    def awaitIdleFlush(deadlineMs: Long): Option[graft.model.TraceTurn] = {
+      val end = System.currentTimeMillis() + deadlineMs
+      var found: Option[graft.model.TraceTurn] = None
+      while (found.isEmpty && System.currentTimeMillis() < end) {
+        found = spark.table("turns_idle").as[graft.model.TraceTurn]
+          .collect().find(_.sessionId == "idle")
+        if (found.isEmpty) Thread.sleep(200)
+      }
+      found
+    }
+    try {
+      input.addData(RawEvent("idle", t(1), "prompt:submit", """{"prompt":"p"}""", 1))
+      val flushed = awaitIdleFlush(30000)
+      assert(flushed.isDefined, "idle turn never flushed by the state timeout")
+      assert(flushed.get.status == "active") // surfaced in-progress, per EOF semantics
+    } finally query.stop()
+  }
+
   test("streaming aggregate emits completed turns across micro-batches, keeps open state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

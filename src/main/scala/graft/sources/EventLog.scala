@@ -69,4 +69,16 @@ object EventLog {
     */
   def overwriteParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The 100 TB layout: events partitioned by natural keys (date here) so
+    * time-ranged queries prune whole directories before any I/O — verify
+    * with explain: the scan carries PartitionFilters, not just
+    * PushedFilters.
+    */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String = "ts"): Unit =
+    df.withColumn("event_date", to_date(col(tsCol)))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("event_date")
+      .parquet(path)
 }

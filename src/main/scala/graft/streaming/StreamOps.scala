@@ -69,6 +69,34 @@ object StreamOps {
         col("n"))
   }
 
+  /** ST8/J3: watermarked stream-stream pre/post correlation — tool:pre
+    * events joined to their tool:post within `toleranceSeconds`, keyed by
+    * (name, group). Both sides carry watermarks so unmatched state is GC'd
+    * — the documented deviation from the reference, which re-scans finite
+    * files and so matches arbitrarily late posts (SURVEY ST8).
+    */
+  def prePostStreamJoin(
+      pre: DataFrame,  // (name, group_id, ts)
+      post: DataFrame, // (name, group_id, ts)
+      watermark: String,
+      toleranceSeconds: Int,
+  ): DataFrame = {
+    val l = pre
+      .withWatermark("ts", watermark)
+      .select(col("name"), col("group_id"), col("ts").as("pre_ts"))
+    val r = post
+      .withWatermark("ts", watermark)
+      .select(col("name").as("r_name"), col("group_id").as("r_group_id"), col("ts").as("post_ts"))
+    l.join(
+      r,
+      col("name") === col("r_name") && col("group_id") === col("r_group_id") &&
+        col("post_ts") >= col("pre_ts") &&
+        col("post_ts") <= col("pre_ts") + expr(s"INTERVAL $toleranceSeconds SECONDS"))
+      .select(
+        col("name"), col("group_id"), col("pre_ts"), col("post_ts"),
+        (unix_millis(col("post_ts")) - unix_millis(col("pre_ts"))).as("duration_ms"))
+  }
+
   /** ST8: dead-letter split — valid rows one way, corrupt rows the other
     * (trace_aggregator.py:88-92 skip-and-log, upgraded to a side channel).
     */

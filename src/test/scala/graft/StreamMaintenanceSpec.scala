@@ -60,6 +60,44 @@ class StreamMaintenanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream pre/post join correlates within tolerance and computes duration (J3/ST8)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pre  = MemoryStream[(String, String, java.sql.Timestamp)]
+    val post = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = StreamOps.prePostStreamJoin(
+      pre.toDF().toDF("name", "group_id", "ts"),
+      post.toDF().toDF("name", "group_id", "ts"),
+      watermark = "10 seconds", toleranceSeconds = 60)
+    val q = joined.writeStream.format("memory").queryName("prepost_out").outputMode("append").start()
+    try {
+      pre.addData(("Read", "pg-1", ts("2026-01-01 10:00:00")), ("Run", "pg-2", ts("2026-01-01 10:00:10")))
+      post.addData(
+        ("Read", "pg-1", ts("2026-01-01 10:00:03")),  // match, 3s
+        ("Run", "pg-2", ts("2026-01-01 10:05:00")),   // outside 60s tolerance
+        ("Ghost", "pg-9", ts("2026-01-01 10:00:05"))) // no matching pre
+      q.processAllAvailable()
+      val rows = spark.table("prepost_out").collect()
+        .map(r => (r.getString(0), r.getLong(r.fieldIndex("duration_ms"))))
+      assert(rows.toSeq == Seq(("Read", 3000L)))
+    } finally q.stop()
+  }
+
+  test("date-partitioned events: time-range scan prunes partitions (100TB layout)") {
+    val dir    = Files.createTempDirectory("events-part").toString + "/t"
+    val events = graft.Tables(spark, sf0001).events
+    graft.sources.EventLog.writeDatePartitioned(events, dir)
+    val scan = spark.read.parquet(dir)
+      .filter(col("event_date") === "2024-01-05")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_date"), s"no partition filter:\n$plan")
+    assert(scan.count() > 0)
+    // pruned read returns exactly the day's rows
+    val expected = events.filter(to_date(col("ts")) === "2024-01-05").count()
+    assert(scan.count() == expected)
+  }
+
   test("deadLetterSplit separates corrupt rows (ST8)") {
     val df = Seq(("ok", null), (null, "{broken")).toDF("event", "_corrupt_record")
     val (good, bad) = StreamOps.deadLetterSplit(df)

@@ -62,9 +62,10 @@ object TimeWindows {
       |GROUP BY 1, 2 ORDER BY v.user_id, view_id""".stripMargin,
   ) { t =>
     // SURVEY J3: tool:pre/tool:post correlation as its batch shape — an
-    // equi-join on the entity key with a time-range residual. Equi part
-    // shuffles on user_id; the range predicate is a post-join filter, so no
-    // nested-loop join appears (verify via explain: SortMergeJoin).
+    // equi-join on the entity key with a time-range residual. The equi part
+    // keys the join (broadcast-hash at this sf, sort-merge at scale); the
+    // range predicate stays a residual filter, so no nested-loop join
+    // appears (plan-audited).
     val e = t.events.select(
       col("user_id"), col("event_id"), col("event_type"),
       unix_millis(col("ts")).as("ms"))

@@ -129,6 +129,44 @@ final case class SessionStore(sessions: Dataset[model.Session]) {
     Maintenance.retentionSweep(
       sessions.toDF(), "ended_at", "created_at", lit(cutoff), "status", protectedStatuses)
       .as[Session](sessions.encoder)
+
+  /** G2: recursive subtree clone — new rows for `rootId` and every
+    * descendant, ids deterministically remapped (`<old>_<suffix>`; the
+    * reference suffixes only the root name but generates fresh uuids for
+    * every node — routers/sessions.py:368-516), parent links re-pointed
+    * into the clone. Returns only the cloned rows; union with the original
+    * table to materialize.
+    */
+  def cloneSubtree(rootId: String, suffix: String)(implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    val df = sessions.toDF()
+    val doomed = GraphOps.descendants(
+      df.filter(col("parent_session_id").isNotNull)
+        .select(col("parent_session_id").as("parent"), col("session_id").as("child")),
+      Seq(rootId).toDF("node")).select(col("node").as("session_id"))
+    df.join(doomed, Seq("session_id"), "left_semi")
+      .withColumn("session_id", concat(col("session_id"), lit("_"), lit(suffix)))
+      .withColumn(
+        "parent_session_id",
+        when(col("session_id") === s"${rootId}_$suffix", col("parent_session_id")) // root keeps its parent
+          .otherwise(concat(col("parent_session_id"), lit("_"), lit(suffix))))
+      .as[Session](sessions.encoder)
+  }
+
+  /** ST7: conditional side-effect — mark sessions unread only when they
+    * have no active subscriber AND are not already unread (routers/
+    * messages.py:249-271). Pure set algebra: the conditional upsert a
+    * foreachBatch sink applies per micro-batch.
+    */
+  def markUnreadIfUnobserved(completedSessionIds: DataFrame, activeSubscribers: DataFrame): Dataset[Session] = {
+    val eligible = sessions.toDF()
+      .join(completedSessionIds.select(col("session_id")), Seq("session_id"), "left_semi")
+      .join(activeSubscribers.select(col("session_id")), Seq("session_id"), "left_anti")
+      .filter(!col("is_unread"))
+      .withColumn("is_unread", lit(true))
+    Maintenance.upsert(sessions.toDF(), eligible, Seq("session_id"))
+      .as[Session](sessions.encoder)
+  }
 }
 
 final case class TranscriptStore(messages: Dataset[model.Message]) {

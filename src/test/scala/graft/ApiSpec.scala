@@ -62,6 +62,28 @@ class ApiSpec extends SparkSpec {
     assert(survivors == Set("root2", "orphan1"))
   }
 
+  test("cloneSubtree remaps ids and parent links across the whole tree (G2)") {
+    val clones = store.cloneSubtree("root1", "c1").collect().sortBy(_.session_id)
+    assert(clones.map(_.session_id).toSeq == Seq(
+      "root1-00_helper-01_sub_c1", "root1-00_helper_c1", "root1_c1"))
+    val byId = clones.map(s => s.session_id -> s.parent_session_id).toMap
+    assert(byId("root1_c1").isEmpty) // root keeps its (absent) parent
+    assert(byId("root1-00_helper_c1").contains("root1_c1"))
+    assert(byId("root1-00_helper-01_sub_c1").contains("root1-00_helper_c1"))
+  }
+
+  test("markUnreadIfUnobserved: only observed/already-unread sessions are skipped (ST7)") {
+    import org.apache.spark.sql.functions.col
+    val completed   = Seq("root1-00_helper", "root1-00_helper-01_sub", "root2").toDF("session_id")
+    val subscribers = Seq("root1-00_helper").toDF("session_id")
+    val after = store.markUnreadIfUnobserved(completed, subscribers)
+      .collect().map(s => s.session_id -> s.is_unread).toMap
+    assert(!after("root1-00_helper"))          // active subscriber -> untouched
+    assert(after("root1-00_helper-01_sub"))    // unobserved + was read -> flipped
+    assert(after("root2"))                     // already unread -> unchanged
+    assert(after.size == 5)                    // untouched rows survive the upsert
+  }
+
   test("transcript tail + history-without-last (W3/W4)") {
     val msgs = Seq(
       model.Message("s", ts(1), "user", "m1", None, Some(1)),

@@ -444,6 +444,65 @@ object Relational {
       .orderBy("returnflag", "linestatus")
   }
 
+  val q3_shipping_priority = Q(
+    "q3_shipping_priority",
+    """SELECT o_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+  ) { t =>
+    // TPC-H Q3 shape (BENCH headline): segment-filtered customer broadcast
+    // into orders, date filters pushed to both fact scans, top-10 by
+    // revenue via TakeOrderedAndProject after one shuffled agg.
+    val revenue = sum(
+      col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DoubleType)
+    t.lineitem
+      .filter(col("l_shipdate") > lit("1998-06-01").cast(TimestampType))
+      .join(
+        t.orders.filter(col("o_orderdate") < lit("1998-06-01").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(
+        broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(revenue.as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q6_forecast_revenue = Q(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin,
+  ) { t =>
+    // TPC-H Q6 shape: pure scan-filter-aggregate; all four predicates push
+    // to the parquet scan, single partial+final agg, no join.
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   // ===== Sorts / limits (O1-O5) =====
 
   val o1_topk = Q(
@@ -547,7 +606,7 @@ object Relational {
     f1_conjunctive_filter, f3_case_normalized_filter, f4_prefix_filter,
     f6_set_membership_classify, f10_age_cutoff,
     j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
-    j7_latest_per_key,
+    j7_latest_per_key, q3_shipping_priority, q6_forecast_revenue,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
     a7_total_counts, a9_metrics_recompute, a10_rollup,
     o1_topk, o2_pagination, o4_two_key_sort,

@@ -91,8 +91,58 @@ object Extras {
       .orderBy("event_id")
   }
 
+  val a11_exact_percentiles = Q(
+    "a11_exact_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS median_qty,
+      |       quantile_cont(l_extendedprice, 0.9) AS p90_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  ) { t =>
+    // Exact interpolated percentiles: Spark percentile() and DuckDB
+    // quantile_cont share the linear-interpolation definition, and the
+    // interpolation is one double expression over identical neighbors —
+    // engine-exact without rounding.
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val a12_variance_from_sums = Q(
+    "a12_variance_from_sums",
+    """SELECT l_returnflag, n, mean_qty,
+      |       sqrt((sum_sq - sum_x * sum_x / n) / (n - 1)) AS stddev_qty
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
+      |  FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin,
+  ) { t =>
+    // Variance/stddev rebuilt from order-independent decimal sums (plain
+    // stddev(double) is partial-aggregation-order-dependent and would flap
+    // vs the oracle): sqrt((Σx² − (Σx)²/n)/(n−1)) over exact sums, with
+    // identical double expression trees on both engines.
+    val d2    = col("l_quantity").cast(DecimalType(18, 2))
+    val sumX  = sum(d2).cast(DoubleType)
+    val sumSq = sum(d2 * d2).cast(DoubleType)
+    val n     = count(lit(1))
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(n.as("n"), (sumX / n).as("mean_qty"), sumX.as("sum_x"), sumSq.as("sum_sq"))
+      .select(
+        col("l_returnflag"), col("n"), col("mean_qty"),
+        sqrt((col("sum_sq") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+          .as("stddev_qty"))
+      .drop("sum_x", "sum_sq")
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     f5_autocomplete_prefix, o3_union_merge_sort, f9_hidden_exclusion,
-    x11_approx_stats, c13_map_ops,
+    x11_approx_stats, c13_map_ops, a11_exact_percentiles, a12_variance_from_sums,
   )
 }

@@ -127,26 +127,28 @@ object Dedup {
 
   val x4_simhash = Q.noOracle("x4_simhash") { t =>
     // SimHash-64: per token, xxhash64 gives 64 bits; each bit votes +1/-1;
-    // the sign vector of the summed votes is the fingerprint. Near-dups
-    // differ in few bits (hamming distance). Pure expression pipeline —
-    // explode(tokens) + groupBy(doc), one shuffle on doc_id.
-    val tok  = t.documents.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
-    val h    = xxhash64(col("tk"))
-    val bits = (0 until 64).map { i =>
-      sum(when(shiftright(h, i).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$i")
-    }
-    val fp = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
-    tok
-      .groupBy("doc_id")
-      .agg(bits.head, bits.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-      .orderBy("doc_id")
+    // the sign vector of the summed votes is the fingerprint. Computed by
+    // the one-pass SimHashAgg typed aggregate; explode(tokens) +
+    // groupBy(doc), one shuffle on doc_id.
+    simhashOf(t.documents).orderBy("doc_id")
   }
 
-  /** SimHash fingerprints for an arbitrary documents frame (doc_id, text). */
-  def simhashOf(docs: DataFrame): DataFrame = {
+  /** SimHash fingerprints for an arbitrary documents frame (doc_id, text),
+    * via the one-pass SimHashAgg typed aggregate (graft.plans) — one
+    * 64-counter buffer per group instead of 64 independent sum states.
+    * Bit-identical to the composed-builtins form (same xxhash64 seed;
+    * DedupSimilaritySpec compares them).
+    */
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("doc_id")
+      .agg(graft.plans.SimHashAgg.simhash_agg(col("tk")).as("simhash"))
+
+  /** The composed-builtins form (64 shift-mask sum columns) kept as the
+    * reference implementation the aggregate is spec-tested against.
+    */
+  def simhashOfBuiltins(docs: DataFrame): DataFrame = {
     val tok  = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
     val h    = xxhash64(col("tk"))
     val bits = (0 until 64).map { i =>

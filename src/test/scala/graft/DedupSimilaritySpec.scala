@@ -45,6 +45,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed high-jaccard pairs: $missed")
   }
 
+  test("SimHashAgg typed aggregate matches the 64-sum-columns form bit-for-bit") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    val native   = Dedup.simhashOf(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val builtins = Dedup.simhashOfBuiltins(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == builtins)
+    assert(native.size == docs.count())
+  }
+
   test("simhash: identical texts get identical fingerprints") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val fp   = Dedup.x4_simhash.run(spark, sf0001)

@@ -25,6 +25,21 @@ def main(sf_dir: str, out_dir: str) -> int:
         )
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
+    # rows-only check for queries without an oracle (mirrors the driver's
+    # weaker gate): output parquet must exist and be non-empty
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or name in oracle:
+            continue
+        try:
+            n = con.execute(f"SELECT count(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+            if n > 0:
+                print(f"  OK  {name:32s} rows={n} (rows-only)")
+            else:
+                failures.append((name, "rows-only check: empty output"))
+        except Exception as e:
+            failures.append((name, f"rows-only check failed: {e}"))
     for name, sql in sorted(oracle.items()):
         try:
             got = con.execute(

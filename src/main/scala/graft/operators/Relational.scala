@@ -503,6 +503,52 @@ object Relational {
         count(lit(1)).as("n"))
   }
 
+  val q17_below_avg = Q(
+    "q17_below_avg",
+    """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       count(*) AS n
+      |FROM lineitem l
+      |JOIN (SELECT l_partkey,
+      |             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+      |      FROM lineitem GROUP BY l_partkey) pa
+      |  ON l.l_partkey = pa.l_partkey
+      |WHERE l.l_quantity < 0.5 * pa.avg_qty""".stripMargin,
+  ) { t =>
+    // TPC-H Q17 shape: the correlated "below this part's average" subquery
+    // decorrelated into an aggregate self-join — the plan Catalyst's
+    // subquery decorrelation would produce, written directly. The per-part
+    // average is small (one row per part) so AQE broadcasts it back onto
+    // the fact.
+    val perPart = t.lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+        .as("avg_qty"))
+    t.lineitem
+      .join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType) / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  val q18_having = Q(
+    "q18_having",
+    s"""SELECT o_custkey, count(*) AS n_orders,
+       |       ${DSUM.format("o_totalprice")} AS total_spend
+       |FROM orders GROUP BY o_custkey
+       |HAVING ${DSUM.format("o_totalprice")} > 3000000.0
+       |ORDER BY o_custkey""".stripMargin,
+  ) { t =>
+    // TPC-H Q18 shape: post-aggregation predicate (HAVING) — a filter above
+    // the hash aggregate, pruning groups before the presentation sort.
+    t.orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+      .filter(col("total_spend") > 3000000.0)
+      .orderBy("o_custkey")
+  }
+
   // ===== Sorts / limits (O1-O5) =====
 
   val o1_topk = Q(
@@ -607,6 +653,7 @@ object Relational {
     f6_set_membership_classify, f10_age_cutoff,
     j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
     j7_latest_per_key, q3_shipping_priority, q6_forecast_revenue,
+    q17_below_avg, q18_having,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
     a7_total_counts, a9_metrics_recompute, a10_rollup,
     o1_topk, o2_pagination, o4_two_key_sort,

@@ -22,10 +22,10 @@ object ConfigFunctions {
   def deepMergeNodes(base: JsonNode, override_ : JsonNode): JsonNode =
     if (base != null && base.isObject && override_ != null && override_.isObject) {
       val out = base.deepCopy[ObjectNode]()
-      val it  = override_.fields()
-      while (it.hasNext) {
-        val e = it.next()
-        out.set(e.getKey, deepMergeNodes(out.get(e.getKey), e.getValue))
+      val names = override_.fieldNames()
+      while (names.hasNext) {
+        val k = names.next()
+        out.set(k, deepMergeNodes(out.get(k), override_.get(k)))
       }
       out
     } else if (override_ == null) base

@@ -29,7 +29,7 @@ object EventLog {
   def readJsonl(spark: SparkSession, path: String, sessionIdFallback: String = "")(
       implicit d: DummyImplicit): Dataset[RawEvent] = {
     import spark.implicits._
-    val lines = spark.sparkContext.textFile(path).zipWithIndex.toDF("line", "line_no")
+    val lines = spark.sparkContext.textFile(path).zipWithIndex().toDF("line", "line_no")
     lines
       .filter(length(trim(col("line"))) > 0)
       .select(

@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** BENCH harness (driver contract): run every registered query on
-  * SPARK_GRAFT_SF_DIR, print ONE JSON metric line. Each query executes via
-  * count() after its own plan (the terminal ORDER BY stays in the plan, so
-  * timings include the presentation sort the oracle path pays too).
+  * SPARK_GRAFT_SF_DIR, print ONE JSON metric line. Each query executes via a
+  * `noop`-format write: unlike count() — under which ColumnPruning deletes
+  * unreferenced projection expressions and EliminateSorts drops the terminal
+  * ORDER BY — a noop sink consumes every column of every row, so the timing
+  * covers the full plan (hashes, regexes, window sums, presentation sort)
+  * without paying parquet-encode cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -21,14 +24,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest sf so per-query numbers measure
     // the plan, not first-run class loading.
-    try SparkEntry.queries.values.take(3).foreach(f => f(spark, "/root/testdata/sf0.001").count())
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    try SparkEntry.queries.values.take(3).foreach(f => exec(f(spark, "/root/testdata/sf0.001")))
     catch { case _: Throwable => }
     // best-of-2 per query: the second run reuses compiled codegen classes,
     // so the min isolates plan cost from JIT/classload noise.
     val results = SparkEntry.registry.map { q =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try exec(q.run(spark, sfDir)) catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       q.name -> times.min

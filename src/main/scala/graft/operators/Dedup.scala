@@ -46,12 +46,25 @@ object Dedup {
       .orderBy("content_hash")
   }
 
+  /** Document-frequency cap for the shingle self-join: a shingle shared by
+    * more than this many documents is boilerplate, not near-dup signal, and
+    * its join-key fan-out is quadratic in its frequency (k docs -> k^2
+    * candidate rows). Dropping those shingles BEFORE the join bounds the
+    * worst key at maxDF^2 — the standard MinHash-era trick. The cap removes
+    * the shingle from both the intersection and the set sizes, so the
+    * Jaccard is exact over the capped sets (oracle SQL applies the same
+    * cap; recall trade documented in SCALE.md).
+    */
+  private val MaxShingleDF = 100
+
   val x2_ngram_jaccard = Q(
     "x2_ngram_jaccard",
-    """WITH sh AS (
+    """WITH sh0 AS (
       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 100),
+      |sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN rare r ON s.sh = r.sh),
       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -66,15 +79,25 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin,
   ) { t =>
     // n-gram Jaccard near-dup: word 5-shingles; candidate pairs via shingle
-    // equi-join (no cross join), exact |A∩B| / |A∪B| filter. The single
-    // double division makes the score engine-exact.
+    // equi-join (no cross join), exact |A∩B| / |A∪B| filter over the
+    // DF-capped shingle sets. The single double division makes the score
+    // engine-exact.
     //
     // NOTE (measured, sf0.1): carrying set sizes through the exploded rows
     // instead of the separate `sz` aggregation looks cheaper on paper but
     // is 2.7x SLOWER — CollapseProject inlines the shingle-array expression
     // into both size() and explode(), computing the transform twice per
     // row. The size table costs one small aggregation that AQE broadcasts.
-    val sh = shingles(t.documents, 5)
+    //
+    // The DF cap is groupBy(sh) + left_semi rather than a count() window:
+    // the groupBy gets map-side partial aggregation (hot shingles collapse
+    // per-mapper), while a window would buffer every row of a hot key in
+    // one task. Both the semi join and the candidate self-join shuffle on
+    // sh, so the exchange is reused between them.
+    val sh0 = shingles(t.documents, 5)
+    val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDF).select("sh")
+    val sh = sh0.join(rare, Seq("sh"), "left_semi")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -92,6 +115,23 @@ object Dedup {
   /** MinHash signature columns: min over shingles of xxhash64(seed_i, sh). */
   private def minhashAgg(nHashes: Int): Seq[Column] =
     (0 until nHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i"))
+
+  /** Bucket-size safety valve for band-bucket joins: a (band, bucket) shared
+    * by k docs emits ~k^2/2 candidate pairs, so one degenerate bucket (e.g.
+    * the all-empty-text signature at corpus scale) can dominate the whole
+    * job. Buckets above the cap are dropped before the self-join — at the
+    * cap the worst bucket is bounded at maxBucket^2 pairs, and a bucket that
+    * large is a "everything matches everything" cluster better handled by
+    * exact dedup upstream. Does not bind at test scale (buckets are <=5
+    * docs); at 100 TB it is the difference between a skew straggler and a
+    * bounded join.
+    */
+  private def capBuckets(bands: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val small = bands.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bk_n")).filter(col("bk_n") <= maxBucket)
+      .select(keys.map(col): _*)
+    bands.join(small, keys, "left_semi")
+  }
 
   val x3_minhash_signatures = Q.noOracle("x3_minhash_signatures") { t =>
     // MinHash signatures (shingle -> 16 hash slots). xxhash64(seed, sh) is
@@ -118,9 +158,11 @@ object Dedup {
     val bucketCols = (0 until 4).map { b =>
       xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
     }
-    val bands = sig
-      .select(col("doc_id"), posexplode(array(bucketCols: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    val bands = capBuckets(
+      sig
+        .select(col("doc_id"), posexplode(array(bucketCols: _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
+      Seq("band", "bucket"), maxBucket = 200)
     bands.as("a")
       .join(
         bands.as("b"),
@@ -176,9 +218,11 @@ object Dedup {
     require(maxHamming <= 7, "8-band banding only guarantees recall for hamming <= 7")
     val fp = simhashOf(docs)
     val bandCols = (0 until 8).map(b => shiftright(col("simhash"), 8 * b).bitwiseAND(0xffL))
-    val bands = fp
-      .select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "byte"))
+    val bands = capBuckets(
+      fp
+        .select(col("doc_id"), col("simhash"), posexplode(array(bandCols: _*)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "byte")),
+      Seq("band", "byte"), maxBucket = 200)
     bands.as("a")
       .join(
         bands.as("b"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, NumericType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, NumericType, ShortType}
 
 /** Native codegen'd cosine similarity over two numeric arrays — the hot
   * inner loop of similarity search (SURVEY §2.12 extension; preference
@@ -54,19 +54,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   private def toDouble(arr: ArrayData, i: Int, t: DataType): Double = t match {
-    case FloatType  => arr.getFloat(i).toDouble
-    case DoubleType => arr.getDouble(i)
-    case other      => org.apache.spark.sql.catalyst.expressions.Cast(
-      org.apache.spark.sql.catalyst.expressions.Literal(arr.get(i, other), other),
-      DoubleType).eval(null).asInstanceOf[Double]
+    case FloatType      => arr.getFloat(i).toDouble
+    case DoubleType     => arr.getDouble(i)
+    case ByteType       => arr.getByte(i).toDouble
+    case ShortType      => arr.getShort(i).toDouble
+    case IntegerType    => arr.getInt(i).toDouble
+    case LongType       => arr.getLong(i).toDouble
+    case d: DecimalType => arr.getDecimal(i, d.precision, d.scale).toDouble
+    case other          => throw new IllegalStateException(s"cosine_sim: unreachable element type $other")
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (tx, ty) = (elemType(left), elemType(right))
+    // Type-specific accessors for EVERY numeric element type accepted by
+    // checkInputDataTypes — UnsafeArrayData.get(i, dataType) dispatches on
+    // the type argument, so the old `get($i, null)` fallback threw at
+    // runtime for int/long/decimal arrays under whole-stage codegen.
     def get(arr: String, i: String, t: DataType): String = t match {
-      case FloatType  => s"(double) $arr.getFloat($i)"
-      case DoubleType => s"$arr.getDouble($i)"
-      case _          => s"((Number) $arr.get($i, null)).doubleValue()" // non-fast path
+      case FloatType      => s"(double) $arr.getFloat($i)"
+      case DoubleType     => s"$arr.getDouble($i)"
+      case ByteType       => s"(double) $arr.getByte($i)"
+      case ShortType      => s"(double) $arr.getShort($i)"
+      case IntegerType    => s"(double) $arr.getInt($i)"
+      case LongType       => s"(double) $arr.getLong($i)"
+      case d: DecimalType => s"$arr.getDecimal($i, ${d.precision}, ${d.scale}).toDouble()"
+      case other          => throw new IllegalStateException(s"cosine_sim: unreachable element type $other")
     }
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n   = ctx.freshName("n")

@@ -108,10 +108,16 @@ object StreamOps {
     * quiet source (the SSE keepalive analog, routers/events.py:68-84).
     */
   def keepaliveTicks(spark: SparkSession, intervalSeconds: Int): DataFrame =
+    // The rate source parses rowsPerSecond with toLong, so sub-1 rates are
+    // unrepresentable (and "0.5" throws at stream start). Emit 1 row/sec and
+    // keep every intervalSeconds-th tick — `value` is the monotonically
+    // increasing row counter, so the filter yields exactly one row per
+    // interval.
     spark.readStream
       .format("rate")
-      .option("rowsPerSecond", 1.0 / intervalSeconds)
+      .option("rowsPerSecond", 1L)
       .load()
+      .filter(col("value") % intervalSeconds === 0)
       .select(
         col("timestamp").as("ts"),
         lit("keepalive").as("event"),

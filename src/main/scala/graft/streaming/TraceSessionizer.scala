@@ -148,8 +148,13 @@ object TraceSessionizer {
                   result = Some(truncate(str(result, "output"))))
               else {
                 val err = result.get("error")
+                // missing error node -> "{}" like the reference's
+                // result.get("error", {}) rendered through str(). Non-string
+                // error payloads render as compact JSON here vs Python's
+                // str(dict) repr — a documented deviation (quotes/spacing
+                // differ; content is identical).
                 val msg =
-                  if (err == null || err.isNull) "null"
+                  if (err == null || err.isNull) "{}"
                   else if (err.isObject && err.has("message")) str(err, "message")
                   else if (err.isTextual) err.asText()
                   else err.toString
@@ -199,15 +204,19 @@ object TraceSessionizer {
   }
 
   /** Batch sessionization: one shuffle on session_id, in-memory sort of each
-    * session's events by (ts, lineNo) — a session's log is bounded (one
-    * conversation), so per-group sort is safe at any table scale.
+    * session's events by lineNo — the reference processes a session's JSONL
+    * strictly in FILE order (trace_aggregator.py reads line by line), so
+    * lineNo alone is the correct order key; sorting by parsed timestamp
+    * first would hoist malformed-timestamp events (parsed as 0) to the
+    * front. A session's log is bounded (one conversation), so the per-group
+    * sort is safe at any table scale.
     */
   def aggregate(events: Dataset[RawEvent])(implicit spark: SparkSession): Dataset[TraceTurn] = {
     import spark.implicits._
     events
       .groupByKey(_.sessionId)
       .flatMapGroups { (_, it) =>
-        val sorted = it.toArray.sortBy(e => (parseTimestampMs(e.ts), e.lineNo))
+        val sorted = it.toArray.sortBy(_.lineNo)
         assemble(sorted.iterator)
       }
   }
@@ -242,11 +251,15 @@ object TraceSessionizer {
       .flatMapGroupsWithState[SessionState, TraceTurn](OutputMode.Append(), timeoutConf) {
         (_: String, batch: Iterator[RawEvent], gs: GroupState[SessionState]) =>
           if (gs.hasTimedOut) {
-            // idle eviction: surface the in-progress turn, drop the state
+            // idle eviction: surface the in-progress turn, but keep a
+            // tombstone carrying nextIndex (open=None, a few bytes) — a
+            // session that resumes after eviction continues turn numbering,
+            // so turn ids `<session>:tN` stay unique. No timeout is re-armed
+            // on the tombstone; it lives until the session speaks again.
             val prior = gs.get
             val flushed = prior.open.map(t =>
               t.copy(status = "active", tools = prior.openTools, thinking = prior.openThinking))
-            gs.remove()
+            gs.update(SessionState(None, Nil, Nil, prior.nextIndex))
             flushed.iterator
           } else {
             val prior = gs.getOption.getOrElse(SessionState(None, Nil, Nil, 0))
@@ -255,7 +268,7 @@ object TraceSessionizer {
             }
             var idx = prior.nextIndex
             val out = ArrayBuffer.empty[TraceTurn]
-            batch.toArray.sortBy(e => (parseTimestampMs(e.ts), e.lineNo)).foreach { e =>
+            batch.toArray.sortBy(_.lineNo).foreach { e =>
               val (done, next, nextIdx) = step(state, e, idx)
               done.foreach(out += _)
               state = next

@@ -60,15 +60,22 @@ object Extras {
   val x11_approx_stats = Q.noOracle("x11_approx_stats") { t =>
     // §2.12 extension: the 100TB-scale counterparts of exact distinct/avg —
     // approx_count_distinct (HLL++) and percentile_approx (KLL-ish). No
-    // oracle (sketches are engine-specific); invariants are spec-tested
-    // against exact values instead.
+    // oracle (sketches are engine-specific); the spec compares against
+    // exact values computed in a SEPARATE aggregation — mixing an exact
+    // countDistinct into this agg forces Expand + the non-codegen aggregate
+    // path and made the query ~20x slower (measured: 10.5s vs 0.5s at
+    // sf0.01). Both percentiles come from one sketch via the array form.
     t.lineitem
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)), lit(1000))
+          .as("price_quantiles"))
+      .select(
+        col("l_returnflag"),
+        col("approx_orders"),
+        col("price_quantiles").getItem(0).as("p50_price"),
+        col("price_quantiles").getItem(1).as("p99_price"))
       .orderBy("l_returnflag")
   }
 

@@ -45,6 +45,22 @@ class CosineExprSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("int/long/decimal element types evaluate under codegen (typed accessors)") {
+    // Regression: the codegen non-fast path used to emit `arr.get(i, null)`,
+    // which throws for non-float/double arrays under whole-stage codegen.
+    val ints  = Seq((Seq(1, 2, 3), Seq(1, 2, 3))).toDF("a", "b")
+    val longs = Seq((Seq(1L, 0L), Seq(0L, 1L))).toDF("a", "b")
+    val decs  = Seq((Seq(BigDecimal(1), BigDecimal(2)), Seq(BigDecimal(1), BigDecimal(2)))).toDF("a", "b")
+    def sim(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(CosineSimilarity.cosine_sim(col("a"), col("b"))).first().getDouble(0)
+    assert(math.abs(sim(ints) - 1.0) < 1e-12)  // parallel vectors
+    assert(sim(longs) == 0.0)                   // orthogonal
+    assert(math.abs(sim(decs) - 1.0) < 1e-12)
+    // mixed element types on the two sides
+    val mixed = Seq((Seq(1, 0), Seq(1.0, 0.0))).toDF("a", "b")
+    assert(math.abs(sim(mixed) - 1.0) < 1e-12)
+  }
+
   test("plan stays in whole-stage codegen (no fallback)") {
     val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val df = emb.crossJoin(broadcast(q))

@@ -124,6 +124,22 @@ class StreamMaintenanceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keepaliveTicks stream starts and emits a tick (ST3)") {
+    // Regression: rowsPerSecond was passed as a Double; the rate source
+    // parses it with toLong, so every stream start threw
+    // NumberFormatException before the fix.
+    val q = StreamOps.keepaliveTicks(spark, intervalSeconds = 2)
+      .writeStream.format("memory").queryName("keepalive_out").outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("keepalive_out").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(250)
+      val rows = spark.table("keepalive_out").collect()
+      assert(rows.nonEmpty, "no keepalive tick within 20s")
+      assert(rows.head.getString(rows.head.fieldIndex("event")) == "keepalive")
+    } finally q.stop()
+  }
+
   test("maintenance: upsert replaces same-key rows and keeps the rest (M1)") {
     val base    = Seq((1, "old"), (2, "keep")).toDF("id", "v")
     val updates = Seq((1, "new"), (3, "ins")).toDF("id", "v")

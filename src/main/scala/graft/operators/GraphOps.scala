@@ -25,24 +25,39 @@ object GraphOps {
     * because the frontier anti-joins the visited set.
     */
   def bfs(edges: DataFrame, roots: DataFrame, maxDepth: Int = 100): DataFrame = {
+    // The edge table is scanned once per round: persist it for the loop's
+    // lifetime (at 100 TB the edge projection is far smaller than the doc
+    // table it derives from; MEMORY_AND_DISK spills rather than OOMs).
+    // Every frontier is eagerly localCheckpoint'ed — frontiers are
+    // wavefront-sized, and materializing them makes the per-round isEmpty
+    // probe and the next join read cached rows instead of re-running the
+    // whole lineage (the round-1 form re-evaluated the chain every round,
+    // turning an O(depth) loop into O(depth^2) work).
     val e = edges.select(col("src"), col("dst"))
-    var visited  = roots.select(col("node")).distinct().withColumn("depth", lit(0))
-    var frontier = visited
-    var depth    = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
-      depth += 1
-      val next = frontier
-        .select(col("node").as("src"))
-        .join(e, Seq("src"))
-        .select(col("dst").as("node"))
-        .distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("depth", lit(depth))
-      frontier = if (depth % CheckpointEvery == 0) next.localCheckpoint() else next
-      visited = (if (depth % CheckpointEvery == 0) visited.localCheckpoint() else visited)
-        .unionByName(frontier)
-    }
-    visited
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var visited  = roots.select(col("node")).distinct()
+        .withColumn("depth", lit(0)).localCheckpoint()
+      var frontier = visited
+      var depth    = 0
+      while (depth < maxDepth && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier
+          .select(col("node").as("src"))
+          .join(e, Seq("src"))
+          .select(col("dst").as("node"))
+          .distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("depth", lit(depth))
+          .localCheckpoint()
+        frontier = next
+        // visited is a union of checkpointed frontiers — the plan is flat,
+        // but re-checkpoint periodically so the union fan-in stays bounded.
+        visited = visited.unionByName(frontier)
+        if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
+      }
+      visited
+    } finally { e.unpersist(false); () }
   }
 
   /** G2/G3 support: transitive closure of descendants under `roots` over a
@@ -75,6 +90,40 @@ object GraphOps {
       .agg(max_by(col("prefix"), length(col("prefix"))).as("nearest_marker"))
   }
 
+  /** G5: per-start ancestor chains — walk parent links from every start
+    * node to its root (sessions/manager.py:422-452 get-ancestors). Unlike
+    * `bfs`, chains are NOT deduplicated across starts: each start owns its
+    * full lineage, exactly the WITH RECURSIVE per-row expansion. Input
+    * `childParent` has columns (child, parent); output (start, node, depth)
+    * with the start itself at depth 0. Terminates when no child edge exists
+    * for the frontier node (tree/DAG reaching a root); `maxDepth` bounds
+    * pathological cycles.
+    */
+  def ancestorWalk(childParent: DataFrame, starts: DataFrame, maxDepth: Int = 100): DataFrame = {
+    // Same persist + eager-checkpoint discipline as `bfs` (see there).
+    val e = childParent.select(col("child"), col("parent"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var acc      = starts.select(col("start")).distinct()
+        .withColumn("node", col("start")).withColumn("depth", lit(0)).localCheckpoint()
+      var frontier = acc
+      var depth    = 0
+      while (depth < maxDepth && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier
+          .select(col("start"), col("node").as("child"))
+          .join(e, Seq("child"))
+          .select(col("start"), col("parent").as("node"))
+          .withColumn("depth", lit(depth))
+          .localCheckpoint()
+        frontier = next
+        acc = acc.unionByName(frontier)
+        if (depth % CheckpointEvery == 0) acc = acc.localCheckpoint()
+      }
+      acc
+    } finally { e.unpersist(false); () }
+  }
+
   /** G6/J1: materialize one tree level — children collected under each
     * parent, sorted per the reference's root-first, case-insensitive order
     * (treeUtils.ts:62-80; collect via groupBy + sort_array keeps the sort
@@ -102,31 +151,38 @@ object GraphOps {
     * after Dedup's pair generation. Converges in O(diameter) rounds.
     */
   def connectedComponents(edges: DataFrame, spark: SparkSession, maxIter: Int = 20): DataFrame = {
-    // symmetric closure, every node starts as its own component
+    // symmetric closure, every node starts as its own component. The closure
+    // is scanned every round -> persist; each round's labels are consumed
+    // twice (convergence probe + next propagation) -> eager checkpoint, so
+    // neither re-runs the prior rounds' lineage.
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-    var changed = true
-    var iter    = 0
-    while (changed && iter < maxIter) {
-      iter += 1
-      val propagated = sym
-        .select(col("src").as("node"), col("dst"))
-        .join(labels, Seq("node"))
-        .select(col("dst").as("node"), col("component"))
-        .unionByName(labels.select(col("node"), col("component")))
-        .groupBy("node")
-        .agg(min("component").as("component"))
-      val next = if (iter % CheckpointEvery == 0) propagated.localCheckpoint() else propagated
-      changed = !next
-        .withColumnRenamed("component", "c_new")
-        .join(labels.withColumnRenamed("component", "c_old"), Seq("node"))
-        .filter(col("c_new") =!= col("c_old"))
-        .isEmpty
-      labels = next
-    }
-    labels
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node"))
+        .localCheckpoint()
+      var changed = true
+      var iter    = 0
+      while (changed && iter < maxIter) {
+        iter += 1
+        val next = sym
+          .select(col("src").as("node"), col("dst"))
+          .join(labels, Seq("node"))
+          .select(col("dst").as("node"), col("component"))
+          .unionByName(labels.select(col("node"), col("component")))
+          .groupBy("node")
+          .agg(min("component").as("component"))
+          .localCheckpoint()
+        changed = !next
+          .withColumnRenamed("component", "c_new")
+          .join(labels.withColumnRenamed("component", "c_old"), Seq("node"))
+          .filter(col("c_new") =!= col("c_old"))
+          .isEmpty
+        labels = next
+      }
+      labels
+    } finally { sym.unpersist(false); () }
   }
 }

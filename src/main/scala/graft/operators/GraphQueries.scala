@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Driver-checkable queries for the graph layer (SURVEY §2.10 G1/G3/G5) —
+  * the reference's headline recursive behaviors (mention-graph BFS
+  * `mention_loader.py:58-129`, session-tree cascade `manager.py:422-452`)
+  * oracle-checked against DuckDB `WITH RECURSIVE` over a deterministic tree
+  * derived from `documents`: heap numbering, node n's parent is
+  * (n-1) div 2, root 0. The derivation is one integer expression, so the
+  * oracle SQL reproduces the edge set exactly; the Spark side runs the REAL
+  * iterative GraphOps loops.
+  */
+object GraphQueries {
+
+  /** parent->child edge table of the derived heap tree: (src, dst). */
+  private def treeEdges(t: Tables): DataFrame =
+    t.documents
+      .filter(col("doc_id") >= 1)
+      .select(expr("(doc_id - 1) div 2").as("src"), col("doc_id").as("dst"))
+
+  val g1_bfs_reachability = Q(
+    "g1_bfs_reachability",
+    """WITH RECURSIVE r AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT e.dst, r.depth + 1
+      |  FROM r JOIN (SELECT (doc_id-1)//2 AS src, doc_id AS dst FROM documents WHERE doc_id >= 1
+      |               UNION ALL SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT)) e ON e.src = r.node
+      |  WHERE r.depth < 24
+      |)
+      |SELECT node, CAST(min(depth) AS BIGINT) AS depth FROM r GROUP BY node ORDER BY node""".stripMargin,
+  ) { t =>
+    // SURVEY G1: BFS reachability with cycle tolerance (mention_loader.py:
+    // 58-129 visited-set semantics): every node at its shallowest depth. A
+    // back edge 3->0 closes the cycle 0->1->3->0; GraphOps.bfs terminates
+    // via the visited anti-join, the oracle via the depth bound + min().
+    import t.spark.implicits._
+    val edges = treeEdges(t).unionByName(Seq((3L, 0L)).toDF("src", "dst"))
+    GraphOps.bfs(edges, Seq(0L).toDF("node"))
+      .select(col("node"), col("depth").cast("long").as("depth"))
+      .orderBy("node")
+  }
+
+  val g3_cascade_survivors = Q(
+    "g3_cascade_survivors",
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(1 AS BIGINT) AS node
+      |  UNION ALL
+      |  SELECT e.dst FROM d JOIN (SELECT (doc_id-1)//2 AS src, doc_id AS dst
+      |                            FROM documents WHERE doc_id >= 1) e ON e.src = d.node)
+      |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT node FROM d)
+      |ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // SURVEY G3: cascade delete of the subtree rooted at node 1
+    // (routers/sessions.py delete-with-children): survivors = anti-join
+    // against the transitive closure, via the REAL cascadeDeleteSurvivors.
+    import t.spark.implicits._
+    val parentChild = treeEdges(t)
+      .select(col("src").as("parent"), col("dst").as("child"))
+    GraphOps
+      .cascadeDeleteSurvivors(
+        t.documents.select("doc_id"), "doc_id", parentChild, Seq(1L).toDF("node"))
+      .orderBy("doc_id")
+  }
+
+  val g5_ancestor_walk = Q(
+    "g5_ancestor_walk",
+    """WITH RECURSIVE a AS (
+      |  SELECT doc_id AS start, doc_id AS node, 0 AS depth FROM documents WHERE doc_id % 97 = 0
+      |  UNION ALL
+      |  SELECT a.start, (a.node-1)//2, a.depth+1 FROM a WHERE a.node >= 1)
+      |SELECT start, node AS ancestor, CAST(depth AS BIGINT) AS depth FROM a
+      |ORDER BY start, depth""".stripMargin,
+  ) { t =>
+    // SURVEY G5: per-start ancestor chain to the root (manager.py:422-452)
+    // via the REAL GraphOps.ancestorWalk — lineages are per-start, not
+    // globally deduplicated like BFS.
+    val childParent = treeEdges(t)
+      .select(col("dst").as("child"), col("src").as("parent"))
+    val starts = t.documents
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("start"))
+    GraphOps.ancestorWalk(childParent, starts)
+      .select(col("start"), col("node").as("ancestor"), col("depth").cast("long").as("depth"))
+      .orderBy("start", "depth")
+  }
+
+  val all: Seq[Q] = Seq(g1_bfs_reachability, g3_cascade_survivors, g5_ancestor_walk)
+}

@@ -573,6 +573,10 @@ object Relational {
   ) { t =>
     // SURVEY O2: offset/limit pagination (sessions.py:1395-1400), expressed
     // as a row_number band so page boundaries are engine-independent.
+    // NOTE: the unpartitioned window pulls the table through one task —
+    // demo/presentation shape only. The scale path is o2b_keyset_pagination
+    // below: filter + top-k keeps the scan distributed and prunes at the
+    // source.
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy("o_orderkey")
     t.orders
@@ -581,6 +585,23 @@ object Relational {
       .filter(col("rn") > 40 && col("rn") <= 60)
       .select("o_orderkey", "o_totalprice")
       .orderBy("o_orderkey")
+  }
+
+  val o2b_keyset_pagination = Q(
+    "o2b_keyset_pagination",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey > 1000 ORDER BY o_orderkey LIMIT 20""".stripMargin,
+  ) { t =>
+    // SURVEY O2 (scale form): keyset pagination — WHERE key > last_seen
+    // ORDER BY key LIMIT n. The predicate pushes to the parquet scan
+    // (min/max row-group pruning) and the limit plans as
+    // TakeOrderedAndProject: per-partition top-k, no single-partition
+    // window, no global sort. This is the shape that survives 100 TB.
+    t.orders
+      .filter(col("o_orderkey") > 1000)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(20)
   }
 
   val o4_two_key_sort = Q(
@@ -656,7 +677,7 @@ object Relational {
     q17_below_avg, q18_having,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
     a7_total_counts, a9_metrics_recompute, a10_rollup,
-    o1_topk, o2_pagination, o4_two_key_sort,
+    o1_topk, o2_pagination, o2b_keyset_pagination, o4_two_key_sort,
     u1_union_all, u2_except, u3_intersect,
   )
 }

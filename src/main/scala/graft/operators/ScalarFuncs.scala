@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Q
+import graft.functions.TextFunctions
 
 /** Scalar-function layer (SURVEY.md §2.8): hashing, truncation, timestamp
   * formatting, interval parsing, string surgery, JSON access — each C-row
@@ -133,8 +134,145 @@ object ScalarFuncs {
       .orderBy("event_type")
   }
 
+  val c1_mentions = Q(
+    "c1_mentions",
+    """WITH src AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'ping @alice and @"bob file.md" ok'
+      |      WHEN 1 THEN 'code `@nope` then @u' || CAST(doc_id AS VARCHAR)
+      |      WHEN 2 THEN 'email a@b.com and @mention plus @real'
+      |      WHEN 3 THEN 'say "quoted @hidden" then @vis'
+      |      WHEN 4 THEN 'plain ''single @gone'' and @kept'
+      |      ELSE 'no mentions here'
+      |    END AS text
+      |  FROM documents),
+      |steps AS (
+      |  SELECT doc_id, regexp_replace(text, '`[^`\n]+`', '', 'g') AS no_code FROM src),
+      |parts AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(no_code, '(^|[^a-zA-Z0-9])@"([^"]+)"', 2) AS quoted,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(no_code, '(^|[^a-zA-Z0-9])@"[^"]+"', '\1', 'g'),
+      |        '"[^"\n]*"', '', 'g'),
+      |      '''[^''\n]*''', '', 'g') AS cleaned
+      |  FROM steps),
+      |lists AS (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_concat(
+      |        quoted,
+      |        list_filter(regexp_extract_all(cleaned, '(^|[^a-zA-Z0-9])@([a-zA-Z0-9_\-/\.:]+)', 2),
+      |                    x -> x <> 'mention' AND x <> '')),
+      |      x -> '@' || x) AS mentions
+      |  FROM parts)
+      |SELECT doc_id,
+      |       unnest(generate_series(1, len(mentions))) AS pos,
+      |       unnest(mentions) AS mention
+      |FROM lists ORDER BY doc_id, pos""".stripMargin,
+  ) { t =>
+    // SURVEY C1: the reference's @mention grammar (mentions.py:15-76) run
+    // through the REAL parse_mentions UDF over a synthesized corpus that
+    // exercises every grammar rule: inline-code stripping, quoted mentions,
+    // quoted-string shadowing, the word-boundary guard (a@b.com is not a
+    // mention), and the "@mention" literal exclusion. The oracle is the
+    // RE2-compatible decomposition (lookbehind replaced by a consumed
+    // boundary group) — equivalent on this corpus; mentions separated by a
+    // single boundary char that the previous match already consumed (e.g.
+    // '@a.@b') would diverge and are deliberately absent (the golden +
+    // property specs in TextFunctionsSpec cover the full grammar).
+    val text = when(col("doc_id") % 6 === 0, lit("ping @alice and @\"bob file.md\" ok"))
+      .when(col("doc_id") % 6 === 1, concat(lit("code `@nope` then @u"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 6 === 2, lit("email a@b.com and @mention plus @real"))
+      .when(col("doc_id") % 6 === 3, lit("say \"quoted @hidden\" then @vis"))
+      .when(col("doc_id") % 6 === 4, lit("plain 'single @gone' and @kept"))
+      .otherwise(lit("no mentions here"))
+    t.documents
+      .select(col("doc_id"), text.as("text"))
+      .select(col("doc_id"), posexplode(TextFunctions.parse_mentions(col("text"))).as(Seq("pos0", "mention")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("mention"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val c7_path_ops = Q(
+    "c7_path_ops",
+    """SELECT doc_id, path,
+      |       parts[len(parts)] AS base,
+      |       array_to_string(parts[1:len(parts)-1], '/') AS parent,
+      |       CAST(len(parts) AS BIGINT) AS depth
+      |FROM (SELECT doc_id, path, string_split(path, '/') AS parts
+      |      FROM (SELECT doc_id,
+      |                   '/data/' || lang || '/' || source || '/doc' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // SURVEY C7: basename / parent / depth path functions (treeUtils.ts:
+    // 23-49, directories.py:71-74) over paths synthesized from document
+    // columns — pure split/slice expressions, no UDF.
+    val path = concat(
+      lit("/data/"), col("lang"), lit("/"), col("source"),
+      lit("/doc"), col("doc_id").cast("string"), lit(".txt"))
+    t.documents
+      .select(col("doc_id"), path.as("path"))
+      .select(
+        col("doc_id"), col("path"),
+        TextFunctions.pathBasename(col("path")).as("base"),
+        TextFunctions.pathParent(col("path")).as("parent"),
+        TextFunctions.pathDepth(col("path")).cast("long").as("depth"))
+      .orderBy("doc_id")
+  }
+
+  val c10_url_normalize = Q(
+    "c10_url_normalize",
+    """SELECT doc_id, url,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'http://example.com/path'
+      |    WHEN 1 THEN 'https://host.io/a?a=1&b=2'
+      |    WHEN 2 THEN 'http://site.org:8080/x' || CAST(doc_id AS VARCHAR)
+      |    WHEN 3 THEN 'https://plain.net'
+      |    ELSE 'not a url'
+      |  END AS normalized
+      |FROM (SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'HTTP://Example.COM:80/path/'
+      |    WHEN 1 THEN 'https://Host.io:443/a?b=2&a=1'
+      |    WHEN 2 THEN 'http://site.org:8080/x' || CAST(doc_id AS VARCHAR) || '/'
+      |    WHEN 3 THEN 'https://plain.net'
+      |    ELSE 'not a url'
+      |  END AS url FROM documents) ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // SURVEY C10: URL normalization (ref_resolution.py:402-424) through the
+    // REAL normalize_url UDF: scheme/host lowercasing, default-port strip,
+    // trailing-slash strip, query-param sort, parse-failure passthrough.
+    // The oracle states the expected normal form per synthesized variant.
+    val url = when(col("doc_id") % 5 === 0, lit("HTTP://Example.COM:80/path/"))
+      .when(col("doc_id") % 5 === 1, lit("https://Host.io:443/a?b=2&a=1"))
+      .when(col("doc_id") % 5 === 2, concat(lit("http://site.org:8080/x"), col("doc_id").cast("string"), lit("/")))
+      .when(col("doc_id") % 5 === 3, lit("https://plain.net"))
+      .otherwise(lit("not a url"))
+    t.documents
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"), TextFunctions.normalize_url(col("url")).as("normalized"))
+      .orderBy("doc_id")
+  }
+
+  val c15_short_ids = Q(
+    "c15_short_ids",
+    """SELECT doc_id, 'doc_' || substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS short_id
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // SURVEY C15: 8-hex short ids (routers/sessions.py:307-309) — the
+    // deterministic content-derived variant (documented deviation: the
+    // reference uses uuid4; replayable pipelines need stable ids).
+    t.documents
+      .select(col("doc_id"), TextFunctions.shortId("doc", col("doc_id")).as("short_id"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     c2_content_hash, c3_truncate_marker, c4_time_format, c5_interval_parse,
     c9_string_surgery, c11_json_access,
+    c1_mentions, c7_path_ops, c10_url_normalize, c15_short_ids,
   )
 }

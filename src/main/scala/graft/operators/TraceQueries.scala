@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.model.RawEvent
+import graft.streaming.TraceSessionizer
+
+/** Driver-checkable query for the nested sessionizer output (SURVEY §2.12
+  * "trace aggregation UDAF"; reference: trace_aggregator.py:56-211 +
+  * models/trace.py:15-56). Round 1 oracle'd only a flattened count/sum
+  * analog (w1); this runs the REAL `TraceSessionizer.aggregate` state
+  * machine — turn open/force-close/EOF-flush, FIFO tool matching on
+  * (name, parallel_group_id), success/error result routing, thinking
+  * accumulation — and explodes the nested TraceTurn{tools[],thinking[]}
+  * rows so every field is hash-compared against a pure-SQL reconstruction.
+  *
+  * The trace stream is synthesized from `events` deterministically:
+  * signup→prompt:submit, click→tool:pre, view→tool:post,
+  * purchase→thinking:delta, error→session:end. Each click/view carries a
+  * parallel_group_id unique per user ("g" + per-type ordinal), which makes
+  * the reference's first-open-tool matching rule equi-expressible in SQL
+  * (the i-th post can only ever match the i-th pre, and only when it is
+  * open: same turn, pre before post, both inside the live segment). The
+  * state machine itself doesn't rely on that — TraceSessionizerSpec's
+  * golden tests cover ambiguous matching; this query pins the end-to-end
+  * nested assembly to the driver signal.
+  */
+object TraceQueries {
+
+  val st6_trace_turns = Q(
+    "st6_trace_turns",
+    """WITH ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS line,
+      |         CAST(epoch_ms(ts) AS BIGINT) AS ms, event_type,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS i
+      |  FROM events),
+      |seg AS (
+      |  SELECT *, CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+      |                 OVER (PARTITION BY sid ORDER BY line) AS BIGINT) AS seg
+      |  FROM ev),
+      |ends AS (
+      |  SELECT sid, seg, min(line) AS end_line
+      |  FROM seg WHERE event_type='error' AND seg >= 1 GROUP BY sid, seg),
+      |endms AS (
+      |  SELECT e.sid, e.seg, e.end_line, s.ms AS end_ms
+      |  FROM ends e JOIN seg s ON s.sid = e.sid AND s.line = e.end_line),
+      |lv AS (
+      |  SELECT s.*, e.end_line, (e.end_line IS NULL OR s.line < e.end_line) AS live
+      |  FROM seg s LEFT JOIN endms e ON s.sid = e.sid AND s.seg = e.seg),
+      |maxseg AS (SELECT sid, max(seg) AS max_seg FROM seg GROUP BY sid),
+      |turns AS (
+      |  SELECT l.sid, l.seg, l.ms AS start_ms, l.line AS prompt_line,
+      |         CASE WHEN l.end_line IS NOT NULL THEN 'completed'
+      |              WHEN l.seg < m.max_seg THEN 'completed' ELSE 'active' END AS turn_status
+      |  FROM lv l JOIN maxseg m ON l.sid = m.sid
+      |  WHERE l.event_type = 'signup'),
+      |think AS (
+      |  SELECT sid, seg, count(*) AS n_thinking
+      |  FROM lv WHERE event_type='purchase' AND seg >= 1 AND live GROUP BY sid, seg),
+      |pres AS (SELECT sid, seg, line, ms, live, i FROM lv WHERE event_type='click'),
+      |posts AS (SELECT sid, seg AS pseg, line AS pline, ms AS pms, live AS plive, i
+      |          FROM lv WHERE event_type='view'),
+      |tools AS (
+      |  SELECT pr.sid, pr.seg, pr.line, pr.ms AS tool_start_ms, pr.i,
+      |         row_number() OVER (PARTITION BY pr.sid, pr.seg ORDER BY pr.line) AS tool_pos,
+      |         po.pline, po.pms
+      |  FROM pres pr LEFT JOIN posts po
+      |    ON po.sid = pr.sid AND po.i = pr.i AND po.pseg = pr.seg AND po.pline > pr.line AND po.plive
+      |  WHERE pr.seg >= 1 AND pr.live)
+      |SELECT t.sid AS session_id, t.seg - 1 AS turn_idx,
+      |       t.sid || ':t' || CAST(t.seg - 1 AS VARCHAR) AS turn_id,
+      |       t.turn_status, t.start_ms, em.end_ms,
+      |       'p' || CAST(t.prompt_line AS VARCHAR) AS user_message,
+      |       COALESCE(th.n_thinking, 0) AS n_thinking,
+      |       COALESCE(tl.tool_pos, 0) AS tool_pos,
+      |       'g' || CAST(tl.i AS VARCHAR) AS tool_id,
+      |       'n' || CAST(tl.i % 2 AS VARCHAR) AS tool_name,
+      |       CASE WHEN tl.line IS NULL THEN NULL
+      |            WHEN tl.pline IS NULL THEN 'running'
+      |            WHEN tl.pline % 10 <> 3 THEN 'completed' ELSE 'error' END AS tool_status,
+      |       tl.tool_start_ms, tl.pms AS tool_end_ms,
+      |       CAST(tl.pms - tl.tool_start_ms AS DOUBLE) AS duration_ms,
+      |       CASE WHEN tl.pline IS NOT NULL AND tl.pline % 10 <> 3
+      |            THEN 'ok' || CAST(tl.pline AS VARCHAR) END AS result,
+      |       CASE WHEN tl.pline IS NOT NULL AND tl.pline % 10 = 3
+      |            THEN 'm' || CAST(tl.pline AS VARCHAR) END AS error
+      |FROM turns t
+      |LEFT JOIN endms em ON em.sid = t.sid AND em.seg = t.seg
+      |LEFT JOIN think th ON th.sid = t.sid AND th.seg = t.seg
+      |LEFT JOIN tools tl ON tl.sid = t.sid AND tl.seg = t.seg
+      |ORDER BY session_id, turn_idx, tool_pos""".stripMargin,
+  ) { t =>
+    import t.spark.implicits._
+    val typeIdx = row_number().over(
+      Window.partitionBy(col("sid"), col("event_type")).orderBy(col("line")))
+    val base = t.events
+      .select(
+        col("user_id").cast("string").as("sid"),
+        col("event_id").as("line"),
+        col("ts"),
+        col("event_type"))
+      .withColumn("i", typeIdx)
+    val isoTs   = concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z"))
+    val success = when(col("line") % 10 =!= 3, "true").otherwise("false")
+    val data = when(col("event_type") === "signup",
+      concat(lit("{\"prompt\": \"p"), col("line"), lit("\"}")))
+      .when(col("event_type") === "click",
+        concat(
+          lit("{\"tool_name\": \"n"), col("i") % 2,
+          lit("\", \"parallel_group_id\": \"g"), col("i"), lit("\"}")))
+      .when(col("event_type") === "view",
+        concat(
+          lit("{\"tool_name\": \"n"), col("i") % 2,
+          lit("\", \"parallel_group_id\": \"g"), col("i"),
+          lit("\", \"result\": {\"success\": "), success,
+          lit(", \"output\": \"ok"), col("line"),
+          lit("\", \"error\": {\"message\": \"m"), col("line"), lit("\"}}}")))
+      .when(col("event_type") === "purchase",
+        concat(lit("{\"delta\": \"d"), col("line"), lit("\"}")))
+      .otherwise(lit("{}"))
+    val event = when(col("event_type") === "signup", "prompt:submit")
+      .when(col("event_type") === "click", "tool:pre")
+      .when(col("event_type") === "view", "tool:post")
+      .when(col("event_type") === "purchase", "thinking:delta")
+      .otherwise("session:end")
+    val raw = base
+      .select(
+        col("sid").as("sessionId"), isoTs.as("ts"), event.as("event"),
+        data.as("data"), col("line").as("lineNo"))
+      .as[RawEvent]
+    TraceSessionizer.aggregate(raw)(t.spark)
+      .toDF()
+      .withColumn("turn_idx", regexp_extract(col("id"), ":t(\\d+)$", 1).cast("long"))
+      .select(
+        col("sessionId").as("session_id"), col("turn_idx"), col("id").as("turn_id"),
+        col("status").as("turn_status"), col("startTime").as("start_ms"),
+        col("endTime").as("end_ms"), col("userMessage").as("user_message"),
+        size(col("thinking")).cast("long").as("n_thinking"),
+        posexplode_outer(col("tools")).as(Seq("pos0", "tool")))
+      .select(
+        col("session_id"), col("turn_idx"), col("turn_id"), col("turn_status"),
+        col("start_ms"), col("end_ms"), col("user_message"), col("n_thinking"),
+        coalesce(col("pos0") + 1, lit(0)).cast("long").as("tool_pos"),
+        col("tool.id").as("tool_id"), col("tool.name").as("tool_name"),
+        col("tool.status").as("tool_status"),
+        col("tool.startTime").as("tool_start_ms"), col("tool.endTime").as("tool_end_ms"),
+        col("tool.duration").as("duration_ms"),
+        col("tool.result").as("result"), col("tool.error").as("error"))
+      .orderBy("session_id", "turn_idx", "tool_pos")
+  }
+
+  val all: Seq[Q] = Seq(st6_trace_turns)
+}

@@ -107,16 +107,29 @@ object ConfigFunctions {
         .plusMinutes(1).withSecond(0).withNano(0)
       val limit = t.plusYears(4)
       var found: Option[java.time.Instant] = None
+      // Field-granular skipping instead of +1-minute stepping: a failed
+      // month check jumps to the 1st of the next month, a failed day check
+      // to the next midnight, a failed hour to the next o'clock — each
+      // coarser condition depends only on its own field, so no candidate is
+      // skipped. Bounds the no-match worst case (e.g. "29 2 30 2 *",
+      // Feb 30) to ~hundreds of steps instead of ~2M.
       while (found.isEmpty && t.isBefore(limit)) {
         val dow     = t.getDayOfWeek.getValue % 7 // java Mon=1..Sun=7 -> Sun=0
-        val dayHits =
+        lazy val dayHits =
           if (domAny && dowAny) true
           else if (domAny) dows(dow)
           else if (dowAny) doms(t.getDayOfMonth)
           else doms(t.getDayOfMonth) || dows(dow)
-        if (mons(t.getMonthValue) && dayHits && hours(t.getHour) && mins(t.getMinute))
+        if (!mons(t.getMonthValue))
+          t = t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0)
+        else if (!dayHits)
+          t = t.plusDays(1).withHour(0).withMinute(0)
+        else if (!hours(t.getHour))
+          t = t.plusHours(1).withMinute(0)
+        else if (!mins(t.getMinute))
+          t = t.plusMinutes(1)
+        else
           found = Some(t.toInstant)
-        else t = t.plusMinutes(1)
       }
       found
     }

@@ -11,10 +11,10 @@ import org.apache.spark.sql.functions._
   * classification and size gates (S9/F6), marker<->metadata join (J6),
   * nearest-marked-ancestor (G5), autocomplete (F5).
   *
-  * Scale: the walk runs driver-side here (reference trees are shallow and
-  * bounded by maxDepth=10); at data-lake scale the listing itself becomes a
-  * distributed job over `binaryFile`/object-store inventory, producing the
-  * same schema — consumers don't change.
+  * Scale: `scan` walks driver-side (reference trees are shallow and bounded
+  * by maxDepth=10); `scanDistributed` produces the identical schema via a
+  * level-synchronous BFS whose listings run as RDD tasks — the object-store
+  * scale path. Consumers don't change between the two.
   */
 object FileCatalog {
 
@@ -51,6 +51,67 @@ object FileCatalog {
     walk(rootPath, 1)
     import spark.implicits._
     rows.toSeq.toDF("path", "name", "is_directory", "size", "ext", "hidden", "depth")
+  }
+
+  /** One catalog row plus the absolute path needed to descend further —
+    * internal to the distributed scan.
+    */
+  private final case class ScanEntry(
+      path: String, name: String, is_directory: Boolean, size: Long,
+      ext: String, hidden: Boolean, depth: Int, abs: String)
+
+  private def entryOf(st: org.apache.hadoop.fs.FileStatus, rootQualified: String, depth: Int): ScanEntry = {
+    val name   = st.getPath.getName
+    val rel    = st.getPath.toString.stripPrefix(rootQualified).stripPrefix("/")
+    val hidden = name.startsWith(".")
+    val ext    =
+      if (name.contains(".") && !name.startsWith(".")) name.substring(name.lastIndexOf('.') + 1).toLowerCase
+      else ""
+    ScanEntry(rel, name, st.isDirectory, st.getLen, ext, hidden, depth, st.getPath.toString)
+  }
+
+  /** Distributed listing: the same catalog as `scan` (identical schema and
+    * rows, order unspecified), produced as a level-synchronous BFS where
+    * each level's directory listings run as RDD tasks across the cluster —
+    * the scan form that works when the tree is an object-store prefix with
+    * millions of entries and a driver-side walk would never finish. One
+    * Spark job per level (tree depth is bounded by maxDepth); each level's
+    * result is cached so the next level lists from materialized rows.
+    *
+    * Executors rebuild a default Hadoop Configuration — fine for file:// and
+    * for object stores configured via core-site defaults; wire credentials
+    * through the cluster config, not SparkSession state.
+    */
+  def scanDistributed(spark: SparkSession, root: String, maxDepth: Int = 10): DataFrame = {
+    import spark.implicits._
+    val sc            = spark.sparkContext
+    val rootQualified = {
+      val fs = FileSystem.get(new java.net.URI(root), sc.hadoopConfiguration)
+      fs.makeQualified(new Path(root)).toString
+    }
+    def listLevel(dirs: org.apache.spark.rdd.RDD[(String, Int)]): org.apache.spark.rdd.RDD[ScanEntry] =
+      dirs.mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.flatMap { case (dir, depth) =>
+          val p  = new Path(dir)
+          val fs = p.getFileSystem(conf)
+          fs.listStatus(p).iterator.map(entryOf(_, rootQualified, depth))
+        }
+      }
+    var out: org.apache.spark.rdd.RDD[ScanEntry] = sc.emptyRDD[ScanEntry]
+    var frontier = sc.parallelize(Seq((rootQualified, 1)), 1)
+    var depth    = 1
+    var done     = false
+    while (depth <= maxDepth && !done) {
+      val listed = listLevel(frontier).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out = out.union(listed)
+      val subdirs = listed.filter(e => e.is_directory && e.depth < maxDepth)
+        .map(e => (e.abs, e.depth + 1))
+      done = subdirs.isEmpty()
+      frontier = subdirs
+      depth += 1
+    }
+    out.toDF().select("path", "name", "is_directory", "size", "ext", "hidden", "depth")
   }
 
   /** S3: immediate children, directories only, hidden excluded, two-key

@@ -54,6 +54,22 @@ class ConfigScaleSpec extends SparkSpec {
     assert(ConfigFunctions.cronNextFire("0 9 * *", after).isEmpty) // 4 fields
   }
 
+  test("cron next-fire: impossible dates return None fast (field-granular skipping)") {
+    val after = Instant.parse("2026-08-12T10:30:00Z")
+    val t0    = System.nanoTime()
+    assert(ConfigFunctions.cronNextFire("29 2 30 2 *", after).isEmpty) // Feb 30 never exists
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 100, s"no-match scan took ${ms}ms — skipping regressed to minute stepping")
+    // skipping preserves exact semantics across field boundaries
+    assert(ConfigFunctions.cronNextFire("30 14 29 2 *", after) // next leap day
+      .contains(Instant.parse("2028-02-29T14:30:00Z")))
+    assert(ConfigFunctions.cronNextFire("59 23 31 12 *", after)
+      .contains(Instant.parse("2026-12-31T23:59:00Z")))
+    // dom/dow OR rule still honored: 2026-09-01 is a Tuesday (dow 2)
+    assert(ConfigFunctions.cronNextFire("0 0 15 9 2", after)
+      .contains(Instant.parse("2026-09-01T00:00:00Z")))
+  }
+
   test("salted join matches plain join results on a skewed key") {
     val left  = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i)).toDF("key", "v")
     val right = Seq(("hot", 10), ("k901", 20)).toDF("key", "w")

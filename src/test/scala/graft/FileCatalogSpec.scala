@@ -60,6 +60,22 @@ class FileCatalogSpec extends SparkSpec {
     assert(m == Map("projA" -> true, "projB" -> false))
   }
 
+  test("scanDistributed returns exactly the driver-side scan's rows (any order)") {
+    val dist = FileCatalog.scanDistributed(spark, root.toString, maxDepth = 10)
+    assert(dist.schema == catalog.schema)
+    val toSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getAs[String]("path"), r.getAs[String]("name"),
+        r.getAs[Boolean]("is_directory"), r.getAs[Long]("size"), r.getAs[String]("ext"),
+        r.getAs[Boolean]("hidden"), r.getAs[Int]("depth"))).toSet
+    assert(toSet(dist) == toSet(catalog))
+    // consumers produce identical results over either catalog
+    val names = FileCatalog.listDirectories(dist).collect().map(_.getAs[String]("name")).toSeq
+    assert(names == Seq("deep", "emptyDir", "projA", "projB"))
+    val m = FileCatalog.discoverMarked(dist).collect()
+      .map(r => r.getAs[String]("dir") -> r.getAs[Boolean]("has_metadata")).toMap
+    assert(m == Map("projA" -> true, "projB" -> false))
+  }
+
   test("autocomplete: ci prefix, dirs first, capped (F5/O5)") {
     val got = FileCatalog.autocomplete(catalog, "proj").collect().map(_.getAs[String]("name")).toSeq
     assert(got == Seq("projA", "projB"))

@@ -135,27 +135,48 @@ object TextFunctions {
 
   // ===== Language-ID n-gram profile (text-analysis extension) =====
 
-  /** Stopword-profile language scorer for real text: fraction of tokens in
-    * each language's tiny stopword set; argmax wins, 'und' when no signal.
-    * (The oracle-checked x6 query uses the en-only ratio; this is the
-    * multi-language API form.)
+  /** Stopword profiles for the language scorer: 15 high-frequency function
+    * words per language (public-knowledge word lists). Function words are
+    * the standard cheap language signal — content words travel between
+    * languages, articles/prepositions don't. Overlapping forms ("de" is
+    * Spanish/French/Portuguese/Dutch, "la" Spanish/French/Italian) are
+    * resolved by the argmax over the full profile, not by any single word.
     */
-  val lang_id: UserDefinedFunction = udf { (text: String) =>
+  private[graft] val StopwordProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+      "on", "with", "as", "this", "was"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "es", "los", "las",
+      "una", "con", "por", "para", "del"),
+    "fr" -> Set("le", "la", "de", "et", "un", "est", "que", "les", "des", "du",
+      "dans", "pour", "sur", "avec", "nous"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "ein", "zu", "den",
+      "dem", "mit", "für", "auf", "nicht", "sich"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "per", "con", "del", "una",
+      "sono", "nel", "della", "questo", "si"),
+    "pt" -> Set("o", "a", "de", "que", "e", "um", "uma", "para", "com", "os",
+      "as", "do", "da", "em", "não"),
+    "nl" -> Set("de", "het", "een", "en", "van", "is", "dat", "op", "te",
+      "met", "voor", "niet", "zijn", "aan"),
+  )
+
+  /** Stopword-profile language scorer for real text: fraction of tokens in
+    * each language's stopword profile; argmax wins (ties broken by the
+    * lexicographically larger code, deterministic), 'und' when no signal.
+    * (The oracle-checked x6 query uses the en-only ratio; this is the
+    * multi-language API form, driver-checked via x12_lang_id.)
+    */
+  def langIdOf(text: String): String =
     if (text == null || text.isEmpty) "und"
     else {
-      val stops = Map(
-        "en" -> Set("the", "a", "of", "and", "to", "in", "is", "that"),
-        "es" -> Set("el", "la", "de", "que", "y", "en", "un", "es"),
-        "fr" -> Set("le", "la", "de", "et", "un", "est", "que", "les"),
-        "de" -> Set("der", "die", "das", "und", "ist", "von", "ein", "zu"),
-      )
       val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
       if (toks.isEmpty) "und"
       else {
-        val scores = stops.view.mapValues(s => toks.count(s.contains).toDouble / toks.length).toMap
+        val scores = StopwordProfiles.view
+          .mapValues(s => toks.count(s.contains).toDouble / toks.length).toMap
         val (best, score) = scores.maxBy { case (k, v) => (v, k) }
         if (score > 0.02) best else "und"
       }
     }
-  }
+
+  val lang_id: UserDefinedFunction = udf(langIdOf _)
 }

@@ -100,5 +100,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(x5_text_stats, x6_stopword_langscore, x7_regex_tokens, x8_fingerprint)
+  val x12_lang_id = Q(
+    "x12_lang_id",
+    """SELECT doc_id,
+      |  CASE doc_id % 8
+      |    WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' WHEN 3 THEN 'de'
+      |    WHEN 4 THEN 'it' WHEN 5 THEN 'pt' WHEN 6 THEN 'nl' ELSE 'und'
+      |  END AS expected_lang,
+      |  CASE doc_id % 8
+      |    WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'fr' WHEN 3 THEN 'de'
+      |    WHEN 4 THEN 'it' WHEN 5 THEN 'pt' WHEN 6 THEN 'nl' ELSE 'und'
+      |  END AS detected_lang
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // Multi-language ID (SURVEY text-analysis extension): the lang_id UDF's
+    // argmax over 7 stopword profiles, driver-checked on synthesized
+    // unambiguous sentences (each dominated by its own language's function
+    // words, with deliberate overlap forms like de/la/que present). The
+    // oracle states the expected argmax per variant; x6 covers the
+    // score-computation arithmetic, TextFunctionsSpec the tie/noise edges.
+    import graft.functions.TextFunctions
+    val sample = when(col("doc_id") % 8 === 0, lit("the quick fox and the dog that is in this yard for a while"))
+      .when(col("doc_id") % 8 === 1, lit("el perro y la casa es un lugar en los pueblos del valle"))
+      .when(col("doc_id") % 8 === 2, lit("le chien est dans les rues et nous avons du pain pour vous"))
+      .when(col("doc_id") % 8 === 3, lit("der hund und die katze ist von einem haus zu dem garten mit uns"))
+      .when(col("doc_id") % 8 === 4, lit("il cane che corre e la casa per una strada del paese si vede"))
+      .when(col("doc_id") % 8 === 5, lit("o cão que corre e a casa para os meninos com uma rua não"))
+      .when(col("doc_id") % 8 === 6, lit("de hond en de kat is van het huis op een tafel met niet veel"))
+      .otherwise(lit("zzz qqq xyz www vvv"))
+    val expected = when(col("doc_id") % 8 === 0, "en").when(col("doc_id") % 8 === 1, "es")
+      .when(col("doc_id") % 8 === 2, "fr").when(col("doc_id") % 8 === 3, "de")
+      .when(col("doc_id") % 8 === 4, "it").when(col("doc_id") % 8 === 5, "pt")
+      .when(col("doc_id") % 8 === 6, "nl").otherwise("und")
+    t.documents
+      .select(col("doc_id"), expected.as("expected_lang"),
+        TextFunctions.lang_id(sample).as("detected_lang"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(x5_text_stats, x6_stopword_langscore, x7_regex_tokens, x8_fingerprint, x12_lang_id)
 }

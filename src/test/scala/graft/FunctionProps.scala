@@ -42,4 +42,21 @@ object FunctionProps extends Properties("graft.functions") {
       val ms = TraceSessionizer.parseTimestampMs(s)
       ms >= 0 || ms < 0 // total function: any Long is acceptable, no exception
     }
+
+  private val langBases = Map(
+    "es" -> "el la de que y en un es los del",
+    "de" -> "der die das und ist von ein zu den dem",
+    "nl" -> "het een van dat op te met voor niet zijn",
+  )
+
+  property("lang_id argmax survives up to 2x non-stopword noise") =
+    forAll(
+      Gen.oneOf(langBases.keySet.toSeq),
+      Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, Gen.identifier.map("zq" + _))),
+    ) { (lang, noise) =>
+      // noise tokens hit no profile: they dilute every language's score
+      // equally, so the argmax can't flip and stays above the 'und' bar
+      // (10 base hits / <=30 tokens > 2%)
+      TextFunctions.langIdOf((langBases(lang).split(" ").toSeq ++ noise).mkString(" ")) == lang
+    }
 }

@@ -121,6 +121,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(2) == "und")
   }
 
+  test("lang_id: correct argmax for all seven profiles, including overlap forms") {
+    import spark.implicits._
+    val samples = Seq(
+      "en" -> "the quick fox and the dog that is in this yard for a while",
+      "es" -> "el perro y la casa es un lugar en los pueblos del valle",
+      "fr" -> "le chien est dans les rues et nous avons du pain pour vous",
+      "de" -> "der hund und die katze ist von einem haus zu dem garten mit uns",
+      "it" -> "il cane che corre e la casa per una strada del paese si vede",
+      "pt" -> "o cão que corre e a casa para os meninos com uma rua não",
+      "nl" -> "de hond en de kat is van het huis op een tafel met niet veel",
+    )
+    val out = samples.toDF("expected", "t")
+      .select($"expected", TextFunctions.lang_id($"t").as("got"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    out.foreach { case (exp, got) => assert(got == exp, s"$exp detected as $got") }
+  }
+
+  test("lang_id null/blank edge cases yield 'und'") {
+    assert(TextFunctions.langIdOf(null) == "und")
+    assert(TextFunctions.langIdOf("   ") == "und")
+    assert(TextFunctions.langIdOf("zq aa bb") == "und") // below the 2% signal bar
+  }
+
   test("cron shape validation: 5 or 6 fields") {
     import spark.implicits._
     val df = Seq("0 9 * * *", "0 9 * * * 2026", "0 9 * *", "").toDF("c")

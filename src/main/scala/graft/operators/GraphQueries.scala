@@ -89,5 +89,45 @@ object GraphQueries {
       .orderBy("start", "depth")
   }
 
-  val all: Seq[Q] = Seq(g1_bfs_reachability, g3_cascade_survivors, g5_ancestor_walk)
+  val g2_clone_subtree = Q(
+    "g2_clone_subtree",
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(1 AS BIGINT) AS node
+      |  UNION ALL
+      |  SELECT e.dst FROM d JOIN (SELECT (doc_id-1)//2 AS src, doc_id AS dst
+      |                            FROM documents WHERE doc_id >= 1) e ON e.src = d.node)
+      |SELECT CAST(doc_id AS VARCHAR) || '_c' AS session_id,
+      |       CASE WHEN doc_id = 1 THEN CAST((doc_id-1)//2 AS VARCHAR)
+      |            ELSE CAST((doc_id-1)//2 AS VARCHAR) || '_c' END AS parent_session_id,
+      |       source AS amplified_dir
+      |FROM documents WHERE doc_id IN (SELECT node FROM d)
+      |ORDER BY session_id""".stripMargin,
+  ) { t =>
+    // SURVEY G2: recursive subtree clone (routers/sessions.py:368-516) via
+    // the REAL SessionStore.cloneSubtree over a session tree derived from
+    // the heap-numbered documents graph — ids remapped `<old>_c`, parent
+    // links re-pointed into the clone, the root keeping its original
+    // parent. The oracle recomputes the closure + remap in SQL.
+    import graft.api.{model, SessionStore}
+    import org.apache.spark.sql.Encoders
+    val sessions = t.documents.select(
+      col("doc_id").cast("string").as("session_id"),
+      col("lang").as("name"),
+      when(col("doc_id") >= 1, expr("(doc_id - 1) div 2").cast("string")).as("parent_session_id"),
+      col("source").as("amplified_dir"),
+      lit("active").as("status"),
+      lit("2026-01-01 00:00:00").cast("timestamp").as("created_at"),
+      lit(null).cast("timestamp").as("ended_at"),
+      col("lang").as("profile_name"),
+      (col("doc_id") % 100).as("message_count"),
+      (col("doc_id") % 1000).as("token_usage"),
+      lit(false).as("is_unread"),
+    ).as(Encoders.product[model.Session])
+    SessionStore(sessions).cloneSubtree("1", "c")(t.spark)
+      .toDF()
+      .select("session_id", "parent_session_id", "amplified_dir")
+      .orderBy("session_id")
+  }
+
+  val all: Seq[Q] = Seq(g1_bfs_reachability, g2_clone_subtree, g3_cascade_survivors, g5_ancestor_walk)
 }

@@ -270,9 +270,73 @@ object ScalarFuncs {
       .orderBy("doc_id")
   }
 
+  val c6_cron_shape = Q(
+    "c6_cron_shape",
+    """SELECT doc_id, cron,
+      |       len(regexp_split_to_array(trim(cron), '\s+')) IN (5, 6) AS valid
+      |FROM (SELECT doc_id,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN '0 9 * * *'
+      |    WHEN 1 THEN '*/5 0 1 1 0 2026'
+      |    WHEN 2 THEN '0 9 * *'
+      |    ELSE ''
+      |  END AS cron FROM documents) ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // SURVEY C6 (data-plane form): cron shape validation
+    // (models/automations.py:41-45) — 5/6 whitespace-separated fields.
+    // Next-fire computation stays a driver-side utility (ConfigFunctions.
+    // cronNextFire, spec'd); the shape gate is what runs over rows.
+    import graft.functions.TextFunctions
+    val cron = when(col("doc_id") % 4 === 0, lit("0 9 * * *"))
+      .when(col("doc_id") % 4 === 1, lit("*/5 0 1 1 0 2026"))
+      .when(col("doc_id") % 4 === 2, lit("0 9 * *"))
+      .otherwise(lit(""))
+    t.documents
+      .select(col("doc_id"), cron.as("cron"))
+      .select(col("doc_id"), col("cron"), TextFunctions.isValidCronShape(col("cron")).as("valid"))
+      .orderBy("doc_id")
+  }
+
+  val m7_deep_merge = Q(
+    "m7_deep_merge",
+    """SELECT doc_id,
+      |       CAST(doc_id % 5 AS VARCHAR) AS a_x,
+      |       CAST(doc_id % 3 AS VARCHAR) AS a_y0,
+      |       'true' AS a_z,
+      |       'b' || CAST(doc_id AS VARCHAR) AS keep,
+      |       CAST(doc_id % 7 AS VARCHAR) AS extra
+      |FROM documents ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // SURVEY M7 (data-plane form): recursive config merge through the REAL
+    // deep_merge UDF (profile_compilation.py:511-554) over synthesized
+    // nested JSON: base keys survive under merged objects (a.x), lists are
+    // REPLACED not concatenated (a.y), nested additions land (a.z), and
+    // top-level keys union (keep/extra). The oracle states the expected
+    // field values; fields are extracted rather than comparing whole
+    // strings so JSON formatting stays out of the contract.
+    import graft.functions.ConfigFunctions
+    val base = concat(
+      lit("{\"a\": {\"x\": "), col("doc_id") % 5,
+      lit(", \"y\": [1, 2]}, \"keep\": \"b"), col("doc_id"), lit("\"}"))
+    val over = concat(
+      lit("{\"a\": {\"y\": ["), col("doc_id") % 3,
+      lit("], \"z\": true}, \"extra\": "), col("doc_id") % 7, lit("}"))
+    t.documents
+      .select(col("doc_id"), ConfigFunctions.deep_merge(base, over).as("m"))
+      .select(
+        col("doc_id"),
+        get_json_object(col("m"), "$.a.x").as("a_x"),
+        get_json_object(col("m"), "$.a.y[0]").as("a_y0"),
+        get_json_object(col("m"), "$.a.z").as("a_z"),
+        get_json_object(col("m"), "$.keep").as("keep"),
+        get_json_object(col("m"), "$.extra").as("extra"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     c2_content_hash, c3_truncate_marker, c4_time_format, c5_interval_parse,
     c9_string_surgery, c11_json_access,
     c1_mentions, c7_path_ops, c10_url_normalize, c15_short_ids,
+    c6_cron_shape, m7_deep_merge,
   )
 }

@@ -103,9 +103,12 @@ object Similarity {
     }
     // single projection computes both band signatures; posexplode fans out
     // (unioned selects would evaluate all 16 hyperplane dots per band).
+    // localCheckpoint: both self-join sides consume sigs, and its lineage
+    // is the 16-hyperplane projection — materialize it once.
     val sigs = t.embeddings
       .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+      .localCheckpoint()
     sigs.as("a")
       .join(
         sigs.as("b"),

@@ -90,9 +90,15 @@ object TextAnalysis {
     // order-sensitive (permutation-detecting), pure integer arithmetic so
     // engine-exact. Computed with a higher-order fold, no explode: stays a
     // single map-side projection.
+    //
+    // Chars come from split(text, "") rather than substr(i, 1) per position:
+    // each substr re-scans the string from the front, making the fold
+    // O(n^2) per document — measured 4x slower at sf0.1 (4.27s vs 1.08s).
+    // A trailing "" element from split contributes ascii("") = 0, so the
+    // sum — and the oracle SQL — are unchanged.
     val codes = transform(
-      sequence(lit(1), length(col("text"))),
-      i => ascii(col("text").substr(i, lit(1))).cast("long") * i.cast("long"))
+      split(col("text"), ""),
+      (x, i) => ascii(x).cast("long") * (i.cast("long") + 1L))
     t.documents
       .select(
         col("doc_id"),

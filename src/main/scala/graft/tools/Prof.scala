@@ -8,9 +8,9 @@ import org.apache.spark.sql.functions._
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.Graft.session()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val t = graft.Tables(spark, sfDir)
 
     def time(name: String)(f: => DataFrame): Unit = {
@@ -22,41 +22,63 @@ object Prof {
       println(f"PROF $name%-40s ${times.min}%.3f s")
     }
 
-    val li = t.lineitem
-    time("x11_full") {
-      li.groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+    // ===== x8 fingerprint variants =====
+    time("x8_current_substr_fold") {
+      val codes = transform(
+        sequence(lit(1), length(col("text"))),
+        i => ascii(col("text").substr(i, lit(1))).cast("long") * i.cast("long"))
+      t.documents.select(col("doc_id"),
+        (aggregate(codes, lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"))
+        .orderBy("doc_id")
     }
-    time("hll_only") {
-      li.groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"))
+    time("x8_split_chars") {
+      val codes = transform(
+        split(col("text"), ""),
+        (x, i) => ascii(x).cast("long") * (i.cast("long") + 1L))
+      t.documents.select(col("doc_id"),
+        (aggregate(codes, lit(0L), (acc, x) => acc + x) % 1000000007L).as("fp"))
+        .orderBy("doc_id")
     }
-    time("hll_rsd05") {
-      li.groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.05).as("approx_orders"))
+
+    // ===== x2 jaccard variants =====
+    def shingles(k: Int): DataFrame = {
+      val w = split(col("text"), " ")
+      t.documents.select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), greatest(size(w) - (k - 1), lit(0))),
+          i => array_join(slice(w, i, lit(k)), " "))).as(Seq("p", "sh")))
+        .select("doc_id", "sh").distinct()
     }
-    time("countDistinct_only") {
-      li.groupBy("l_returnflag").agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    def x2(sh: DataFrame): DataFrame = {
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      val jac = col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c"))
+      inter
+        .join(sz.as("sa"), col("sa.doc_id") === col("doc_a"))
+        .join(sz.as("sb"), col("sb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.1)
+        .orderBy("doc_a", "doc_b")
     }
-    time("pctile_two_calls") {
-      li.groupBy("l_returnflag")
-        .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+    time("x2_current_capped_nocache") {
+      val sh0  = shingles(5)
+      val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("sh")
+      x2(sh0.join(rare, Seq("sh"), "left_semi"))
     }
-    time("pctile_one_array") {
-      li.groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)), lit(1000)).as("ps"))
+    time("x2_capped_checkpoint") {
+      val sh0  = shingles(5)
+      val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("sh")
+      x2(sh0.join(rare, Seq("sh"), "left_semi").localCheckpoint())
     }
-    time("hll_plus_pctile_no_cd") {
-      li.groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-          percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)), lit(1000)).as("ps"))
+    time("x2_checkpoint_sh0_then_cap") {
+      val sh0  = shingles(5).localCheckpoint()
+      val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100).select("sh")
+      x2(sh0.join(rare, Seq("sh"), "left_semi"))
     }
     spark.stop()
   }

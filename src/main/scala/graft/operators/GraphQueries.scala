@@ -129,5 +129,30 @@ object GraphQueries {
       .orderBy("session_id")
   }
 
-  val all: Seq[Q] = Seq(g1_bfs_reachability, g2_clone_subtree, g3_cascade_survivors, g5_ancestor_walk)
+  val g7_connected_components = Q(
+    "g7_connected_components",
+    """SELECT node, node - node % 7 AS component FROM (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT doc_id AS node FROM documents WHERE doc_id % 7 <> 0
+      |    UNION ALL
+      |    SELECT doc_id - 1 FROM documents WHERE doc_id % 7 <> 0))
+      |ORDER BY node""".stripMargin,
+  ) { t =>
+    // Connected components — the "cluster near-duplicate pairs" step after
+    // Dedup's candidate generation (SURVEY §2.12 extension), via the REAL
+    // min-label GraphOps.connectedComponents loop. Edges chain consecutive
+    // doc ids within each group of 7, so the expected component label of
+    // every node is its group floor (= the min id, which is what min-label
+    // propagation converges to); the oracle enumerates edge-touched nodes
+    // with that closed form. Converges in O(chain length) = 6 rounds.
+    val edges = t.documents
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+    GraphOps.connectedComponents(edges, t.spark)
+      .orderBy("node")
+  }
+
+  val all: Seq[Q] = Seq(
+    g1_bfs_reachability, g2_clone_subtree, g3_cascade_survivors, g5_ancestor_walk,
+    g7_connected_components)
 }

@@ -186,6 +186,64 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  val x3b_minhash_md5 = Q(
+    "x3b_minhash_md5",
+    """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
+      |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM wd)),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(md5('0|' || sh)) AS mh0,  min(md5('1|' || sh)) AS mh1,
+      |    min(md5('2|' || sh)) AS mh2,  min(md5('3|' || sh)) AS mh3,
+      |    min(md5('4|' || sh)) AS mh4,  min(md5('5|' || sh)) AS mh5,
+      |    min(md5('6|' || sh)) AS mh6,  min(md5('7|' || sh)) AS mh7,
+      |    min(md5('8|' || sh)) AS mh8,  min(md5('9|' || sh)) AS mh9,
+      |    min(md5('10|' || sh)) AS mh10, min(md5('11|' || sh)) AS mh11,
+      |    min(md5('12|' || sh)) AS mh12, min(md5('13|' || sh)) AS mh13,
+      |    min(md5('14|' || sh)) AS mh14, min(md5('15|' || sh)) AS mh15
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, 3)) AS band,
+      |         unnest([md5(mh0  || '|' || mh1  || '|' || mh2  || '|' || mh3),
+      |                 md5(mh4  || '|' || mh5  || '|' || mh6  || '|' || mh7),
+      |                 md5(mh8  || '|' || mh9  || '|' || mh10 || '|' || mh11),
+      |                 md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15)]) AS bucket
+      |  FROM sig)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin,
+  ) { t =>
+    // MinHash+LSH with md5 as the hash family — the ORACLE-CHECKED bridge
+    // for the x3 pipeline: md5 exists in both engines and emits fixed-width
+    // lowercase hex, so min() over signatures and the band-bucket equality
+    // are engine-identical (lexicographic hex order == unsigned numeric
+    // order at fixed width). The xxhash64 x3 variants remain the fast path
+    // (integer hashing, no string materialization); THIS row pins the
+    // banding/bucketing/pair-join logic itself to the driver signal.
+    val sh   = shingles(t.documents, 5).localCheckpoint()
+    val mins = (0 until 16).map(i =>
+      min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val bucketCols = (0 until 4).map { b =>
+      md5(concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*))
+    }
+    val bands = sig
+      .select(col("doc_id"), posexplode(array(bucketCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .localCheckpoint()
+    bands.as("a")
+      .join(
+        bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   val x4_simhash = Q.noOracle("x4_simhash") { t =>
     // SimHash-64: per token, xxhash64 gives 64 bits; each bit votes +1/-1;
     // the sign vector of the summed votes is the fingerprint. Computed by
@@ -256,6 +314,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x3_minhash_signatures, x3_minhash_lsh_pairs,
-    x4_simhash, x4_simhash_pairs,
+    x3b_minhash_md5, x4_simhash, x4_simhash_pairs,
   )
 }

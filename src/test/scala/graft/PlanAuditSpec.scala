@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{ApiQueries, Relational}
+
+/** Physical-plan assertions for the round-2 scale-relevant queries — the
+  * shapes SCALE.md promises must actually appear in the executed plan, not
+  * just in comments. (Earlier rounds assert pushdown/codegen/no-exchange in
+  * StreamMaintenanceSpec / CosineExprSpec / ConfigScaleSpec; this covers
+  * the keyset-pagination and broadcast-marker additions.)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("o2b keyset pagination: predicate pushed to the scan, top-k not a global sort") {
+    val plan = finalPlan(Relational.o2b_keyset_pagination.run(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+    assert(
+      plan.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey,1000)]") ||
+        plan.contains("GreaterThan(o_orderkey,1000)"),
+      s"keyset predicate not pushed to parquet:\n$plan")
+    assert(!plan.contains("Window"), s"keyset path must not use a window:\n$plan")
+  }
+
+  test("j6 marker join broadcasts the registry-sized marker side") {
+    val plan = finalPlan(ApiQueries.j6_marker_join.run(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"marker side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+
+  test("f7 store filter pushes the project_id equality into the parquet scan") {
+    val plan = finalPlan(ApiQueries.f7_automation_filters.run(spark, sf0001))
+    assert(
+      plan.contains("EqualTo(p_brand,Brand#13)"),
+      s"project filter not pushed through the typed facade:\n$plan")
+  }
+}

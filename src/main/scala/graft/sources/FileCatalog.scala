@@ -111,7 +111,12 @@ object FileCatalog {
       frontier = subdirs
       depth += 1
     }
-    out.toDF().select("path", "name", "is_directory", "size", "ext", "hidden", "depth")
+    // tuple projection, not the ScanEntry product encoder: Janino fails to
+    // compile the generated deserializer for this class (boolean `hidden()`
+    // accessor unresolved), and the silent interpreted fallback logs a
+    // compiler stack on every call
+    out.map(e => (e.path, e.name, e.is_directory, e.size, e.ext, e.hidden, e.depth))
+      .toDF("path", "name", "is_directory", "size", "ext", "hidden", "depth")
   }
 
   /** S3: immediate children, directories only, hidden excluded, two-key
@@ -121,6 +126,19 @@ object FileCatalog {
     catalog
       .filter(col("depth") === 1 && col("is_directory") && !col("hidden"))
       .orderBy(lower(col("name")))
+
+  /** O6, ICU form: the reference's webapp sorts with
+    * `localeCompare(sensitivity:'base')` (treeUtils.ts:71) — case- AND
+    * accent-insensitive. `lower()` (used by the oracle-checked o4/o6
+    * queries, since DuckDB has no matching ICU collation) diverges on
+    * accents: lower('Éclair') still sorts after 'zebra' by code point.
+    * Spark 4's UNICODE_CI_AI collation is the engine-native equivalent;
+    * this is the API path for engine-only consumers.
+    */
+  def listDirectoriesCollated(catalog: DataFrame): DataFrame =
+    catalog
+      .filter(col("depth") === 1 && col("is_directory") && !col("hidden"))
+      .orderBy(collate(col("name"), "UNICODE_CI_AI"))
 
   /** S9/F6: viewability classification — CASE WHEN over extension sets,
     * special basenames, and size caps. Pure projection, no UDF.

@@ -60,6 +60,22 @@ class FileCatalogSpec extends SparkSpec {
     assert(m == Map("projA" -> true, "projB" -> false))
   }
 
+  test("collated listing orders like localeCompare(sensitivity:'base'), unlike lower()") {
+    import org.apache.spark.sql.functions.{col, lit, lower}
+    import spark.implicits._
+    val cat = Seq("zebra", "Éclair", "apple", "Banana").toDF("name")
+      .withColumn("depth", lit(1))
+      .withColumn("is_directory", lit(true))
+      .withColumn("hidden", lit(false))
+    val collated = FileCatalog.listDirectoriesCollated(cat).select("name").as[String].collect().toSeq
+    // ICU base strength: é ~ e, case ignored -> Éclair lands between Banana and zebra
+    assert(collated == Seq("apple", "Banana", "Éclair", "zebra"))
+    // lower() would put Éclair last (U+00E9 > 'z'), which is the documented
+    // deviation of the oracle-checked o4/o6 forms
+    val lowered = cat.orderBy(lower(col("name"))).select("name").as[String].collect().toSeq
+    assert(lowered == Seq("apple", "Banana", "zebra", "Éclair"))
+  }
+
   test("scanDistributed returns exactly the driver-side scan's rows (any order)") {
     val dist = FileCatalog.scanDistributed(spark, root.toString, maxDepth = 10)
     assert(dist.schema == catalog.schema)

@@ -182,5 +182,36 @@ object Similarity {
       .drop("rn")
   }
 
-  val all: Seq[Q] = Seq(x9_cosine_topk, x10_ann_lsh_pairs)
+  val x13_cosine_neardup = Q(
+    "x13_cosine_neardup",
+    """SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+      |ORDER BY vec_a, vec_b""".stripMargin,
+  ) { t =>
+    // Embedding-cosine near-duplicate pairs (builder contract's dedup
+    // family): exact pair scoring BLOCKED on the label column, so the join
+    // key is (label) — candidates per block are |block|^2, never corpus^2.
+    // At 100 TB the block key is a cheap partitioner (cluster id from IVF
+    // assignment, LSH band, or an upstream dedup bucket); x10's sign-LSH is
+    // the unblocked scale path. The driver's synthetic embeddings are
+    // near-orthogonal (within-label max sim ≈ 0.47), so the demo threshold
+    // is 0.3; production near-dup sits at 0.9+.
+    val e = t.embeddings.select(col("label"), col("vec_id"), col("embedding"))
+    e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.label").as("label"),
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .filter(col("sim") >= 0.3)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val all: Seq[Q] = Seq(x9_cosine_topk, x10_ann_lsh_pairs, x13_cosine_neardup)
 }

@@ -152,7 +152,7 @@ class TraceSessionizerSpec extends SparkSpec {
     assert(turns.head.tools.head.result.contains("plain"))
   }
 
-  test("batch aggregate over Dataset groups by session and sorts by (ts, lineNo)") {
+  test("batch aggregate groups by session and processes in FILE order (lineNo alone)") {
     import spark.implicits._
     // two sessions interleaved, rows deliberately out of order
     val events = Seq(
@@ -166,6 +166,24 @@ class TraceSessionizerSpec extends SparkSpec {
     assert(turns(0).sessionId == "a" && turns(0).status == "completed")
     assert(turns(1).sessionId == "b" && turns(1).status == "active" &&
       turns(1).thinking.map(_.content) == Seq("d"))
+  }
+
+  test("malformed timestamps do NOT hoist events: file order wins over parsed ts") {
+    import spark.implicits._
+    // the reference reads the session's JSONL line by line; a malformed
+    // timestamp (parsed as 0) in the middle must stay in the middle. A
+    // ts-primary sort would move the bad-ts thinking event before the
+    // prompt and drop it (no open turn) — the regression ADVICE flagged.
+    val events = Seq(
+      RawEvent("s", t(5), "prompt:submit", """{"prompt":"p"}""", 1),
+      RawEvent("s", "not-a-timestamp", "thinking:delta", """{"delta":"kept"}""", 2),
+      RawEvent("s", t(6), "session:end", "{}", 3),
+    ).toDS()
+    val turns = TraceSessionizer.aggregate(events).collect()
+    assert(turns.length == 1)
+    assert(turns.head.status == "completed")
+    assert(turns.head.thinking.map(_.content) == Seq("kept"))
+    assert(turns.head.thinking.head.timestamp == 0L) // malformed -> 0, position preserved
   }
 
   test("streaming idle timeout flushes the open turn as active and evicts state (M4)") {
@@ -194,6 +212,22 @@ class TraceSessionizerSpec extends SparkSpec {
       val flushed = awaitIdleFlush(30000)
       assert(flushed.isDefined, "idle turn never flushed by the state timeout")
       assert(flushed.get.status == "active") // surfaced in-progress, per EOF semantics
+      assert(flushed.get.id == "idle:t0")
+      // eviction leaves a tombstone carrying nextIndex: a session that
+      // resumes after the flush continues turn numbering at t1 — ids never
+      // collide with already-emitted turns (the ADVICE regression)
+      input.addData(
+        RawEvent("idle", t(10), "prompt:submit", """{"prompt":"p2"}""", 2),
+        RawEvent("idle", t(11), "session:end", "{}", 3))
+      val end = System.currentTimeMillis() + 30000
+      var resumed: Option[graft.model.TraceTurn] = None
+      while (resumed.isEmpty && System.currentTimeMillis() < end) {
+        resumed = spark.table("turns_idle").as[graft.model.TraceTurn]
+          .collect().find(tr => tr.sessionId == "idle" && tr.status == "completed")
+        if (resumed.isEmpty) Thread.sleep(200)
+      }
+      assert(resumed.isDefined, "resumed session's turn never emitted")
+      assert(resumed.get.id == "idle:t1", s"turn numbering restarted: ${resumed.get.id}")
     } finally query.stop()
   }
 

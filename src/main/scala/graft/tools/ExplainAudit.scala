@@ -13,7 +13,11 @@ object ExplainAudit {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("f1_conjunctive_filter", "p1_index_projection", "j5_star_join",
         "a1_pricing_summary", "j3_prepost_correlate", "x3_minhash_lsh_pairs",
-        "x10_ann_lsh_pairs", "o1_topk")
+        "x10_ann_lsh_pairs", "o1_topk",
+        // round 2: keyset pagination (pushdown + top-k), broadcast marker
+        // join, label-blocked cosine pairs, nested sessionizer
+        "o2b_keyset_pagination", "j6_marker_join", "x13_cosine_neardup",
+        "st6_trace_turns")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

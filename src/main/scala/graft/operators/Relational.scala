@@ -549,6 +549,92 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  val q4_exists_semi = Q(
+    "q4_exists_semi",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  ) { t =>
+    // TPC-H Q4 shape: correlated EXISTS decorrelated to a left-semi join
+    // whose condition references both sides (late-shipping lineitem within
+    // the order window). Catalyst plans the semi join on orderkey with the
+    // date comparison as the join residual — the fact table is filtered
+    // once, never re-scanned per outer row.
+    t.orders
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+      .join(
+        t.lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q12_priority_split = Q(
+    "q12_priority_split",
+    """SELECT l_returnflag,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  ) { t =>
+    // TPC-H Q12 shape: fact-fact join + two-way conditional counting in one
+    // aggregation pass (CASE inside SUM — no per-branch re-aggregation or
+    // union). The shipdate filter pushes to the lineitem scan before the
+    // join.
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1997-01-01").cast(TimestampType))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q14_promo_share = Q(
+    "q14_promo_share",
+    """SELECT CAST(100.0 AS DOUBLE)
+      |       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+      |       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_share
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+  ) { t =>
+    // TPC-H Q14 shape: conditional revenue share — broadcast dim join, one
+    // aggregation with a guarded numerator, and a SINGLE double division at
+    // the end. Revenue stays exact decimal through the sums (the §7.4
+    // determinism rule), so the ratio is engine-identical.
+    val rev = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    t.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .join(broadcast(t.part.select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)).cast(DoubleType) /
+          sum(rev).cast(DoubleType)).as("promo_share"))
+  }
+
   // ===== Sorts / limits (O1-O5) =====
 
   val o1_topk = Q(
@@ -673,8 +759,8 @@ object Relational {
     f1_conjunctive_filter, f3_case_normalized_filter, f4_prefix_filter,
     f6_set_membership_classify, f10_age_cutoff,
     j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
-    j7_latest_per_key, q3_shipping_priority, q6_forecast_revenue,
-    q17_below_avg, q18_having,
+    j7_latest_per_key, q3_shipping_priority, q4_exists_semi, q6_forecast_revenue,
+    q12_priority_split, q14_promo_share, q17_below_avg, q18_having,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
     a7_total_counts, a9_metrics_recompute, a10_rollup,
     o1_topk, o2_pagination, o2b_keyset_pagination, o4_two_key_sort,

@@ -29,12 +29,24 @@ object Bench {
     try SparkEntry.queries.values.take(3).foreach(f => exec(f(spark, "/root/testdata/sf0.001")))
     catch { case _: Throwable => }
     // best-of-2 per query: the second run reuses compiled codegen classes,
-    // so the min isolates plan cost from JIT/classload noise.
+    // so the min isolates plan cost from JIT/classload noise. Each run of
+    // q.run builds FRESH localCheckpoint/persist blocks (graph loops,
+    // shingle/signature tables), so after a run every cached block is
+    // garbage — drop them, or ~100 queries of leaked blocks raise GC
+    // pressure and inflate later queries' times.
+    // unpersisting a localCheckpointed RDD logs a (harmless, expected)
+    // "lineage has been truncated" WARN per block — silence that logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    def dropCachedBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val results = SparkEntry.registry.map { q =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try exec(q.run(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropCachedBlocks()
+        dt
       }
       q.name -> times.min
     }

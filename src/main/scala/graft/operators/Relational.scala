@@ -444,6 +444,29 @@ object Relational {
       .orderBy("returnflag", "linestatus")
   }
 
+  val a13_cube = Q(
+    "a13_cube",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin,
+  ) { t =>
+    // CUBE extension: the full grouping-set lattice (adds the
+    // linestatus-only marginals ROLLUP omits) — physically one Expand +
+    // one aggregation, NOT four scans. Same NULL->'ALL' sentinel as a10.
+    t.lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"),
+        col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+  }
+
   val q3_shipping_priority = Q(
     "q3_shipping_priority",
     """SELECT o_orderkey,
@@ -762,7 +785,7 @@ object Relational {
     j7_latest_per_key, q3_shipping_priority, q4_exists_semi, q6_forecast_revenue,
     q12_priority_split, q14_promo_share, q17_below_avg, q18_having,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
-    a7_total_counts, a9_metrics_recompute, a10_rollup,
+    a7_total_counts, a9_metrics_recompute, a10_rollup, a13_cube,
     o1_topk, o2_pagination, o2b_keyset_pagination, o4_two_key_sort,
     u1_union_all, u2_except, u3_intersect,
   )

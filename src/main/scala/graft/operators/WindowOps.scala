@@ -182,8 +182,31 @@ object WindowOps {
       .orderBy("c_nationkey", "rnk", "c_custkey")
   }
 
+  val w9_range_window = Q(
+    "w9_range_window",
+    """SELECT user_id, event_id,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY user_id ORDER BY ms
+      |                    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+      |FROM (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) AS ms, value FROM events)
+      |ORDER BY user_id, event_id""".stripMargin,
+  ) { t =>
+    // SURVEY §2.5 extension: a VALUE-range frame (trailing 1-hour sum per
+    // user) — physically a RangeFrame, not the RowsFrame of w6: the frame
+    // boundary is ms-3600000, so all rows at equal ms share one frame and
+    // the result needs NO tiebreaker to be deterministic. The trailing-
+    // window rate metric every event pipeline ships.
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rangeBetween(-3600000L, Window.currentRow)
+    t.events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"), col("value"))
+      .withColumn("hour_sum", sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .select("user_id", "event_id", "hour_sum")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(
     w1_turn_sessionize, w2_gap_sessionize, w3_tail_n, w5_latest_per_user,
-    w6_running_sum, w7_lag_delta, w8_rank_in_group,
+    w6_running_sum, w7_lag_delta, w8_rank_in_group, w9_range_window,
   )
 }

@@ -50,10 +50,30 @@ object Bench {
       }
       q.name -> times.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    // Full per-query detail goes to a sidecar file; stdout gets ONE compact
+    // JSON line. The driver captures only the last ~2000 chars of output
+    // (BENCH_r01/r02 both came back parsed:null because the full 100-query
+    // map overflowed that window), so the line lists the slowest queries
+    // first and stops under a hard char budget — everything else is in the
+    // sidecar.
+    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_FULL.json")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+      finally w.close()
+    } catch { case _: Throwable => }
+    val budget  = 1400
+    val sorted  = results.sortBy(-_._2)
+    val sb      = new StringBuilder
+    var taken   = 0
+    sorted.foreach { case (k, v) =>
+      val entry = (if (taken == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length <= budget) { sb.append(entry); taken += 1 }
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,9 +38,13 @@ object GraphQueries {
     // 58-129 visited-set semantics): every node at its shallowest depth. A
     // back edge 3->0 closes the cycle 0->1->3->0; GraphOps.bfs terminates
     // via the visited anti-join, the oracle via the depth bound + min().
+    // Both sides use the SAME depth bound (24): a heap tree over n docs has
+    // depth log2(n), so 24 covers ~16M docs — and the oracle's per-path
+    // expansion re-walks the whole subtree once per cycle lap, so its bound
+    // must stay small anyway.
     import t.spark.implicits._
     val edges = treeEdges(t).unionByName(Seq((3L, 0L)).toDF("src", "dst"))
-    GraphOps.bfs(edges, Seq(0L).toDF("node"))
+    GraphOps.bfs(edges, Seq(0L).toDF("node"), maxDepth = 24)
       .select(col("node"), col("depth").cast("long").as("depth"))
       .orderBy("node")
   }

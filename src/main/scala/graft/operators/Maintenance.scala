@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object Maintenance {
 
-  /** M1: read-modify-write of entities matching a predicate. */
-  def updateWhere(table: DataFrame, predicate: Column, transform: DataFrame => DataFrame): DataFrame =
-    transform(table.filter(predicate)).unionByName(table.filter(!predicate))
+  /** M1: read-modify-write of entities matching a predicate. UPDATE ... WHERE
+    * keeps rows whose predicate evaluates to NULL untouched, so the split is
+    * on a null-safe predicate — filter(p) / filter(!p) would both reject
+    * NULL rows and silently drop them from the table.
+    */
+  def updateWhere(table: DataFrame, predicate: Column, transform: DataFrame => DataFrame): DataFrame = {
+    val hit = coalesce(predicate, lit(false))
+    transform(table.filter(hit)).unionByName(table.filter(!hit))
+  }
 
   /** M3: retention cleanup — drop rows older than the cutoff unless their
     * status is protected (sessions/manager.py:454-498).

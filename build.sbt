@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's stdout for the ONE-line JSON metric. sbt's
+// default LoggedOutput strategy prefixes every forked-stdout line with
+// "[info] ", which breaks line-level JSON parsing (BENCH_r01..r03 all came
+// back parsed:null). StdoutOutput inherits the child's stdout/stderr
+// directly, so the metric line reaches the driver byte-exact.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,7 +59,10 @@ object Bench {
       q.name -> times.min
     }
     val total = results.map(_._2).sum
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale-independent: %.3f under a comma-decimal default locale (de_DE)
+    // would emit "1,234" and corrupt the JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Full per-query detail goes to a sidecar file; stdout gets ONE compact
     // JSON line. The driver captures only the last ~2000 chars of output
     // (BENCH_r01/r02 both came back parsed:null because the full 100-query
@@ -77,9 +80,16 @@ object Bench {
     val sorted  = results.sortBy(-_._2)
     val sb      = new StringBuilder
     var taken   = 0
+    var full_   = false
+    // Stop at the FIRST entry that overflows the budget so the emitted map
+    // is a true slowest-first prefix (a shorter-named faster query must not
+    // sneak in after a skip).
     sorted.foreach { case (k, v) =>
-      val entry = (if (taken == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
-      if (sb.length + entry.length <= budget) { sb.append(entry); taken += 1 }
+      if (!full_) {
+        val entry = (if (taken == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+        if (sb.length + entry.length <= budget) { sb.append(entry); taken += 1 }
+        else full_ = true
+      }
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()

@@ -226,12 +226,20 @@ object TraceSessionizer {
       }
   }
 
-  /** Per-session streaming state: serialized open turn + next turn index. */
+  /** Per-session streaming state: serialized open turn + next turn index.
+    * `tombstoned` marks state already granted its numbering-preservation
+    * grace window — only such state may be dropped on expiry. Without the
+    * flag, a session whose last turn completed normally (open=None via the
+    * event branch) is indistinguishable from a spent tombstone and would be
+    * removed on its FIRST idle expiry, restarting `<session>:tN` numbering
+    * for a resume after just one idle window.
+    */
   final case class SessionState(
       open: Option[TraceTurn],
       openTools: Seq[TraceTool],
       openThinking: Seq[TraceThinking],
       nextIndex: Int,
+      tombstoned: Boolean = false,
   )
 
   /** Live sessionizer (SURVEY ST6): the same state machine inside
@@ -258,8 +266,8 @@ object TraceSessionizer {
         (_: String, batch: Iterator[RawEvent], gs: GroupState[SessionState]) =>
           if (gs.hasTimedOut) {
             val prior = gs.get
-            if (prior.open.isEmpty) {
-              // second, quiet expiry: the tombstone below protected turn
+            if (prior.open.isEmpty && prior.tombstoned) {
+              // second, quiet expiry: the tombstone already protected turn
               // numbering for one grace period and the session never spoke
               // again — drop the state entirely. Without this, every session
               // ever seen would keep store state forever (unbounded growth
@@ -267,17 +275,19 @@ object TraceSessionizer {
               gs.remove()
               Iterator.empty
             } else {
-              // idle eviction: surface the in-progress turn, keep a
+              // idle eviction: surface the in-progress turn (if any), keep a
               // tombstone carrying nextIndex (open=None, a few bytes) so a
               // session that resumes soon after eviction continues turn
-              // numbering and ids `<session>:tN` stay unique. The tombstone
+              // numbering and ids `<session>:tN` stay unique. Completed-turn
+              // state (open=None, not yet tombstoned) gets the SAME grace
+              // window — its nextIndex is equally load-bearing. The tombstone
               // re-arms a longer timeout (TombstoneGraceFactor x idle) and
-              // is removed on that second expiry; a session resuming after
-              // BOTH windows restarts numbering at 0 — documented trade for
-              // bounded state.
+              // is removed on its own expiry; a session resuming after
+              // idle + grace windows restarts numbering at 0 — documented
+              // trade for bounded state.
               val flushed = prior.open.map(t =>
                 t.copy(status = "active", tools = prior.openTools, thinking = prior.openThinking))
-              gs.update(SessionState(None, Nil, Nil, prior.nextIndex))
+              gs.update(SessionState(None, Nil, Nil, prior.nextIndex, tombstoned = true))
               idleTimeoutMs.foreach(ms =>
                 gs.setTimeoutDuration(tombstoneTtlMs.getOrElse(ms * TombstoneGraceFactor)))
               flushed.iterator

@@ -235,6 +235,47 @@ class TraceSessionizerSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming completed-turn state gets the tombstone grace window (no id reuse)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[RawEvent]
+    // A session whose last turn COMPLETED (open=None via the event branch,
+    // nextIndex=1) must survive its FIRST idle expiry as a tombstone — the
+    // ADVICE regression removed such state immediately, so a resume after
+    // one idle window reused id `done:t0` for a brand-new turn.
+    val query = TraceSessionizer.aggregateStream(
+        input.toDS(), idleTimeoutMs = Some(1L), tombstoneTtlMs = Some(600000L))
+      .writeStream.format("memory").queryName("turns_done").outputMode(OutputMode.Append).start()
+    def awaitTurn(p: graft.model.TraceTurn => Boolean, deadlineMs: Long): Option[graft.model.TraceTurn] = {
+      val end = System.currentTimeMillis() + deadlineMs
+      var found: Option[graft.model.TraceTurn] = None
+      while (found.isEmpty && System.currentTimeMillis() < end) {
+        found = spark.table("turns_done").as[graft.model.TraceTurn].collect().find(p)
+        if (found.isEmpty) Thread.sleep(200)
+      }
+      found
+    }
+    try {
+      input.addData(
+        RawEvent("done", t(1), "prompt:submit", """{"prompt":"p"}""", 1),
+        RawEvent("done", t(2), "session:end", "{}", 2))
+      val first = awaitTurn(tr => tr.sessionId == "done" && tr.id == "done:t0", 30000)
+      assert(first.isDefined && first.get.status == "completed")
+      // let the 1ms idle timeout expire (repeatedly) while the session is
+      // quiet; the completed-turn state must convert to a tombstone, not
+      // vanish
+      Thread.sleep(3000)
+      input.addData(
+        RawEvent("done", t(10), "prompt:submit", """{"prompt":"p2"}""", 3),
+        RawEvent("done", t(11), "session:end", "{}", 4))
+      val resumed = awaitTurn(tr => tr.sessionId == "done" && tr.id != "done:t0", 30000)
+      assert(resumed.isDefined, "resumed turn never emitted (or reused id done:t0)")
+      assert(resumed.get.id == "done:t1", s"turn numbering restarted: ${resumed.get.id}")
+    } finally query.stop()
+  }
+
   test("streaming tombstone TTL drops evicted state; late resume restarts numbering") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -237,7 +237,11 @@ final case class AutomationStore(
 
   /** F8: execution history, newest first with offset/limit pagination (O2). */
   def history(automationId: String, limit: Int, offset: Int = 0): Dataset[model.ExecutionRecord] = {
-    val w = Window.partitionBy(lit(1)).orderBy(col("executed_at").desc, col("session_id").desc)
+    // Partition by automation_id: post-filter there is exactly one partition value,
+    // so results are unchanged, but the plan stays shardable if the filter is lifted
+    // and Spark no longer warns about a partition-less window.
+    val w = Window.partitionBy(col("automation_id"))
+      .orderBy(col("executed_at").desc, col("session_id").desc)
     executions.filter(col("automation_id") === automationId)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > offset && col("__rn") <= offset + limit)

@@ -101,33 +101,52 @@ object Dedup {
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
       |ORDER BY doc_a, doc_b""".stripMargin,
   ) { t =>
-    // n-gram Jaccard near-dup: word 5-shingles; candidate pairs via shingle
-    // equi-join (no cross join), exact |A∩B| / |A∪B| filter over the
-    // DF-capped shingle sets. The single double division makes the score
-    // engine-exact.
-    //
-    // NOTE (measured, sf0.1): carrying set sizes through the exploded rows
-    // instead of the separate `sz` aggregation looks cheaper on paper but
-    // is 2.7x SLOWER — CollapseProject inlines the shingle-array expression
-    // into both size() and explode(), computing the transform twice per
-    // row. The size table costs one small aggregation that AQE broadcasts.
-    //
-    // The DF cap is groupBy(sh) + left_semi rather than a count() window:
-    // the groupBy gets map-side partial aggregation (hot shingles collapse
-    // per-mapper), while a window would buffer every row of a hot key in
-    // one task. Both the semi join and the candidate self-join shuffle on
-    // sh, so the exchange is reused between them.
-    //
-    // The raw shingle explode is localCheckpoint'ed: it feeds the DF
-    // aggregation AND (via the semi join) the size table and both sides of
-    // the candidate self-join — without the checkpoint each consumer
-    // re-runs the transform/slice/array_join pipeline (measured 1.7x
-    // slower at sf0.1: 6.0s vs 3.6s). At cluster scale this is the
-    // "materialize the shingle table once" step of every MinHash-era
-    // pipeline; swap localCheckpoint for a parquet stage write there.
-    // Shingles are carried as 64-bit fingerprints (see shingleHashes) —
-    // intersection/union counting only needs equality.
-    val sh0 = shingleHashes(t.documents, 5).localCheckpoint()
+    // Oracle-checked row carries RAW STRING shingles so the comparison with
+    // the DuckDB oracle (string shingles by construction) is structurally
+    // collision-free; x2_fast below is the identical plan over 64-bit
+    // fingerprints — the scale path. See ngramJaccardPairs for plan notes.
+    ngramJaccardPairs(t.documents, fingerprints = false)
+  }
+
+  val x2_fast_ngram_jaccard = Q.noOracle("x2_fast_ngram_jaccard") { t =>
+    // Scale path: identical plan to x2 but shingles carried as 64-bit
+    // xxhash64 fingerprints (8-byte shuffle keys, integer joins; measured
+    // 3.7s -> 2.8s at sf0.1). Rows-only by design — a 64-bit collision
+    // (~1e-7 at 10M distinct shingles) would shift one Jaccard by <1/|set|,
+    // which is fine for dedup but would permanently fail a hash-exact
+    // oracle. DedupSimilaritySpec asserts pair-set equality against the
+    // string-shingle x2 on the test corpus.
+    ngramJaccardPairs(t.documents, fingerprints = true)
+  }
+
+  /** Shared x2 plan: word 5-shingles; candidate pairs via shingle
+    * equi-join (no cross join), exact |A∩B| / |A∪B| filter over the
+    * DF-capped shingle sets. The single double division makes the score
+    * engine-exact.
+    *
+    * NOTE (measured, sf0.1): carrying set sizes through the exploded rows
+    * instead of the separate `sz` aggregation looks cheaper on paper but
+    * is 2.7x SLOWER — CollapseProject inlines the shingle-array expression
+    * into both size() and explode(), computing the transform twice per
+    * row. The size table costs one small aggregation that AQE broadcasts.
+    *
+    * The DF cap is groupBy(sh) + left_semi rather than a count() window:
+    * the groupBy gets map-side partial aggregation (hot shingles collapse
+    * per-mapper), while a window would buffer every row of a hot key in
+    * one task. Both the semi join and the candidate self-join shuffle on
+    * sh, so the exchange is reused between them.
+    *
+    * The raw shingle explode is localCheckpoint'ed: it feeds the DF
+    * aggregation AND (via the semi join) the size table and both sides of
+    * the candidate self-join — without the checkpoint each consumer
+    * re-runs the transform/slice/array_join pipeline (measured 1.7x
+    * slower at sf0.1: 6.0s vs 3.6s). At cluster scale this is the
+    * "materialize the shingle table once" step of every MinHash-era
+    * pipeline; swap localCheckpoint for a parquet stage write there.
+    */
+  private def ngramJaccardPairs(docs: DataFrame, fingerprints: Boolean): DataFrame = {
+    val sh0 = (if (fingerprints) shingleHashes(docs, 5) else shingles(docs, 5))
+      .localCheckpoint()
     val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDF).select("sh")
     val sh = sh0.join(rare, Seq("sh"), "left_semi")
@@ -356,8 +375,81 @@ object Dedup {
     simhashPairs(t.documents, maxHamming = 7)
   }
 
+  /** x4b oracle SQL, generated (32 vote sums / 32 bit cases would be ~70
+    * hand-maintained lines). Same structure as the Spark plan below.
+    */
+  private val x4bOracleSql: String = {
+    val votes = (0 until 32)
+      .map(b => s"  SUM(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n")
+    val fpBits = (0 until 32)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+       |h AS (SELECT doc_id, md5(tk) AS h FROM tok),
+       |v AS (SELECT doc_id,
+       |$votes
+       |  FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fpBits AS fp FROM v),
+       |seg AS (
+       |  SELECT doc_id, fp, band, (fp >> (band * 16)) & 65535 AS seg
+       |  FROM (SELECT doc_id, fp, unnest(generate_series(0, 1)) AS band FROM fp))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+       |FROM seg a JOIN seg b
+       |  ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 1
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val x4b_simhash_md5 = Q("x4b_simhash_md5", x4bOracleSql) { t =>
+    // SimHash with md5 as the hash family — the ORACLE-CHECKED bridge for
+    // the x4 pipeline (the x3b trick applied to SimHash): md5 exists in
+    // both engines, so the per-token bit votes, sign fingerprint, banding,
+    // and hamming filter are all pinned to the driver signal. Bit b of a
+    // token's hash = the high bit of md5 hex nibble b (hex digit >= '8').
+    //
+    // Geometry chosen from the measured corpus (common vocabulary makes
+    // simhash bits strongly correlated): 32 bits / 2 bands x 16 bits /
+    // hamming <= 1. Pigeonhole: hamming <= 1 can't corrupt both 16-bit
+    // halves, so banding loses no qualifying pair in either engine. At
+    // sf0.1 this is 349k candidate rows and 25.6k result rows — measured
+    // against 7.5M candidates for 4x8 banding and 3.3M results for a
+    // 16-bit/hamming<=3 variant. The 64-bit xxhash64 x4 remains the scale
+    // path; no bucket cap here because the oracle must see the exact same
+    // candidate set.
+    val tok = t.documents.select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+    val h   = md5(col("tk"))
+    val votes = (0 until 32).map { b =>
+      sum(when(substring(h, b + 1, 1) >= "8", 1).otherwise(-1)).as(s"v$b")
+    }
+    val fpCol = (0 until 32)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bit positions: + == OR
+    val fp = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpCol.as("fp"))
+    val segCols = (0 until 2).map(b => shiftright(col("fp"), 16 * b).bitwiseAND(lit(0xffffL)))
+    val seg = fp
+      .select(col("doc_id"), col("fp"), posexplode(array(segCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "seg"))
+      .localCheckpoint()
+    seg.as("a")
+      .join(
+        seg.as("b"),
+        col("a.band") === col("b.band") && col("a.seg") === col("b.seg") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[Q] = Seq(
-    a5_exact_dedup, x2_ngram_jaccard, x3_minhash_signatures, x3_minhash_lsh_pairs,
-    x3b_minhash_md5, x4_simhash, x4_simhash_pairs,
+    a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
+    x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
+    x4_simhash, x4_simhash_pairs, x4b_simhash_md5,
   )
 }

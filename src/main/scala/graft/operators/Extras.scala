@@ -79,13 +79,36 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
-  val c13_map_ops = Q.noOracle("c13_map_ops") { t =>
+  val c13_map_ops = Q(
+    "c13_map_ops",
+    """SELECT event_id,
+      |       json_extract_string(props, '$.k') AS k_value,
+      |       'events' AS source,
+      |       CAST(NULL AS VARCHAR) AS missing_default,
+      |       'k=' || coalesce(json_extract_string(props, '$.k'), '<null>')
+      |         || ',source=events' AS meta_canonical
+      |FROM events ORDER BY event_id""".stripMargin,
+  ) { t =>
     // SURVEY C13: map build / merge-with-override / key lookup
     // (amplified_directory_service.py:336-348). LAST_WIN dedup policy is
     // set so map_concat takes the override side, like dict.update.
+    //
+    // DuckDB has no Spark-map analog, so the oracle checks a CANONICAL
+    // PROJECTION of the merged map instead: entries rendered "k=v", sorted,
+    // comma-joined (order-independent — map_entries order is engine-
+    // internal), with nulls sentinel'd because to_json-style rendering
+    // drops null-valued fields. The oracle builds the same string from the
+    // dict.update semantics directly, so a wrong merge (FIRST_WIN, lost
+    // key, dropped null) breaks the hash. The lookups (element_at hits and
+    // a miss) are oracle'd as plain columns alongside.
     t.events.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val base     = map(lit("source"), lit("events"), lit("k"), lit("old"))
     val override_ = map(lit("k"), get_json_object(col("props"), "$.k"))
+    val canonical = array_join(
+      array_sort(transform(
+        map_entries(col("meta")),
+        e => concat_ws("=", e.getField("key"), coalesce(e.getField("value"), lit("<null>"))))),
+      ",")
     t.events
       .select(
         col("event_id"),
@@ -94,7 +117,8 @@ object Extras {
         col("event_id"),
         element_at(col("meta"), "k").as("k_value"),
         element_at(col("meta"), "source").as("source"),
-        element_at(col("meta"), "missing").as("missing_default"))
+        element_at(col("meta"), "missing").as("missing_default"),
+        canonical.as("meta_canonical"))
       .orderBy("event_id")
   }
 

@@ -122,6 +122,93 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  val x10b_ann_md5 = Q(
+    "x10b_ann_md5",
+    """WITH dims AS (
+      |  SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx
+      |  FROM (SELECT vec_id, embedding, unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings)),
+      |terms AS (
+      |  SELECT vec_id, p,
+      |    qx * ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+      |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+      |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+      |        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+      |        + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)
+      |        - 8388608) AS term
+      |  FROM (SELECT d.vec_id, d.qx, pl.p,
+      |               md5(CAST(pl.p AS VARCHAR) || '|' || CAST(d.i AS VARCHAR)) AS h
+      |        FROM dims d, (SELECT unnest(generate_series(0, 15)) AS p) pl)),
+      |bits AS (
+      |  SELECT vec_id, p, CASE WHEN SUM(term) >= 0 THEN 1 ELSE 0 END AS bit
+      |  FROM terms GROUP BY vec_id, p),
+      |sigs AS (
+      |  SELECT vec_id, p // 8 AS band, SUM(bit * (1 << (p % 8))) AS sig
+      |  FROM bits GROUP BY vec_id, p // 8),
+      |pairs AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM sigs a JOIN sigs b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id)
+      |SELECT p.vec_a, p.vec_b,
+      |       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+      |                                    CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+      |FROM pairs p
+      |JOIN embeddings ea ON ea.vec_id = p.vec_a
+      |JOIN embeddings eb ON eb.vec_id = p.vec_b
+      |ORDER BY vec_a, vec_b""".stripMargin,
+  ) { t =>
+    // Sign-LSH ANN with an md5-derived hyperplane family — the ORACLE-
+    // CHECKED bridge for the x10 pipeline (the x3b trick applied to
+    // random-hyperplane LSH). Two tricks make the bit decisions engine-
+    // exact rather than float-fragile:
+    //  1. plane components are INTEGERS: component(p, i) = first 6 md5 hex
+    //     nibbles of "p|i" as an int, centered on 2^23 — uniform in
+    //     [-2^23, 2^23), same value in both engines;
+    //  2. the vector is QUANTIZED to integers (floor(x * 1000)) before the
+    //     dot product, so the projection is exact 64-bit integer math —
+    //     no summation-order sensitivity, unlike a double SUM whose sign
+    //     near 0 could differ between engines.
+    // Products are bounded by 2^10 * 2^23 = 2^33; a 64-dim sum stays under
+    // 2^39 — no overflow. Quantization only perturbs WHICH side of the
+    // plane a borderline vector falls on, identically in both engines, so
+    // bucketing still approximates angle locality while the comparison is
+    // bit-exact. x10 (xxhash64 planes, full float precision) remains the
+    // scale path; exact cosine on candidates reuses the x9-proven parity.
+    val n    = size(col("embedding"))
+    val qvec = transform(col("embedding"), x => floor(x.cast("double") * 1000).cast("long"))
+    def planeComp(p: Int, i: Column): Column =
+      conv(substring(md5(concat_ws("|", lit(p.toString), i.cast("string"))), 1, 6), 16, 10)
+        .cast("long") - lit(8388608L)
+    val bits = (0 until 16).map { p =>
+      val proj = aggregate(
+        zip_with(qvec, sequence(lit(1), n), (x, i) => x * planeComp(p, i)),
+        lit(0L),
+        (acc, x) => acc + x)
+      when(proj >= 0, 1L).otherwise(0L)
+    }
+    val bandCols = (0 until 2).map { b =>
+      bits.slice(8 * b, 8 * b + 8).zipWithIndex
+        .map { case (bit, j) => bit * (1L << j) }
+        .reduce(_ + _)
+    }
+    val sigs = t.embeddings
+      .select(col("vec_id"), col("embedding"), posexplode(array(bandCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "sig"))
+      .localCheckpoint()
+    sigs.as("a")
+      .join(
+        sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("sim"))
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** IVF-flat ANN: partition vectors into `nCells` inverted lists keyed by
     * their nearest centroid; a query scores only the `nProbe` cells whose
     * centroids are closest. Centroids are sampled deterministically (lowest
@@ -138,9 +225,12 @@ object Similarity {
       k: Int,
       nCells: Int,
       nProbe: Int,
+      kmeans: Boolean = false,
   ): DataFrame = {
-    val cents = embeddings.orderBy("vec_id").limit(nCells)
-      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+    val cents =
+      if (kmeans) kmeansCentroids(embeddings, nCells)
+      else embeddings.orderBy("vec_id").limit(nCells)
+        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
     // inverted lists: every vector assigned to its nearest centroid
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     val assigned = embeddings
@@ -168,6 +258,30 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .drop("rn")
+  }
+
+  /** K-means-trained IVF centroids (spark.ml KMeans, fixed seed): tighter,
+    * balanced cells on clustered corpora vs the train-free lowest-vec_id
+    * sample — same (cell, centroid) shape, so the ivfTopK query path is
+    * unchanged. Training is one pass over a SAMPLE at corpus scale (k-means
+    * on 100 TB is never run on the full data); here the corpus is small
+    * enough to train on directly. Cell ids are centroid indices.
+    */
+  def kmeansCentroids(embeddings: DataFrame, nCells: Int, seed: Long = 7L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = embeddings.select(array_to_vector(col("embedding")).as("features"))
+    // cosine distance, matching the cosine cell-assignment in ivfTopK —
+    // Euclidean-trained centroids on ~unit-norm vectors collapse toward
+    // the global mean and invert the recall win (measured: 0.62 vs 0.94
+    // train-free at 16 cells/nProbe 4; cosine training restores it).
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(20)
+      .setDistanceMeasure("cosine").fit(feats)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+      .toDF("cell", "centroid")
   }
 
   /** Exact brute-force top-k as a reusable API (not just the oracle query). */
@@ -213,5 +327,5 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(x9_cosine_topk, x10_ann_lsh_pairs, x13_cosine_neardup)
+  val all: Seq[Q] = Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup)
 }

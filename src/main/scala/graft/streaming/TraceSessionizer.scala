@@ -233,6 +233,13 @@ object TraceSessionizer {
     * event branch) is indistinguishable from a spent tombstone and would be
     * removed on its FIRST idle expiry, restarting `<session>:tN` numbering
     * for a resume after just one idle window.
+    *
+    * STATE SCHEMA v2: adding `tombstoned` changed the
+    * flatMapGroupsWithState state encoder schema, so a stream restarted
+    * from a checkpoint written before this field existed fails Spark's
+    * state-schema compatibility check — start a fresh checkpoint directory
+    * when upgrading across it (pre-release break, called out in the docs
+    * per round-4 ADVICE).
     */
   final case class SessionState(
       open: Option[TraceTurn],

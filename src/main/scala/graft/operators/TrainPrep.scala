@@ -38,6 +38,19 @@ object TrainPrep {
       .map(j => s"(strpos('0123456789abcdef', substr(md5($s), ${j + 1}, 1)) - 1) * ${math.pow(16, 5 - j).toLong}")
       .mkString("(", " + ", ")")
 
+  /** Distinct word-k-grams per document: (doc_id, sh). */
+  private def wordGrams(df: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    val sh = when(
+      size(toks) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col("doc_id"), explode(sh).as("sh"))
+  }
+
   val x14_stratified_sample = Q(
     "x14_stratified_sample",
     s"""WITH d AS (
@@ -156,26 +169,135 @@ object TrainPrep {
     // shape (shuffling corpus shingles on the join key would move the
     // whole exploded corpus); n-gram width 8 keeps incidental overlap
     // near zero, the standard decontamination setting.
-    def grams(df: DataFrame, k: Int): DataFrame = {
-      val toks = split(col("text"), " ")
-      val sh = when(
-        size(toks) >= k,
-        array_distinct(
-          transform(
-            sequence(lit(1), size(toks) - (k - 1)),
-            i => array_join(slice(toks, i, lit(k)), " "))))
-        .otherwise(array().cast("array<string>"))
-      df.select(col("doc_id"), explode(sh).as("sh"))
-    }
     val eval  = t.documents.filter(col("doc_id") % 50 === 11)
     val train = t.documents.filter(col("doc_id") % 50 =!= 11)
-    val evalShingles = grams(eval, 8).select("sh").distinct()
-    grams(train, 8)
+    val evalShingles = wordGrams(eval, 8).select("sh").distinct()
+    wordGrams(train, 8)
       .join(broadcast(evalShingles), "sh")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(x14_stratified_sample, x15_sequence_packing, x16_decontamination)
+  val x19_curation_pipeline = Q(
+    "x19_curation_pipeline",
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 11),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 11),
+       |dedup AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |           row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+       |    FROM corpus) WHERE rn = 1),
+       |q AS (
+       |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS tokens
+       |  FROM dedup WHERE len(string_split(text, ' ')) >= 20),
+       |bg AS (
+       |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q))),
+       |dupf AS (
+       |  SELECT doc_id, round(1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS dup_frac
+       |  FROM bg GROUP BY doc_id),
+       |q2 AS (SELECT q.* FROM q JOIN dupf USING (doc_id) WHERE dupf.dup_frac <= 0.10),
+       |evsh AS (
+       |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS sh FROM (
+       |    SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+       |    FROM (SELECT string_split(text, ' ') AS w FROM ev))),
+       |qsh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS sh FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM q2))),
+       |contam AS (SELECT DISTINCT t.doc_id FROM qsh t JOIN evsh e ON t.sh = e.sh),
+       |clean AS (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |sampled AS (
+       |  SELECT doc_id, lang, tokens,
+       |         CASE WHEN ${md5BucketSql("'p|' || CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+       |              WHEN ${md5BucketSql("'p|' || CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM clean
+       |  WHERE ${md5BucketSql("'s|' || CAST(doc_id AS VARCHAR)")} % 100 < 75),
+       |packed AS (
+       |  SELECT lang, split, doc_id, tokens,
+       |         (SUM(tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - tokens) // 512 AS bin
+       |  FROM sampled)
+       |SELECT lang, split, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(max(bin) + 1 AS BIGINT) AS n_bins
+       |FROM packed GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+  ) { t =>
+    // The FLAGSHIP composition: the full curation chain a pretraining
+    // corpus goes through, as ONE oracle-checked dataflow —
+    //   holdout -> exact dedup -> quality gates -> decontamination ->
+    //   hash sample + split -> sequence packing -> reporting
+    // (thresholds from the measured corpus: tokens >= 20 drops ~p10,
+    // dup_bigram <= 0.10 drops ~p99 outliers). Stage plans are the
+    // individually-verified x-row shapes (a5 dedup as a keyed window,
+    // x17's gram exprs, x16's broadcast anti-join, x14's salted buckets,
+    // x15's packing window); each stage's output feeds the next with no
+    // driver round-trips, so at 100 TB this is one pipelined job: two
+    // window shuffles (hash, stratum), one histogram-free quality scan,
+    // one broadcast anti-join, one final aggregation.
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val corpus = t.documents.filter(col("doc_id") % 50 =!= 11)
+    val eval   = t.documents.filter(col("doc_id") % 50 === 11)
+    // 1. exact dedup: canonical copy = min doc_id per content hash.
+    // groupBy(hash).agg(min) + semi-join, NOT a window over the hash: the
+    // window form shuffles every row's full text on the hash key; here
+    // only (hash, doc_id) pairs cross the aggregation exchange (map-side
+    // partial) and text moves at most once for the semi-join — which AQE
+    // broadcasts at test scale and degrades to a doc_id-shuffled semi at
+    // corpus scale (canonical ids are ~all ids, never forced broadcast).
+    val canonicalIds = corpus
+      .select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = corpus.join(canonicalIds, Seq("doc_id"), "left_semi")
+    // 2. quality gates (gram array referenced once — the x17 lesson).
+    // localCheckpoint: the quality frame feeds BOTH the contamination
+    // probe and the final anti-join; without it each consumer re-runs
+    // dedup + the gram expressions (the x2 shared-lineage lesson; at
+    // cluster scale this is the stage write between curation phases).
+    val grams = transform(sequence(lit(1), size(toks) - 1), i => array_join(slice(toks, i, lit(2)), " "))
+    val quality = deduped
+      .withColumn("tokens", size(toks).cast("long"))
+      .filter(col("tokens") >= 20)
+      .withColumn(
+        "dup_frac",
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / (col("tokens") - 1), 6))
+      .filter(col("dup_frac") <= 0.10)
+      .select("doc_id", "lang", "text", "tokens")
+      .localCheckpoint()
+    // 3. decontamination: drop docs overlapping the holdout on any 8-gram
+    val contaminated = wordGrams(quality, 8)
+      .join(broadcast(wordGrams(eval, 8).select("sh").distinct()), "sh")
+      .select("doc_id").distinct()
+    val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. hash sample (75%) + train/val/test split (salted buckets, x14)
+    val keep  = md5Bucket(concat(lit("s|"), col("doc_id").cast("string"))) % 100
+    val splitB = md5Bucket(concat(lit("p|"), col("doc_id").cast("string"))) % 10
+    val sampled = clean
+      .filter(keep < 75)
+      .select(
+        col("doc_id"), col("lang"), col("tokens"),
+        when(splitB < 8, "train").when(splitB === 8, "val").otherwise("test").as("split"))
+    // 5. pack each (lang, split) stratum into 512-token windows (x15)
+    val wPack = Window.partitionBy("lang", "split").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sampled
+      .withColumn("cum", sum(col("tokens")).over(wPack))
+      .withColumn("bin", expr("(cum - tokens) div 512"))
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        (max(col("bin")) + 1).as("n_bins"))
+      .orderBy("lang", "split")
+  }
+
+  val all: Seq[Q] = Seq(
+    x14_stratified_sample, x15_sequence_packing, x16_decontamination, x19_curation_pipeline)
 }

@@ -55,6 +55,21 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("x19 pipeline: quality floor respected, splits well-formed, packing consistent") {
+    val rows = TrainPrep.x19_curation_pipeline.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, sumTokens, nBins) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(Set("train", "val", "test")(r.getString(1)))
+      assert(nDocs >= 1)
+      assert(sumTokens >= nDocs * 20, "every surviving doc passed the 20-token floor")
+      // concat-and-chunk: bins cover exactly ceil(sum_tokens / 512) windows
+      // at most, and at least sum_tokens/512 (bins are 512-dense except the
+      // last); n_bins = floor(last doc's start offset / 512) + 1
+      assert(nBins >= 1 && nBins <= sumTokens / 512 + 1)
+    }
+  }
+
   test("x16 plan: eval shingle set is broadcast (corpus shingles never shuffle for the join)") {
     val df = TrainPrep.x16_decontamination.run(spark, sf0001)
     df.collect()

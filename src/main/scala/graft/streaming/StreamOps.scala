@@ -104,6 +104,26 @@ object StreamOps {
     (df.filter(col(corruptCol).isNull).drop(corruptCol),
       df.filter(col(corruptCol).isNotNull))
 
+  /** Streaming exact dedup-on-ingest (the a5/x19 dedup stage as a live
+    * pipeline step): drop rows whose `dedupCols` key was already seen
+    * within the watermark window. `dropDuplicatesWithinWatermark` keeps
+    * the key in the state store only until the watermark passes it, so
+    * state is bounded by (ingest rate x watermark) instead of growing with
+    * the corpus — the correct trade for at-least-once sources, where
+    * duplicates arrive close together (connector retries, producer
+    * re-sends); far-apart content dups are the batch dedup stage's job
+    * (x19). Key by a content hash column for content dedup or an event id
+    * for delivery dedup.
+    */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      dedupCols: Seq[String],
+  ): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(dedupCols)
+
   /** ST3: liveness ticks — a rate-source heartbeat stream to union under a
     * quiet source (the SSE keepalive analog, routers/events.py:68-84).
     */

@@ -29,6 +29,39 @@ class StreamMaintenanceSpec extends SparkSpec {
     assert(out("m2") == ("x", 1L))
   }
 
+  test("dedupWithinWatermark: in-batch + cross-batch dups dropped, expired keys re-admit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val deduped = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("ts", "content_hash"), "ts", "10 seconds", Seq("content_hash"))
+    val query = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    def emitted(): Seq[(Long, String)] = spark.table("dedup_stream")
+      .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1))).toSeq
+    try {
+      // batch 1: an in-batch duplicate of A collapses
+      input.addData(ts(1) -> "A", ts(1) -> "A", ts(2) -> "B")
+      query.processAllAvailable()
+      assert(emitted().sorted == Seq(1L -> "A", 2L -> "B"))
+      // batch 2: A re-sent inside the watermark window -> dropped
+      input.addData(ts(3) -> "A")
+      query.processAllAvailable()
+      assert(emitted().count(_._2 == "A") == 1)
+      // batch 3 advances the watermark far past A's state...
+      input.addData(ts(100) -> "C")
+      query.processAllAvailable()
+      // ...so batch 4's A is a NEW key again (state was evicted — bounded
+      // by ingest rate x watermark, not corpus size)
+      input.addData(ts(120) -> "A")
+      query.processAllAvailable()
+      assert(emitted().count(_._2 == "A") == 2)
+      assert(emitted().length == 4)
+    } finally query.stop()
+  }
+
   test("windowedCounts over the batch events table matches a manual bucket count") {
     val events = graft.Tables(spark, sf0001).events
     val out = StreamOps.windowedCounts(events, "1 day", "1 day", "1 hour")

@@ -298,6 +298,119 @@ object TrainPrep {
       .orderBy("lang", "split")
   }
 
+  // PII patterns shared by x20's engine and oracle sides. Written to the
+  // RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so the
+  // exact same pattern string runs in both engines.
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val Ipv4Re  = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+  private val PhoneRe = """\+\d{1,2}-\d{3}-\d{3}-\d{4}"""
+
+  val x20_pii_redact = Q(
+    "x20_pii_redact",
+    s"""WITH raw AS (
+       |  SELECT doc_id,
+       |         text
+       |           || CASE WHEN doc_id % 3 = 0
+       |                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+       |                   ELSE '' END
+       |           || CASE WHEN doc_id % 5 = 0
+       |                   THEN ' call +1-415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                   ELSE '' END
+       |           || CASE WHEN doc_id % 7 = 0
+       |                   THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+       |                   ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_email,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phone,
+       |       CAST(len(regexp_extract_all(text, '$Ipv4Re'))  AS BIGINT) AS n_ip,
+       |       regexp_replace(
+       |         regexp_replace(
+       |           regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+       |           '$Ipv4Re', '[IP]', 'g'),
+       |         '$PhoneRe', '[PHONE]', 'g') AS redacted
+       |FROM raw ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // PII redaction, the curation step between quality filtering and
+    // packing in a web-corpus pipeline: count and mask emails / phone
+    // numbers / IPv4 addresses per document. Pure map-side (zero shuffle
+    // until the presentation sort — at 100 TB this runs inside the same
+    // scan stage as the quality gates). The synthetic corpus carries no
+    // PII, so spans are injected deterministically from doc_id on BOTH
+    // engine and oracle sides; the regex logic under test is real.
+    // Replacement order matters only for overlap classes — IP before
+    // phone, so a dotted-quad is never half-eaten by the phone pattern.
+    val injected = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.org")))
+        .otherwise(""),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1-415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(""),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 200).cast("string"), lit(".3."), (col("doc_id") % 250).cast("string")))
+        .otherwise(""))
+    t.documents
+      .select(col("doc_id"), injected.as("text"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val x21_domain_blocklist = Q(
+    "x21_domain_blocklist",
+    """WITH urls AS (
+      |  SELECT doc_id, lang,
+      |         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT doc_id, lang,
+      |         regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host
+      |  FROM urls),
+      |block AS (SELECT * FROM (VALUES
+      |  ('src3.example.com'), ('src7.example.com'), ('src11.example.com'),
+      |  ('src16.example.com')) AS b(host))
+      |SELECT h.host, CAST(h.host IN (SELECT host FROM block) AS BOOLEAN) AS blocked,
+      |       count(*) AS n_docs, count(DISTINCT h.lang) AS n_langs
+      |FROM hosts h
+      |GROUP BY h.host, blocked ORDER BY h.host""".stripMargin,
+  ) { t =>
+    // Domain blocklist filtering (the C4/RefinedWeb source gate): derive
+    // each document's URL host, classify it against a blocklist table, and
+    // report per-host disposition. The blocklist is a genuinely separate
+    // (tiny) table joined with an explicit broadcast LEFT join — at 100 TB
+    // the corpus side never shuffles; every task probes the broadcast hash
+    // set in place. Host extraction is the same RE2-safe regex in both
+    // engines (DuckDB has no parse_url; a regex keeps the oracle exact —
+    // Spark's parse_url(url,'HOST') produces the identical value here and
+    // stays the production spelling for query-string URLs).
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val blocklist = Seq(
+      "src3.example.com", "src7.example.com", "src11.example.com", "src16.example.com")
+      .toDF("host").withColumn("blocked_hit", lit(true))
+    t.documents
+      .select(
+        col("doc_id"), col("lang"),
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"), col("doc_id").cast("string")).as("url"))
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1))
+      .join(broadcast(blocklist), Seq("host"), "left")
+      .withColumn("blocked", coalesce(col("blocked_hit"), lit(false)))
+      .groupBy("host", "blocked")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("lang")).as("n_langs"))
+      .orderBy("host")
+  }
+
   val all: Seq[Q] = Seq(
-    x14_stratified_sample, x15_sequence_packing, x16_decontamination, x19_curation_pipeline)
+    x14_stratified_sample, x15_sequence_packing, x16_decontamination,
+    x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist)
 }

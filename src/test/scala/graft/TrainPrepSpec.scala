@@ -70,6 +70,36 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("x20 redaction: every injected span masked, counts match injection schedule") {
+    val rows = TrainPrep.x20_pii_redact.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nEmail, nPhone, nIp, red) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(nEmail == (if (id % 3 == 0) 1L else 0L), s"doc $id email count")
+      assert(nPhone == (if (id % 5 == 0) 1L else 0L), s"doc $id phone count")
+      assert(nIp == (if (id % 7 == 0) 1L else 0L), s"doc $id ip count")
+      // nothing PII-shaped survives redaction
+      assert(!red.contains("@"), s"doc $id leaked an email")
+      assert(!red.matches(".*\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}.*"), s"doc $id leaked a phone")
+      assert(!red.matches(".*\\b(\\d{1,3}\\.){3}\\d{1,3}\\b.*"), s"doc $id leaked an ip")
+      if (id % 3 == 0) assert(red.contains("[EMAIL]"))
+      if (id % 5 == 0) assert(red.contains("[PHONE]"))
+      if (id % 7 == 0) assert(red.contains("[IP]"))
+    }
+  }
+
+  test("x21 blocklist: exactly the 4 listed hosts blocked; plan broadcasts the blocklist") {
+    val df   = TrainPrep.x21_domain_blocklist.run(spark, sf0001)
+    val rows = df.collect()
+    val blocked = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSet
+    assert(blocked == Set(
+      "src3.example.com", "src7.example.com", "src11.example.com", "src16.example.com"))
+    assert(rows.length == 20, "one row per source host")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$plan")
+  }
+
   test("x16 plan: eval shingle set is broadcast (corpus shingles never shuffle for the join)") {
     val df = TrainPrep.x16_decontamination.run(spark, sf0001)
     df.collect()

@@ -410,7 +410,76 @@ object TrainPrep {
       .orderBy("host")
   }
 
+  val x22_boilerplate_ngrams = Q(
+    "x22_boilerplate_ngrams",
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh FROM (
+      |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+      |SELECT sh AS gram, count(*) AS doc_freq
+      |FROM sh GROUP BY sh
+      |ORDER BY doc_freq DESC, gram LIMIT 20""".stripMargin,
+  ) { t =>
+    // Corpus-wide boilerplate detection: the top-k word 3-grams by document
+    // frequency — how navigation/footer/license boilerplate lists are built
+    // before a removal pass. Distinct-per-doc first (a gram repeated inside
+    // one doc counts once), then one partial-aggregated count shuffle on
+    // the gram key, then top-k via TakeOrderedAndProject — the global sort
+    // never materializes, so at 100 TB the only full-data movement is the
+    // map-side-combined gram count. Deterministic total order: doc_freq
+    // desc, gram asc.
+    wordGrams(t.documents, 3)
+      .groupBy(col("sh").as("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(20)
+  }
+
+  val x23_cluster_canonical = Q(
+    "x23_cluster_canonical",
+    """WITH comp AS (
+      |  SELECT doc_id, doc_id - doc_id % 7 AS component FROM documents),
+      |scored AS (
+      |  SELECT c.component, d.doc_id, len(string_split(d.text, ' ')) AS tokens
+      |  FROM comp c JOIN documents d USING (doc_id)),
+      |ranked AS (
+      |  SELECT component, doc_id, tokens,
+      |         row_number() OVER (PARTITION BY component
+      |                            ORDER BY tokens DESC, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY component) AS n_members
+      |  FROM scored)
+      |SELECT CAST(component AS BIGINT) AS component, doc_id AS canonical_doc,
+      |       CAST(tokens AS BIGINT) AS tokens, n_members
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
+  ) { t =>
+    // Canonical-document selection, the step that CONSUMES near-dup
+    // clustering: given duplicate clusters (the real min-label
+    // GraphOps.connectedComponents loop over the g7 chain edges, whose
+    // component label has the closed form doc_id - doc_id % 7 the oracle
+    // replays), keep the highest-quality member per cluster — max token
+    // count, doc_id as the deterministic tiebreak. One shuffle on the
+    // component key after the label join; max_by never materializes a
+    // per-cluster sort. At 100 TB the cluster labels come off the dedup
+    // pass and this is the single keyed aggregation that shrinks the
+    // corpus to its canonical set.
+    val edges = t.documents
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+    val labels = GraphOps.connectedComponents(edges, t.spark)
+      .withColumnsRenamed(Map("node" -> "doc_id"))
+    t.documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tokens"))
+      .join(labels, "doc_id")
+      .groupBy("component")
+      .agg(
+        expr("max_by(doc_id, struct(tokens, -doc_id))").as("canonical_doc"),
+        max(col("tokens")).as("tokens"),
+        count(lit(1)).as("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
-    x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist)
+    x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
+    x22_boilerplate_ngrams, x23_cluster_canonical)
 }

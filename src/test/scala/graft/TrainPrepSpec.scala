@@ -100,6 +100,41 @@ class TrainPrepSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"blocklist not broadcast:\n$plan")
   }
 
+  test("x20 plan: redaction is map-side — no hash exchange, only the presentation sort") {
+    val df = TrainPrep.x20_pii_redact.run(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("x22 boilerplate: exactly top-20, doc_freq non-increasing, plan uses top-k not global sort") {
+    val df   = TrainPrep.x22_boilerplate_ngrams.run(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val freqs = rows.map(_.getLong(1))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "doc_freq must be sorted desc")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not be a global sort:\n$plan")
+  }
+
+  test("x23 canonical: one row per cluster, canonical is the max-token member, members sum to corpus") {
+    val rows = TrainPrep.x23_cluster_canonical.run(spark, sf0001).collect()
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "cast(size(split(text, ' ')) as long) as tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(3)).sum == docs.size, "every doc belongs to exactly one cluster")
+    rows.foreach { r =>
+      val (component, canonical, tokens) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val members = docs.keys.filter(id => id - id % 7 == component)
+      assert(members.toSet.contains(canonical), s"canonical $canonical outside cluster $component")
+      val best = members.map(docs).max
+      assert(tokens == best, s"cluster $component canonical is not max-token")
+      assert(docs(canonical) == best)
+      // deterministic tiebreak: smallest doc_id among the max-token members
+      assert(canonical == members.filter(docs(_) == best).min)
+    }
+  }
+
   test("x16 plan: eval shingle set is broadcast (corpus shingles never shuffle for the join)") {
     val df = TrainPrep.x16_decontamination.run(spark, sf0001)
     df.collect()

@@ -300,10 +300,26 @@ object TrainPrep {
 
   // PII patterns shared by x20's engine and oracle sides. Written to the
   // RE2 ∩ java.util.regex common subset (no lookaround, no backrefs) so the
-  // exact same pattern string runs in both engines.
-  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private val Ipv4Re  = """\b(\d{1,3}\.){3}\d{1,3}\b"""
-  private val PhoneRe = """\+\d{1,2}-\d{3}-\d{3}-\d{4}"""
+  // exact same pattern string runs in both engines. private[graft] so the
+  // redaction property test drives the identical patterns + order.
+  private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val Ipv4Re  = """\b(\d{1,3}\.){3}\d{1,3}\b"""
+  // trailing \b: a "phone" whose last group runs on into more digits is
+  // not a phone — and, more important, without it the phone pass could
+  // bite a 4-digit prefix out of a longer digit run and leave an
+  // IP-shaped remnant that only becomes boundary-visible after
+  // replacement (found by the redaction property test; e.g.
+  // "+1-415-555-00255.2.5.2"). With \b the email→IP→phone chain is a
+  // fixpoint: no pass can create a match for a later-or-same pass.
+  private[graft] val PhoneRe = """\+\d{1,2}-\d{3}-\d{3}-\d{4}\b"""
+
+  /** The x20 redaction as a plain-JVM function: same patterns, same order
+    * (email → IP → phone) as the Column form — java.util.regex is the
+    * exact engine Spark's regexp_replace runs, so properties proven here
+    * hold for the query.
+    */
+  private[graft] def redactPii(s: String): String =
+    s.replaceAll(EmailRe, "[EMAIL]").replaceAll(Ipv4Re, "[IP]").replaceAll(PhoneRe, "[PHONE]")
 
   val x20_pii_redact = Q(
     "x20_pii_redact",
@@ -478,8 +494,63 @@ object TrainPrep {
       .orderBy("component")
   }
 
+  val x24_quality_verdicts = Q(
+    "x24_quality_verdicts",
+    """WITH d AS (
+      |  SELECT lang, text,
+      |         len(string_split(text, ' ')) AS toks,
+      |         CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS mean_len
+      |  FROM documents),
+      |bg AS (
+      |  SELECT lang, text, toks, mean_len,
+      |         (SELECT count(DISTINCT array_to_string(w[i:i+1], ' '))
+      |          FROM (SELECT string_split(text, ' ') AS w) t,
+      |               unnest(generate_series(1, len(w) - 1)) u(i)) AS uniq_bg
+      |  FROM d),
+      |v AS (
+      |  SELECT lang,
+      |         CASE WHEN toks < 25 THEN 'too_short'
+      |              WHEN toks > 90 THEN 'too_long'
+      |              WHEN mean_len < 4.15 OR mean_len > 4.9 THEN 'word_length'
+      |              WHEN 1.0 - CAST(uniq_bg AS DOUBLE) / (toks - 1) > 0.09 THEN 'repetitive'
+      |              ELSE 'ok' END AS verdict
+      |  FROM bg)
+      |SELECT lang, verdict, count(*) AS n_docs
+      |FROM v GROUP BY lang, verdict ORDER BY lang, verdict""".stripMargin,
+  ) { t =>
+    // Rule-based quality filtering with verdict ATTRIBUTION (the
+    // Gopher-rule report shape): each document gets its first failing
+    // rule — length bounds, mean word length, bigram repetition — or
+    // 'ok', and the report is the per-(lang, verdict) histogram a
+    // curation run emits before the drop decision. All signals are
+    // map-side expressions over one scan (no joins, no windows); the
+    // only shuffle is the final histogram aggregation, so at 100 TB
+    // this is a single pass. Thresholds sit inside the measured corpus
+    // distribution so every verdict class is exercised (toks p10≈21,
+    // p90=88; mean_len 4.15/4.9 are the ~p2/p98 of the mid-length band; dup_frac p99≈0.10). mean_len counts
+    // separator chars out: (chars - (toks-1)) / toks over the
+    // single-space-joined corpus — both engines derive it from the same
+    // two integers, so the doubles compare identically.
+    val toks = size(split(col("text"), " "))
+    val grams = transform(sequence(lit(1), toks - 1), i => array_join(slice(split(col("text"), " "), i, lit(2)), " "))
+    val meanLen = (length(col("text")) - toks + 1).cast("double") / toks
+    val dupFrac = lit(1.0) - size(array_distinct(grams)).cast("double") / (toks - 1)
+    t.documents
+      .select(
+        col("lang"),
+        when(toks < 25, "too_short")
+          .when(toks > 90, "too_long")
+          .when(meanLen < 4.15 || meanLen > 4.9, "word_length")
+          .when(dupFrac > 0.09, "repetitive")
+          .otherwise("ok").as("verdict"))
+      .groupBy("lang", "verdict")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "verdict")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
-    x22_boilerplate_ngrams, x23_cluster_canonical)
+    x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts)
 }

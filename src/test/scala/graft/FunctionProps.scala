@@ -59,4 +59,27 @@ object FunctionProps extends Properties("graft.functions") {
       // (10 base hits / <=30 tokens > 2%)
       TextFunctions.langIdOf((langBases(lang).split(" ").toSeq ++ noise).mkString(" ")) == lang
     }
+
+  // x20's patterns via java.util.regex — the same engine Spark's
+  // regexp_replace runs, so these properties transfer to the query.
+  private val piiFragment = Gen.oneOf(
+    "plain", "word", "a@b.co", "user.name+tag@mail.example.org",
+    "+1-415-555-0000", "+12-123-456-7890", "10.1.2.3", "255.255.255.255",
+    // near-misses that must NOT be eaten (and must not mask a real span)
+    "a@b.c", "user@", "@example.com", "+1-415-555", "1.2.3", "1.2.3.4.5",
+    // adjacency stress: spans glued together with no separator
+    "10.1.2.3+1-415-555-0000", "a@b.coc@d.ef")
+  private val piiText = for {
+    frags <- Gen.listOf(piiFragment)
+    seps  <- Gen.listOfN(frags.length, Gen.oneOf(" ", "", ".", "-"))
+  } yield frags.zip(seps).map { case (f, s) => f + s }.mkString
+
+  property("pii redaction: no email/phone/ipv4 span survives, and it is idempotent") =
+    forAll(piiText) { t =>
+      import graft.operators.TrainPrep
+      val red = TrainPrep.redactPii(t)
+      val leaked = Seq(TrainPrep.EmailRe, TrainPrep.Ipv4Re, TrainPrep.PhoneRe)
+        .exists(p => java.util.regex.Pattern.compile(p).matcher(red).find())
+      !leaked && TrainPrep.redactPii(red) == red
+    }
 }

@@ -135,6 +135,18 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("x24 verdicts: counts partition the corpus, labels from the fixed rule set, one-pass plan") {
+    val df   = TrainPrep.x24_quality_verdicts.run(spark, sf0001)
+    val rows = df.collect()
+    val corpusSize = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == corpusSize, "every doc gets exactly one verdict")
+    val labels = rows.map(_.getString(1)).toSet
+    assert(labels.subsetOf(Set("ok", "too_short", "too_long", "word_length", "repetitive")))
+    assert(labels.contains("ok"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"verdicts must come from one scan, no joins:\n$plan")
+  }
+
   test("x16 plan: eval shingle set is broadcast (corpus shingles never shuffle for the join)") {
     val df = TrainPrep.x16_decontamination.run(spark, sf0001)
     df.collect()

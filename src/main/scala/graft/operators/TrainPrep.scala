@@ -181,7 +181,10 @@ object TrainPrep {
 
   val x19_curation_pipeline = Q(
     "x19_curation_pipeline",
-    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 11),
+    s"""WITH corpus AS (
+       |  SELECT * FROM documents
+       |  WHERE doc_id % 50 <> 11
+       |    AND source NOT IN ('src3', 'src7', 'src11', 'src16')),
        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 11),
        |dedup AS (
        |  SELECT doc_id, lang, text FROM (
@@ -229,8 +232,11 @@ object TrainPrep {
   ) { t =>
     // The FLAGSHIP composition: the full curation chain a pretraining
     // corpus goes through, as ONE oracle-checked dataflow —
-    //   holdout -> exact dedup -> quality gates -> decontamination ->
-    //   hash sample + split -> sequence packing -> reporting
+    //   source blocklist -> holdout -> exact dedup -> quality gates ->
+    //   decontamination -> hash sample + split -> sequence packing ->
+    //   reporting
+    // (the blocklist is x21's source gate applied at the source column —
+    // the host mapping is 1:1 — so blocked domains never reach dedup;
     // (thresholds from the measured corpus: tokens >= 20 drops ~p10,
     // dup_bigram <= 0.10 drops ~p99 outliers). Stage plans are the
     // individually-verified x-row shapes (a5 dedup as a keyed window,
@@ -241,7 +247,9 @@ object TrainPrep {
     // one broadcast anti-join, one final aggregation.
     import org.apache.spark.sql.expressions.Window
     val toks = split(col("text"), " ")
-    val corpus = t.documents.filter(col("doc_id") % 50 =!= 11)
+    val corpus = t.documents
+      .filter(col("doc_id") % 50 =!= 11)
+      .filter(!col("source").isin("src3", "src7", "src11", "src16"))
     val eval   = t.documents.filter(col("doc_id") % 50 === 11)
     // 1. exact dedup: canonical copy = min doc_id per content hash.
     // groupBy(hash).agg(min) + semi-join, NOT a window over the hash: the

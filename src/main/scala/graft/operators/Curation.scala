@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** User-facing training-data curation API — the library surface behind the
+  * x14-x24 registry rows (which pin each function to the DuckDB oracle
+  * with the test corpus's parameters). Generalizes the reference's dedup
+  * mandate (`services/content_deduplicator.py:31-88`) to the full curation
+  * chain a pretraining corpus runs.
+  *
+  * Design rules (100 TB):
+  *  - every per-document decision is a pure column expression (codegen'd,
+  *    no UDFs, no shuffles);
+  *  - every corpus-level step is a single keyed shuffle or a broadcast
+  *    probe, never an all-pairs join;
+  *  - every sampling/split decision is a salted hash of a stable key —
+  *    reruns, retried tasks, and other engines reproduce it bit-for-bit
+  *    (`rand()` is none of those).
+  */
+object Curation {
+
+  /** Salted uniform hash of `key` into [0, mod): first 6 md5 hex nibbles
+    * as an integer. Engine-portable (md5 is everywhere), deterministic,
+    * and independent across salts — the basis for sampling (one salt) and
+    * split assignment (another).
+    */
+  def hashBucket(key: Column, salt: String, mod: Int): Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % mod
+
+  /** Keep rows whose salted hash bucket falls under `keepPct` (a per-row
+    * Column in [0,100] — pass a CASE over strata for stratified rates).
+    */
+  def sampleByHash(df: DataFrame, key: Column, keepPct: Column, salt: String = "s|"): DataFrame =
+    df.filter(hashBucket(key, salt, 100) < keepPct)
+
+  /** Deterministic 80/10/10 train/val/test assignment from a stable key. */
+  def assignSplit(key: Column, salt: String = "p|"): Column = {
+    val b = hashBucket(key, salt, 10)
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
+
+  /** Whitespace token count of `text` as a long. */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** Concat-and-chunk sequence packing: with rows ordered by `orderCol`
+    * within each stratum, a row's bin is the `window`-token context its
+    * first token lands in. Adds `cum` and `bin`. One shuffle (stratum
+    * key); integer-exact, so any engine agrees on every bin.
+    */
+  def packBins(
+      df: DataFrame,
+      strata: Seq[String],
+      tokensCol: String,
+      orderCol: String,
+      window: Int,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(col(tokensCol)).over(w))
+      .withColumn("bin", expr(s"(cum - $tokensCol) div $window"))
+  }
+
+  /** Distinct word-k-grams per row: (idCol, sh). Rows shorter than k
+    * tokens contribute nothing.
+    */
+  def wordGrams(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val sh = when(
+      size(toks) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(sh).as("sh"))
+  }
+
+  /** Training docs sharing any word n-gram with `eval`: (idCol, n_hits).
+    * The eval shingle set broadcasts — the corpus side never shuffles for
+    * the join, the only viable shape at corpus scale.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+  ): DataFrame =
+    wordGrams(corpus, idCol, textCol, n)
+      .join(broadcast(wordGrams(eval, idCol, textCol, n).select("sh").distinct()), "sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** Mask emails, IPv4 addresses, and phone numbers (that order — the
+    * chain is a fixpoint, property-tested in FunctionProps). Patterns from
+    * TrainPrep (RE2 ∩ java.util.regex).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, TrainPrep.EmailRe, "[EMAIL]"),
+        TrainPrep.Ipv4Re, "[IP]"),
+      TrainPrep.PhoneRe, "[PHONE]")
+
+  /** Per-class PII counts, computed on the unredacted text. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(TrainPrep.EmailRe)).cast("long").as("n_email"),
+    regexp_count(text, lit(TrainPrep.PhoneRe)).cast("long").as("n_phone"),
+    regexp_count(text, lit(TrainPrep.Ipv4Re)).cast("long").as("n_ip"))
+
+  /** URL host, RE2-safe (same value as parse_url(url,'HOST') for these
+    * shapes; the regex spelling keeps cross-engine parity).
+    */
+  def hostOf(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/:?#]+)", 1)
+
+  /** First-failing-rule quality verdict: length bounds, mean word length
+    * band, bigram-repetition cap — or 'ok'. All signals are expressions
+    * over the text column; one scan, no joins.
+    */
+  def qualityVerdict(
+      text: Column,
+      minTokens: Int,
+      maxTokens: Int,
+      minMeanLen: Double,
+      maxMeanLen: Double,
+      maxDupFrac: Double,
+  ): Column = {
+    val toks    = size(split(text, " "))
+    val grams   = transform(sequence(lit(1), toks - 1), i => array_join(slice(split(text, " "), i, lit(2)), " "))
+    val meanLen = (length(text) - toks + 1).cast("double") / toks
+    val dupFrac = lit(1.0) - size(array_distinct(grams)).cast("double") / (toks - 1)
+    when(toks < minTokens, "too_short")
+      .when(toks > maxTokens, "too_long")
+      .when(meanLen < minMeanLen || meanLen > maxMeanLen, "word_length")
+      .when(dupFrac > maxDupFrac, "repetitive")
+      .otherwise("ok")
+  }
+
+  /** Corpus-wide top-k word n-grams by document frequency — the
+    * boilerplate-list builder. Map-side-combined count, top-k via
+    * TakeOrderedAndProject (no global sort).
+    */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
+    wordGrams(df, idCol, textCol, n)
+      .groupBy(col("sh").as("gram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("gram"))
+      .limit(k)
+
+  /** One row per cluster: the member with the highest `qualityCol` (id as
+    * deterministic tiebreak), plus cluster size. `labeled` carries
+    * (idCol, qualityCol, componentCol).
+    */
+  def canonicalPerCluster(
+      labeled: DataFrame,
+      componentCol: String,
+      idCol: String,
+      qualityCol: String,
+  ): DataFrame =
+    labeled
+      .groupBy(componentCol)
+      .agg(
+        expr(s"max_by($idCol, struct($qualityCol, -$idCol))").as("canonical_doc"),
+        max(col(qualityCol)).as(qualityCol),
+        count(lit(1)).as("n_members"))
+}

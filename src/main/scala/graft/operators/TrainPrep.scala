@@ -4,9 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Q
 
-/** Training-data preparation operators (builder contract, §2.12 extension
-  * family): deterministic stratified sampling + train/val/test splitting,
-  * sequence packing (concat-and-chunk), and eval-set decontamination.
+/** Training-data preparation registry rows (builder contract, §2.12
+  * extension family): deterministic stratified sampling + train/val/test
+  * splitting, sequence packing (concat-and-chunk), eval-set
+  * decontamination, PII redaction, domain blocklisting, boilerplate
+  * mining, canonical-per-cluster selection, and quality verdicts. The
+  * reusable library surface lives in [[Curation]]; each Q row here pins a
+  * Curation function to the DuckDB oracle with the test corpus's
+  * parameters.
   *
   * Scale design (100 TB): every op here is a map-side expression or a
   * single keyed shuffle —
@@ -24,14 +29,9 @@ import graft.Q
   */
 object TrainPrep {
 
-  /** First 6 md5 hex nibbles of `s` as an integer in [0, 16^6) — the
-    * engine-portable uniform hash behind sampling/split decisions.
-    */
-  private def md5Bucket(s: Column): Column =
-    conv(substring(md5(s), 1, 6), 16, 10).cast("long")
-
-  /** DuckDB rendering of md5Bucket (nibble positional sum — DuckDB has no
-    * hex->int cast that is guaranteed across versions).
+  /** DuckDB rendering of Curation.hashBucket's pre-mod value (nibble
+    * positional sum — DuckDB has no hex->int cast that is guaranteed
+    * across versions).
     */
   private def md5BucketSql(s: String): String =
     (0 until 6)
@@ -39,17 +39,8 @@ object TrainPrep {
       .mkString("(", " + ", ")")
 
   /** Distinct word-k-grams per document: (doc_id, sh). */
-  private def wordGrams(df: DataFrame, k: Int): DataFrame = {
-    val toks = split(col("text"), " ")
-    val sh = when(
-      size(toks) >= k,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => array_join(slice(toks, i, lit(k)), " "))))
-      .otherwise(array().cast("array<string>"))
-    df.select(col("doc_id"), explode(sh).as("sh"))
-  }
+  private def wordGrams(df: DataFrame, k: Int): DataFrame =
+    Curation.wordGrams(df, "doc_id", "text", k)
 
   val x14_stratified_sample = Q(
     "x14_stratified_sample",
@@ -79,16 +70,13 @@ object TrainPrep {
     // tasks (`rand()` is none of those), and the two decisions are
     // independent (different salts). Pure map-side: the only shuffle is
     // the reporting aggregation.
-    val keep  = md5Bucket(concat(lit("s|"), col("doc_id").cast("string"))) % 100
-    val split = md5Bucket(concat(lit("p|"), col("doc_id").cast("string"))) % 10
-    t.documents
-      .withColumn("keep_bucket", keep)
-      .filter(col("keep_bucket") < when(col("lang") === "en", 25).otherwise(75))
+    Curation
+      .sampleByHash(t.documents, col("doc_id"), when(col("lang") === "en", 25).otherwise(75))
       .select(
         col("lang"),
-        when(split < 8, "train").when(split === 8, "val").otherwise("test").as("split"),
+        Curation.assignSplit(col("doc_id")).as("split"),
         col("doc_id"),
-        size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long").as("tokens"))
+        Curation.tokenCount(col("text")).as("tokens"))
       .groupBy("lang", "split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -122,16 +110,13 @@ object TrainPrep {
     // resets per bin — is sequential by nature; concat-and-chunk is the
     // standard scalable approximation and what training loaders actually
     // consume.) doc_id is unique, so the window order is total.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.documents
-      .select(
-        col("lang"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("tokens"))
-      .withColumn("cum", sum(col("tokens")).over(w))
-      // integer `div`, not `/` (double division would round, not floor)
-      .withColumn("bin", expr("(cum - tokens) div 512"))
+    // integer `div` inside packBins, not `/` (double division would
+    // round, not floor)
+    Curation.packBins(
+        t.documents.select(
+          col("lang"), col("doc_id"),
+          Curation.tokenCount(col("text")).as("tokens")),
+        Seq("lang"), "tokens", "doc_id", 512)
       .groupBy("lang", "bin")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -171,11 +156,7 @@ object TrainPrep {
     // near zero, the standard decontamination setting.
     val eval  = t.documents.filter(col("doc_id") % 50 === 11)
     val train = t.documents.filter(col("doc_id") % 50 =!= 11)
-    val evalShingles = wordGrams(eval, 8).select("sh").distinct()
-    wordGrams(train, 8)
-      .join(broadcast(evalShingles), "sh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
+    Curation.decontaminate(train, eval, "doc_id", "text", 8)
       .orderBy("doc_id")
   }
 
@@ -280,24 +261,17 @@ object TrainPrep {
       .select("doc_id", "lang", "text", "tokens")
       .localCheckpoint()
     // 3. decontamination: drop docs overlapping the holdout on any 8-gram
-    val contaminated = wordGrams(quality, 8)
-      .join(broadcast(wordGrams(eval, 8).select("sh").distinct()), "sh")
-      .select("doc_id").distinct()
+    val contaminated = Curation.decontaminate(quality, eval, "doc_id", "text", 8)
+      .select("doc_id")
     val clean = quality.join(contaminated, Seq("doc_id"), "left_anti")
     // 4. hash sample (75%) + train/val/test split (salted buckets, x14)
-    val keep  = md5Bucket(concat(lit("s|"), col("doc_id").cast("string"))) % 100
-    val splitB = md5Bucket(concat(lit("p|"), col("doc_id").cast("string"))) % 10
-    val sampled = clean
-      .filter(keep < 75)
+    val sampled = Curation
+      .sampleByHash(clean, col("doc_id"), lit(75))
       .select(
         col("doc_id"), col("lang"), col("tokens"),
-        when(splitB < 8, "train").when(splitB === 8, "val").otherwise("test").as("split"))
+        Curation.assignSplit(col("doc_id")).as("split"))
     // 5. pack each (lang, split) stratum into 512-token windows (x15)
-    val wPack = Window.partitionBy("lang", "split").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sampled
-      .withColumn("cum", sum(col("tokens")).over(wPack))
-      .withColumn("bin", expr("(cum - tokens) div 512"))
+    Curation.packBins(sampled, Seq("lang", "split"), "tokens", "doc_id", 512)
       .groupBy("lang", "split")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -378,15 +352,8 @@ object TrainPrep {
     t.documents
       .select(col("doc_id"), injected.as("text"))
       .select(
-        col("doc_id"),
-        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
-        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
-        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-            Ipv4Re, "[IP]"),
-          PhoneRe, "[PHONE]").as("redacted"))
+        Seq(col("doc_id")) ++ Curation.piiCounts(col("text")) :+
+          Curation.redactPii(col("text")).as("redacted"): _*)
       .orderBy("doc_id")
   }
 
@@ -426,7 +393,7 @@ object TrainPrep {
       .select(
         col("doc_id"), col("lang"),
         concat(lit("https://"), col("source"), lit(".example.com/docs/"), col("doc_id").cast("string")).as("url"))
-      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/:?#]+)", 1))
+      .withColumn("host", Curation.hostOf(col("url")))
       .join(broadcast(blocklist), Seq("host"), "left")
       .withColumn("blocked", coalesce(col("blocked_hit"), lit(false)))
       .groupBy("host", "blocked")
@@ -452,11 +419,7 @@ object TrainPrep {
     // never materializes, so at 100 TB the only full-data movement is the
     // map-side-combined gram count. Deterministic total order: doc_freq
     // desc, gram asc.
-    wordGrams(t.documents, 3)
-      .groupBy(col("sh").as("gram"))
-      .agg(count(lit(1)).as("doc_freq"))
-      .orderBy(col("doc_freq").desc, col("gram"))
-      .limit(20)
+    Curation.boilerplateGrams(t.documents, "doc_id", "text", 3, 20)
   }
 
   val x23_cluster_canonical = Q(
@@ -491,14 +454,10 @@ object TrainPrep {
       .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
     val labels = GraphOps.connectedComponents(edges, t.spark)
       .withColumnsRenamed(Map("node" -> "doc_id"))
-    t.documents
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tokens"))
+    val labeled = t.documents
+      .select(col("doc_id"), Curation.tokenCount(col("text")).as("tokens"))
       .join(labels, "doc_id")
-      .groupBy("component")
-      .agg(
-        expr("max_by(doc_id, struct(tokens, -doc_id))").as("canonical_doc"),
-        max(col("tokens")).as("tokens"),
-        count(lit(1)).as("n_members"))
+    Curation.canonicalPerCluster(labeled, "component", "doc_id", "tokens")
       .orderBy("component")
   }
 
@@ -540,18 +499,10 @@ object TrainPrep {
     // separator chars out: (chars - (toks-1)) / toks over the
     // single-space-joined corpus — both engines derive it from the same
     // two integers, so the doubles compare identically.
-    val toks = size(split(col("text"), " "))
-    val grams = transform(sequence(lit(1), toks - 1), i => array_join(slice(split(col("text"), " "), i, lit(2)), " "))
-    val meanLen = (length(col("text")) - toks + 1).cast("double") / toks
-    val dupFrac = lit(1.0) - size(array_distinct(grams)).cast("double") / (toks - 1)
     t.documents
       .select(
         col("lang"),
-        when(toks < 25, "too_short")
-          .when(toks > 90, "too_long")
-          .when(meanLen < 4.15 || meanLen > 4.9, "word_length")
-          .when(dupFrac > 0.09, "repetitive")
-          .otherwise("ok").as("verdict"))
+        Curation.qualityVerdict(col("text"), 25, 90, 4.15, 4.9, 0.09).as("verdict"))
       .groupBy("lang", "verdict")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("lang", "verdict")

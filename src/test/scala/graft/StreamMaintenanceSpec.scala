@@ -220,4 +220,38 @@ class StreamMaintenanceSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("bytes"), s"binary column leaked into scan:\n$plan")
   }
+
+  test("curation on ingest: redaction + verdict + split run unchanged on a stream") {
+    // The per-document Curation decisions are pure column expressions, so
+    // the batch-verified ops apply verbatim to readStream ingest — this is
+    // the curate-as-you-land path (dedupWithinWatermark above is the
+    // stateful stage of the same pipeline).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.operators.{Curation, TrainPrep}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val curated = input.toDF().toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        Curation.redactPii(col("text")).as("redacted"),
+        Curation.qualityVerdict(col("text"), 2, 1000, 0.0, 100.0, 0.9).as("verdict"),
+        Curation.assignSplit(col("doc_id")).as("split"))
+    val query = curated.writeStream.format("memory").queryName("curated_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, "reach me at a@b.co today"), (2L, "x"))
+      query.processAllAvailable()
+      val rows = spark.table("curated_stream").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getString(3))).toMap
+      assert(rows(1L)._1 == "reach me at [EMAIL] today")
+      assert(rows(1L)._2 == "ok" && rows(2L)._2 == "too_short")
+      // split matches the batch-side hash decision exactly
+      val batchSplit = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "text")
+        .select(col("doc_id"), Curation.assignSplit(col("doc_id")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(1L)._3 == batchSplit(1L) && rows(2L)._3 == batchSplit(2L))
+      assert(TrainPrep.redactPii("reach me at a@b.co today") == rows(1L)._1)
+    } finally query.stop()
+  }
 }

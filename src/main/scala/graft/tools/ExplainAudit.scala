@@ -17,7 +17,11 @@ object ExplainAudit {
         // round 2: keyset pagination (pushdown + top-k), broadcast marker
         // join, label-blocked cosine pairs, nested sessionizer
         "o2b_keyset_pagination", "j6_marker_join", "x13_cosine_neardup",
-        "st6_trace_turns")
+        "st6_trace_turns",
+        // round 5: curation family — broadcast decontamination, top-k
+        // boilerplate mining, map-side verdicts, the full pipeline
+        "x16_decontamination", "x19_curation_pipeline",
+        "x22_boilerplate_ngrams", "x24_quality_verdicts")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -151,6 +151,32 @@ object Curation {
       .orderBy(col("doc_freq").desc, col("gram"))
       .limit(k)
 
+  /** Materialize packBins assignments into shard content: one row per
+    * (strata..., bin) with the member docs' text concatenated in
+    * `orderCol` order — what a training loader actually reads. The
+    * in-bin ordering is recovered with sort_array over collected
+    * (order, text) structs, so the result is deterministic under any
+    * shuffle placement; one aggregation shuffle on (strata, bin).
+    */
+  def packShards(
+      df: DataFrame,
+      strata: Seq[String],
+      tokensCol: String,
+      orderCol: String,
+      textCol: String,
+      window: Int,
+  ): DataFrame =
+    packBins(df, strata, tokensCol, orderCol, window)
+      .groupBy((strata :+ "bin").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("shard_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(textCol)))),
+            s => s.getField(textCol)),
+          " ").as("shard_text"))
+
   /** One row per cluster: the member with the highest `qualityCol` (id as
     * deterministic tiebreak), plus cluster size. `labeled` carries
     * (idCol, qualityCol, componentCol).

@@ -508,8 +508,43 @@ object TrainPrep {
       .orderBy("lang", "verdict")
   }
 
+  val x25_pack_shards = Q(
+    "x25_pack_shards",
+    """WITH d AS (
+      |  SELECT lang, doc_id, text, len(string_split(text, ' ')) AS tokens FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, text, tokens,
+      |         SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d),
+      |b AS (SELECT lang, doc_id, text, tokens, (cum - tokens) // 512 AS bin FROM c)
+      |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+      |       CAST(sum(tokens) AS BIGINT) AS shard_tokens,
+      |       md5(string_agg(text, ' ' ORDER BY doc_id)) AS shard_hash
+      |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+  ) { t =>
+    // Shard materialization — the step that turns x15's bin ASSIGNMENTS
+    // into the shard CONTENT a training loader reads: per (lang, bin),
+    // member docs concatenated in doc_id order. The registry row carries
+    // md5(shard_text) instead of the text itself (shards are row-sized
+    // blobs; the hash pins every byte and both engines md5 the same
+    // string). Ordering inside a bin is recovered with sort_array over
+    // collected (doc_id, text) structs — deterministic under any shuffle
+    // placement, equivalent to DuckDB's ORDER BY inside string_agg.
+    Curation.packShards(
+        t.documents.select(
+          col("lang"), col("doc_id"), col("text"),
+          Curation.tokenCount(col("text")).as("tokens")),
+        Seq("lang"), "tokens", "doc_id", "text", 512)
+      .select(
+        col("lang"), col("bin"), col("n_docs"), col("shard_tokens"),
+        md5(col("shard_text")).as("shard_hash"))
+      .orderBy("lang", "bin")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
-    x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts)
+    x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
+    x25_pack_shards)
 }

@@ -69,6 +69,22 @@ class CurationSpec extends SparkSpec {
     assert(out(9L) == ((4L, 1L, 1L)))
   }
 
+  test("packShards: shards concatenated in bin order reconstruct the stratum corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("text"),
+        Curation.tokenCount(col("text")).as("tokens"))
+    val shards = Curation.packShards(docs, Seq("lang"), "tokens", "doc_id", "text", 512)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getString(4)).toMap
+      .groupBy(_._1._1)
+    val expected = docs.orderBy("doc_id").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(2)).mkString(" ")).toMap
+    expected.foreach { case (lang, corpus) =>
+      val rebuilt = shards(lang).toSeq.sortBy(_._1._2).map(_._2).mkString(" ")
+      assert(rebuilt == corpus, s"$lang shards do not reconstruct the corpus")
+    }
+  }
+
   test("qualityVerdict: rule precedence is first-failing") {
     // a doc that is BOTH too short and repetitive reports too_short
     val df = Seq("x x x x").toDF("text")

@@ -130,9 +130,20 @@ object Curation {
       maxDupFrac: Double,
   ): Column = {
     val toks    = size(split(text, " "))
-    val grams   = transform(sequence(lit(1), toks - 1), i => array_join(slice(split(text, " "), i, lit(2)), " "))
+    // toks >= 2 guard: with one token, sequence(1, 0) produces a
+    // DESCENDING [1, 0] and slice(_, 0, 2) throws at runtime. Current
+    // oracle-pinned callers can't reach it (the minTokens branch fires
+    // first), but the facade accepts arbitrary parameters — a 1-token doc
+    // is definitionally non-repetitive, so dupFrac degrades to 0.
+    val grams = when(
+      toks >= 2,
+      transform(sequence(lit(1), toks - 1), i => array_join(slice(split(text, " "), i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
     val meanLen = (length(text) - toks + 1).cast("double") / toks
-    val dupFrac = lit(1.0) - size(array_distinct(grams)).cast("double") / (toks - 1)
+    val dupFrac = when(
+      toks >= 2,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / (toks - 1))
+      .otherwise(lit(0.0))
     when(toks < minTokens, "too_short")
       .when(toks > maxTokens, "too_long")
       .when(meanLen < minMeanLen || meanLen > maxMeanLen, "word_length")
@@ -179,7 +190,8 @@ object Curation {
 
   /** One row per cluster: the member with the highest `qualityCol` (id as
     * deterministic tiebreak), plus cluster size. `labeled` carries
-    * (idCol, qualityCol, componentCol).
+    * (idCol, qualityCol, componentCol). `idCol` must be numeric (the
+    * tiebreak negates it for an ascending-id preference inside max_by).
     */
   def canonicalPerCluster(
       labeled: DataFrame,
@@ -190,7 +202,10 @@ object Curation {
     labeled
       .groupBy(componentCol)
       .agg(
-        expr(s"max_by($idCol, struct($qualityCol, -$idCol))").as("canonical_doc"),
+        // typed Column form, not a string expr: survives column names that
+        // need quoting and fails at analysis with a real error for
+        // non-numeric ids
+        max_by(col(idCol), struct(col(qualityCol), negate(col(idCol)))).as("canonical_doc"),
         max(col(qualityCol)).as(qualityCol),
         count(lit(1)).as("n_members"))
 }

@@ -147,19 +147,24 @@ object Extras {
       |       sqrt((sum_sq - sum_x * sum_x / n) / (n - 1)) AS stddev_qty
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_qty,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
+      |         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS mean_qty,
+      |         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_x,
+      |         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 10000 AS sum_sq
       |  FROM lineitem GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin,
   ) { t =>
-    // Variance/stddev rebuilt from order-independent decimal sums (plain
+    // Variance/stddev rebuilt from order-independent exact sums (plain
     // stddev(double) is partial-aggregation-order-dependent and would flap
-    // vs the oracle): sqrt((Σx² − (Σx)²/n)/(n−1)) over exact sums, with
-    // identical double expression trees on both engines.
-    val d2    = col("l_quantity").cast(DecimalType(18, 2))
-    val sumX  = sum(d2).cast(DoubleType)
-    val sumSq = sum(d2 * d2).cast(DoubleType)
+    // vs the oracle): sqrt((Σx² − (Σx)²/n)/(n−1)). Sums run in integer
+    // cents — exact in int64 up to >10^12 rows at max quantity — which
+    // keeps the aggregate in codegen'd long math instead of Spark's slow
+    // wide-decimal path (the r5 a12 cost). round() before the long cast so
+    // Spark's truncating cast and DuckDB's rounding cast agree even for
+    // fractional quantities; the double expression trees after aggregation
+    // are identical on both engines.
+    val cents = round(col("l_quantity") * 100).cast(LongType)
+    val sumX  = sum(cents).cast(DoubleType) / 100
+    val sumSq = sum(cents * cents).cast(DoubleType) / 10000
     val n     = count(lit(1))
     t.lineitem
       .groupBy("l_returnflag")

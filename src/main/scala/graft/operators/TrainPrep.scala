@@ -454,9 +454,15 @@ object TrainPrep {
       .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
     val labels = GraphOps.connectedComponents(edges, t.spark)
       .withColumnsRenamed(Map("node" -> "doc_id"))
+    // LEFT join + coalesce: connectedComponents only labels nodes that
+    // touch an edge, so an isolated doc (e.g. the max doc_id when it's a
+    // multiple of 7 — no successor to reach it as dst) has no label row;
+    // its singleton component is itself. An inner join would silently drop
+    // it and diverge from the oracle's closed form.
     val labeled = t.documents
       .select(col("doc_id"), Curation.tokenCount(col("text")).as("tokens"))
-      .join(labels, "doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
     Curation.canonicalPerCluster(labeled, "component", "doc_id", "tokens")
       .orderBy("component")
   }

@@ -28,11 +28,15 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     try SparkEntry.queries.values.take(3).foreach(f => exec(f(spark, "/root/testdata/sf0.001")))
     catch { case _: Throwable => }
-    // best-of-2 per query: the second run reuses compiled codegen classes,
-    // so the min isolates plan cost from JIT/classload noise. Each run of
-    // q.run builds FRESH localCheckpoint/persist blocks (graph loops,
-    // shingle/signature tables), so after a run every cached block is
-    // garbage — drop them, or ~100 queries of leaked blocks raise GC
+    // median-of-3 per query: the later runs reuse compiled codegen classes,
+    // so the median isolates plan cost from JIT/classload noise AND from
+    // one-off GC/interleaving spikes (the r5 lesson: with 115 queries in
+    // one JVM, best-of-2 let unchanged-code queries swing ±50% round over
+    // round, hiding real regressions). The max-min spread per query is
+    // recorded so a future delta can be read against measured noise.
+    // Each run of q.run builds FRESH localCheckpoint/persist blocks (graph
+    // loops, shingle/signature tables), so after a run every cached block
+    // is garbage — drop them, or ~100 queries of leaked blocks raise GC
     // pressure and inflate later queries' times.
     // unpersisting a localCheckpointed RDD logs a (harmless, expected)
     // "lineage has been truncated" WARN per block — silence that logger
@@ -48,17 +52,24 @@ object Bench {
       case Some(names) => SparkEntry.registry.filter(q => names(q.name))
       case None        => SparkEntry.registry
     }
+    case class R(name: String, median: Double, spread: Double)
     val results = selected.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try exec(q.run(spark, sfDir)) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         dropCachedBlocks()
         dt
-      }
-      q.name -> times.min
+      }.sorted
+      R(q.name, times(1), times(2) - times(0))
     }
-    val total = results.map(_._2).sum
+    val total = results.map(_.median).sum
+    // headline variance indicators: worst and median relative spread
+    // ((max-min)/median) across the registry
+    val relSpreads = results.map(r => if (r.median > 0) r.spread / r.median else 0.0)
+    val spreadMax  = if (relSpreads.isEmpty) 0.0 else relSpreads.max
+    val spreadMed  = if (relSpreads.isEmpty) 0.0
+                     else relSpreads.sorted.apply(relSpreads.size / 2)
     // Locale-independent: %.3f under a comma-decimal default locale (de_DE)
     // would emit "1,234" and corrupt the JSON.
     def fmt(v: Double): String =
@@ -69,29 +80,31 @@ object Bench {
     // map overflowed that window), so the line lists the slowest queries
     // first and stops under a hard char budget — everything else is in the
     // sidecar.
-    val full = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val full = results.map(r => "\"" + r.name + "\":" + fmt(r.median))
+      .mkString("{", ",", "}")
+    val fullSpread = results.map(r => "\"" + r.name + "\":" + fmt(r.spread))
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"n_queries":${results.size},"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
       finally w.close()
     } catch { case _: Throwable => }
     val budget  = 1400
-    val sorted  = results.sortBy(-_._2)
+    val sorted  = results.sortBy(-_.median)
     val sb      = new StringBuilder
     var taken   = 0
     var full_   = false
     // Stop at the FIRST entry that overflows the budget so the emitted map
     // is a true slowest-first prefix (a shorter-named faster query must not
     // sneak in after a skip).
-    sorted.foreach { case (k, v) =>
+    sorted.foreach { r =>
       if (!full_) {
-        val entry = (if (taken == 0) "" else ",") + "\"" + k + "\":" + fmt(v)
+        val entry = (if (taken == 0) "" else ",") + "\"" + r.name + "\":" + fmt(r.median)
         if (sb.length + entry.length <= budget) { sb.append(entry); taken += 1 }
         else full_ = true
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -232,9 +232,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val x3b_minhash_md5 = Q(
-    "x3b_minhash_md5",
-    """WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** DuckDB CTE chain producing the x3b candidate pairs as `pairs(doc_a,
+    * doc_b)` — the oracle rendering of [[minhashMd5Pairs]]. Shared by the
+    * x3b registry row and TrainPrep's x26 near-dup pipeline (which embeds
+    * it under its WITH RECURSIVE prologue).
+    */
+  private[operators] val minhashMd5PairsSqlCtes: String =
+    """wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM wd)),
@@ -264,27 +268,29 @@ object Dedup {
       |                 md5(mh4  || '|' || mh5  || '|' || mh6  || '|' || mh7),
       |                 md5(mh8  || '|' || mh9  || '|' || mh10 || '|' || mh11),
       |                 md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15)]) AS bucket
-      |  FROM sig)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b
-      |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin,
-  ) { t =>
-    // MinHash+LSH with md5 as the hash family — the ORACLE-CHECKED bridge
-    // for the x3 pipeline: md5 exists in both engines and emits fixed-width
-    // lowercase hex, so min() over signatures and the band-bucket equality
-    // are engine-identical (lexicographic hex order == unsigned numeric
-    // order at fixed width). The xxhash64 x3 variants remain the fast path
-    // (integer hashing, no string materialization); THIS row pins the
-    // banding/bucketing/pair-join logic itself to the driver signal.
-    //
-    // 16 slots come from FOUR md5 calls, each split into four 8-hex chunks
-    // (the standard one-hash-many-slots trick: disjoint bit ranges of a
-    // 128-bit hash are independent slots). The original 16-md5 form spent
-    // 4x the hashing for identical LSH quality — measured 4.4s -> ~1.5s at
-    // sf0.1. Spark evaluates the shared md5(seed|sh) once per seed via
-    // subexpression elimination in the partial-agg projection.
-    val sh = shingles(t.documents, 5).localCheckpoint()
+      |  FROM sig),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** MinHash+LSH candidate pairs with md5 as the hash family — the
+    * oracle-checkable x3b geometry, reusable as the pair generator of the
+    * x26 near-dup pipeline. md5 exists in both engines and emits
+    * fixed-width lowercase hex, so min() over signatures and the
+    * band-bucket equality are engine-identical (lexicographic hex order ==
+    * unsigned numeric order at fixed width). The xxhash64 x3 variants
+    * remain the fast path (integer hashing, no string materialization).
+    *
+    * 16 slots come from FOUR md5 calls, each split into four 8-hex chunks
+    * (the standard one-hash-many-slots trick: disjoint bit ranges of a
+    * 128-bit hash are independent slots). The original 16-md5 form spent
+    * 4x the hashing for identical LSH quality — measured 4.4s -> ~1.5s at
+    * sf0.1. Spark evaluates the shared md5(seed|sh) once per seed via
+    * subexpression elimination in the partial-agg projection.
+    */
+  private[operators] def minhashMd5Pairs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs, 5).localCheckpoint()
     val mins = (0 until 16).map { i =>
       val h = md5(concat_ws("|", lit((i / 4).toString), col("sh")))
       min(substring(h, 1 + 8 * (i % 4), 8)).as(s"mh$i")
@@ -304,7 +310,17 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  val x3b_minhash_md5 = Q(
+    "x3b_minhash_md5",
+    s"""WITH $minhashMd5PairsSqlCtes
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+  ) { t =>
+    // The ORACLE-CHECKED bridge for the x3 pipeline: this row pins the
+    // banding/bucketing/pair-join logic itself to the driver signal (see
+    // minhashMd5Pairs for the geometry and hashing notes).
+    minhashMd5Pairs(t.documents).orderBy("doc_a", "doc_b")
   }
 
   val x4_simhash = Q.noOracle("x4_simhash") { t =>

@@ -548,9 +548,102 @@ object TrainPrep {
       .orderBy("lang", "bin")
   }
 
+  val x26_neardup_pipeline = Q(
+    "x26_neardup_pipeline",
+    s"""WITH RECURSIVE ${Dedup.minhashMd5PairsSqlCtes},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION
+       |  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |reach AS (
+       |  SELECT src AS node, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+       |scored AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens FROM documents),
+       |labeled AS (
+       |  SELECT s.doc_id, s.lang, s.tokens,
+       |         coalesce(c.component, s.doc_id) AS component
+       |  FROM scored s LEFT JOIN comp c USING (doc_id)),
+       |canon AS (
+       |  SELECT component, doc_id, lang, tokens,
+       |         row_number() OVER (PARTITION BY component
+       |                            ORDER BY tokens DESC, doc_id) AS rn
+       |  FROM labeled),
+       |sampled AS (
+       |  SELECT doc_id, lang, tokens,
+       |         CASE WHEN ${md5BucketSql("'p|' || CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+       |              WHEN ${md5BucketSql("'p|' || CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM canon
+       |  WHERE rn = 1 AND ${md5BucketSql("'s|' || CAST(doc_id AS VARCHAR)")} % 100 < 75),
+       |packed AS (
+       |  SELECT lang, split, doc_id, tokens,
+       |         (SUM(tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+       |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - tokens) // 512 AS bin
+       |  FROM sampled)
+       |SELECT lang, split, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+       |       CAST(max(bin) + 1 AS BIGINT) AS n_bins
+       |FROM packed GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+  ) { t =>
+    // The NEAR-DUP flagship — x19's exact-dedup mandate generalized the way
+    // a real pretraining corpus runs it (the fuzzy form of the reference's
+    // content_deduplicator.py:31-88 semantics), as ONE oracle-checked
+    // dataflow composing four individually-green stages:
+    //   MinHash+LSH candidate pairs (x3b md5 geometry)
+    //     -> connectedComponents over the pair graph (g7 loop)
+    //     -> canonical-per-cluster selection (x23 shape: max tokens,
+    //        min doc_id tiebreak; unpaired docs are their own singletons)
+    //     -> hash sample 75% + 80/10/10 split (x14 salted buckets)
+    //     -> 512-token sequence packing per (lang, split) (x15 window)
+    // The oracle replays the ENTIRE chain in DuckDB — the LSH pair set
+    // md5-exactly, the clustering as a recursive-CTE min-label closure
+    // (DuckDB's equivalent of the Spark propagation loop), then the same
+    // canonical/sample/pack SQL shapes x23/x14/x15 already pin.
+    //
+    // Scale shape (100 TB): pair generation is the banded equi-join (never
+    // n^2), clustering is one keyed shuffle per round over EDGES (pair
+    // count ~ corpus dup rate, not corpus size), canonical selection is
+    // one max_by aggregation on the component key, sampling is a pure
+    // per-row hash decision, packing is one window on the stratum key. The
+    // md5 hash family is the correctness instrument; the xxhash64 x3/g7
+    // path with identical plan shapes is what a production run swaps in.
+    val scored = t.documents
+      .select(col("doc_id"), col("lang"), Curation.tokenCount(col("text")).as("tokens"))
+      .localCheckpoint() // feeds labeling AND the canonical semi-join probe
+    val edges = Dedup.minhashMd5Pairs(t.documents)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = GraphOps.connectedComponents(edges, t.spark)
+      .withColumnsRenamed(Map("node" -> "doc_id"))
+    // left + coalesce: docs in no candidate pair never enter the edge set;
+    // they are their own singleton clusters (same rule as x23).
+    val labeled = scored
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val canonicalIds = Curation
+      .canonicalPerCluster(labeled, "component", "doc_id", "tokens")
+      .select(col("canonical_doc").as("doc_id"))
+    val canonical = scored.join(canonicalIds, Seq("doc_id"), "left_semi")
+    val sampled = Curation
+      .sampleByHash(canonical, col("doc_id"), lit(75))
+      .select(
+        col("doc_id"), col("lang"), col("tokens"),
+        Curation.assignSplit(col("doc_id")).as("split"))
+    Curation.packBins(sampled, Seq("lang", "split"), "tokens", "doc_id", 512)
+      .groupBy("lang", "split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("sum_tokens"),
+        (max(col("bin")) + 1).as("n_bins"))
+      .orderBy("lang", "split")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
-    x25_pack_shards)
+    x25_pack_shards, x26_neardup_pipeline)
 }

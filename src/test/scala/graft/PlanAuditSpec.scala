@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{ApiQueries, Relational}
+import graft.operators.{ApiQueries, Relational, TrainPrep}
 
 /** Physical-plan assertions for the round-2 scale-relevant queries — the
   * shapes SCALE.md promises must actually appear in the executed plan, not
@@ -38,5 +38,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(
       plan.contains("EqualTo(p_brand,Brand#13)"),
       s"project filter not pushed through the typed facade:\n$plan")
+  }
+
+  test("x19 curation plan: decontamination probe broadcast, no shuffle join anywhere") {
+    // The flagship's promised shape (TrainPrep x19 comments): the eval
+    // 8-gram set reaches the corpus side as a broadcast build, the dedup
+    // semi-join is AQE-broadcast at this scale, and no stage degrades to a
+    // SortMergeJoin. Locks the curation plan against regression.
+    val plan = finalPlan(TrainPrep.x19_curation_pipeline.run(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"curation chain must not shuffle-join at this scale:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross products in the pipeline:\n$plan")
+  }
+
+  test("x23 canonical plan: selection is one hash aggregate, no per-cluster sort") {
+    // canonicalPerCluster promises max_by (one keyed aggregation), not a
+    // rank-window: the executed plan must aggregate on the component key
+    // and never materialize a per-cluster Sort+Window.
+    val plan = finalPlan(TrainPrep.x23_cluster_canonical.run(spark, sf0001))
+    assert(plan.contains("max_by") || plan.contains("HashAggregate"),
+      s"canonical selection must be an aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"selection must not use a rank window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross products:\n$plan")
   }
 }

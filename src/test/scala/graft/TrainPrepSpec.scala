@@ -147,6 +147,64 @@ class TrainPrepSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"verdicts must come from one scan, no joins:\n$plan")
   }
 
+  test("x26 near-dup pipeline: matches an independent JVM replication of the full chain") {
+    // Replicates LSH-pairs -> union-find -> canonical -> md5 sample/split ->
+    // packing with plain Scala collections and java.security MD5, then
+    // compares the aggregated report cell-for-cell. A second engine-side
+    // implementation (beyond the DuckDB oracle) that pins the composition,
+    // not just each stage.
+    val rows = TrainPrep.x26_neardup_pipeline.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "lang", "cast(size(split(text, ' ')) as long) as tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tokensOf = docs.map(d => d._1 -> d._3).toMap
+    val langOf   = docs.map(d => d._1 -> d._2).toMap
+
+    val pairs = operators.Dedup.x3b_minhash_md5.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // union-find over the candidate-pair graph; unpaired docs stay singletons
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byCluster = docs.map(_._1).groupBy(find)
+
+    // canonical: max tokens, then smallest doc_id
+    val canonicals = byCluster.values.map(ms => ms.minBy(id => (-tokensOf(id), id))).toSet
+
+    def bucket(salt: String, id: Long, mod: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id.toString).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(6), 16) % mod
+    }
+    val sampled = canonicals.toSeq.filter(bucket("s|", _, 100) < 75)
+    def splitOf(id: Long): String = bucket("p|", id, 10) match {
+      case b if b < 8 => "train"
+      case 8          => "val"
+      case _          => "test"
+    }
+    val expected = sampled
+      .groupBy(id => (langOf(id), splitOf(id)))
+      .map { case (k, ids) =>
+        val sorted = ids.sorted
+        val cum    = sorted.scanLeft(0L)(_ + tokensOf(_)).tail
+        val bins   = sorted.zip(cum).map { case (id, c) => (c - tokensOf(id)) / 512 }
+        k -> (ids.size.toLong, ids.map(tokensOf).sum, bins.max + 1)
+      }
+    val actual = rows.map { r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+    }.toMap
+    assert(actual == expected, s"report mismatch:\n actual=$actual\n expected=$expected")
+  }
+
   test("x16 plan: eval shingle set is broadcast (corpus shingles never shuffle for the join)") {
     val df = TrainPrep.x16_decontamination.run(spark, sf0001)
     df.collect()

@@ -188,6 +188,33 @@ object Curation {
             s => s.getField(textCol)),
           " ").as("shard_text"))
 
+  /** Materialize [[packShards]] to disk as the dataset a training loader
+    * mounts: parquet partitioned by the strata columns (so a loader
+    * reading one (lang, split) touches only that directory — partition
+    * pruning, no full scan), one file per stratum (the repartition on the
+    * strata key lands each stratum in exactly one task — the writer-side
+    * equivalent of running [[Maintenance.compact]] after an incremental
+    * append), each row carrying `shard_hash` = md5(shard_text) so a reader
+    * can verify shard bytes end-to-end without re-deriving the packing.
+    * Returns the frame as written (including the hash) for verification.
+    */
+  def writeShards(
+      df: DataFrame,
+      strata: Seq[String],
+      tokensCol: String,
+      orderCol: String,
+      textCol: String,
+      window: Int,
+      path: String,
+  ): DataFrame = {
+    val shards = packShards(df, strata, tokensCol, orderCol, textCol, window)
+      .withColumn("shard_hash", md5(col("shard_text")))
+    shards
+      .repartition(strata.map(col): _*)
+      .write.mode("overwrite").partitionBy(strata: _*).parquet(path)
+    shards
+  }
+
   /** One row per cluster: the member with the highest `qualityCol` (id as
     * deterministic tiebreak), plus cluster size. `labeled` carries
     * (idCol, qualityCol, componentCol). `idCol` must be numeric (the

@@ -85,6 +85,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("writeShards: round-trip hash equality, partition pruning, one file per stratum") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), col("doc_id"), col("text"),
+        Curation.tokenCount(col("text")).as("tokens"))
+    val written = Curation.writeShards(docs, Seq("lang"), "tokens", "doc_id", "text", 512, dir)
+
+    // round trip: every persisted shard's text re-hashes to its recorded
+    // shard_hash, and the row set matches what the writer returned
+    val back = spark.read.parquet(dir)
+    assert(back.filter(md5(col("shard_text")) =!= col("shard_hash")).isEmpty,
+      "persisted shard bytes must re-hash to shard_hash")
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select("lang", "bin", "shard_hash").collect()
+      .map(r => (r.getString(r.fieldIndex("lang")), r.getLong(r.fieldIndex("bin")),
+        r.getString(r.fieldIndex("shard_hash")))).toSet
+    assert(key(back) == key(written))
+
+    // read side prunes to the queried stratum's directory
+    val pruned = back.filter(col("lang") === "en")
+    val plan   = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), s"no partition pruning:\n$plan")
+    assert(pruned.count() > 0)
+
+    // one parquet file per stratum directory (the compact-on-write shape)
+    val langDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { d =>
+      val files = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"${d.getName} has $files parquet files, want 1")
+    }
+  }
+
   test("qualityVerdict: rule precedence is first-failing") {
     // a doc that is BOTH too short and repetitive reports too_short
     val df = Seq("x x x x").toDF("text")

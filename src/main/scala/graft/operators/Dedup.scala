@@ -203,15 +203,18 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val x3_minhash_lsh_pairs = Q.noOracle("x3_minhash_lsh_pairs") { t =>
-    // MinHash + LSH banding: 16 hashes -> 4 bands of 4 rows. Docs sharing
-    // any full band land in the same bucket; the bucket equi-join yields
-    // candidate pairs (threshold ~ (1/4)^(1/4) ≈ 0.71 Jaccard). This is the
-    // 100 TB path: shuffle on (band, bucket-hash), never n^2.
-    // One aggregation pass computes all 16 slots; posexplode fans the 4
-    // band buckets out of a single projection (a per-band union would
-    // re-run the whole shingle aggregation once per band).
-    val sig = shingleHashes(t.documents, 5)
+  /** MinHash + LSH banding on the xxhash64 integer hash family: 16 hashes
+    * -> 4 bands of 4 rows. Docs sharing any full band land in the same
+    * bucket; the bucket equi-join yields candidate pairs (threshold ~
+    * (1/4)^(1/4) ≈ 0.71 Jaccard). This is the 100 TB path: shuffle on
+    * (band, bucket-hash), never n^2 — and the pair generator the
+    * production rendering of the near-dup pipeline (x26_fast) plugs in.
+    * One aggregation pass computes all 16 slots; posexplode fans the 4
+    * band buckets out of a single projection (a per-band union would
+    * re-run the whole shingle aggregation once per band).
+    */
+  private[operators] def minhashFastPairs(docs: DataFrame): DataFrame = {
+    val sig = shingleHashes(docs, 5)
       .groupBy("doc_id")
       .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
     val bucketCols = (0 until 4).map { b =>
@@ -229,7 +232,13 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
+  }
+
+  val x3_minhash_lsh_pairs = Q.noOracle("x3_minhash_lsh_pairs") { t =>
+    // See minhashFastPairs for the banding geometry. DuckDB has no
+    // xxhash64 so this is rows-only; the x3b md5 bridge oracle-checks the
+    // same banding/bucketing/pair-join logic.
+    minhashFastPairs(t.documents).orderBy("doc_a", "doc_b")
   }
 
   /** DuckDB CTE chain producing the x3b candidate pairs as `pairs(doc_a,

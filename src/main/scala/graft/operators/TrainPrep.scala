@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.Q
+import graft.{Q, Tables}
 
 /** Training-data preparation registry rows (builder contract, §2.12
   * extension family): deterministic stratified sampling + train/val/test
@@ -609,12 +609,34 @@ object TrainPrep {
     // count ~ corpus dup rate, not corpus size), canonical selection is
     // one max_by aggregation on the component key, sampling is a pure
     // per-row hash decision, packing is one window on the stratum key. The
-    // md5 hash family is the correctness instrument; the xxhash64 x3/g7
-    // path with identical plan shapes is what a production run swaps in.
+    // md5 hash family is the correctness instrument; x26_fast_neardup below
+    // IS the xxhash64 production rendering — same chain, same plan shapes.
+    neardupReport(t, Dedup.minhashMd5Pairs(t.documents))
+  }
+
+  val x26_fast_neardup = Q.noOracle("x26_fast_neardup") { t =>
+    // The PRODUCTION rendering of the near-dup flagship: the identical
+    // chain to x26, with candidate pairs from the xxhash64 MinHash family
+    // (Dedup.minhashFastPairs — integer hashing, no per-shingle string
+    // materialization in the hot aggregation). DuckDB has no xxhash64, so
+    // the driver records a rows-only check; TrainPrepSpec replays the full
+    // chain with a JVM union-find seeded by the same xxhash64 pair set and
+    // matches the report cell-for-cell, and x26 pins the composition logic
+    // to the DuckDB oracle on the md5 family. This is the query a 100 TB
+    // run actually executes.
+    neardupReport(t, Dedup.minhashFastPairs(t.documents))
+  }
+
+  /** The near-dup chain shared by x26_neardup_pipeline (md5 oracle
+    * instrument) and x26_fast_neardup (xxhash64 production path). `pairs`
+    * is the candidate-generator output `(doc_a, doc_b)`; every stage
+    * downstream of pair generation is hash-family agnostic.
+    */
+  private def neardupReport(t: Tables, pairs: DataFrame): DataFrame = {
     val scored = t.documents
       .select(col("doc_id"), col("lang"), Curation.tokenCount(col("text")).as("tokens"))
       .localCheckpoint() // feeds labeling AND the canonical semi-join probe
-    val edges = Dedup.minhashMd5Pairs(t.documents)
+    val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val labels = GraphOps.connectedComponents(edges, t.spark)
       .withColumnsRenamed(Map("node" -> "doc_id"))
@@ -645,5 +667,5 @@ object TrainPrep {
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
-    x25_pack_shards, x26_neardup_pipeline)
+    x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup)
 }

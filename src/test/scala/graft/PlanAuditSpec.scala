@@ -51,6 +51,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cross products in the pipeline:\n$plan")
   }
 
+  test("x26 near-dup plan: every join keyed (no cartesian/nested-loop), packing window partitioned") {
+    // The flagship composition's promised shape (TrainPrep neardupReport
+    // comments): LSH pair generation and every downstream join are KEYED
+    // equi-joins — a cartesian or nested-loop anywhere means the n^2 trap
+    // the banding exists to avoid. The label and canonical joins run over
+    // checkpointed frames with no size stats and both sides grow with the
+    // corpus, so a doc_id-keyed SortMergeJoin is the correct 100 TB shape
+    // there (unlike x19, whose eval side is genuinely broadcast-small).
+    // The only Window is packBins' — partitioned on the (lang, split)
+    // stratum key, never global.
+    val plan = finalPlan(TrainPrep.x26_fast_neardup.run(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), s"no cross products in the pipeline:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"every join must be keyed:\n$plan")
+    assert(plan.contains("windowspecdefinition(lang"),
+      s"packing window must partition on the stratum key:\n$plan")
+  }
+
   test("x23 canonical plan: selection is one hash aggregate, no per-cluster sort") {
     // canonicalPerCluster promises max_by (one keyed aggregation), not a
     // rank-window: the executed plan must aggregate on the component key

@@ -153,7 +153,26 @@ class TrainPrepSpec extends SparkSpec {
     // compares the aggregated report cell-for-cell. A second engine-side
     // implementation (beyond the DuckDB oracle) that pins the composition,
     // not just each stage.
-    val rows = TrainPrep.x26_neardup_pipeline.run(spark, sf0001).collect()
+    assertNeardupReplication(
+      TrainPrep.x26_neardup_pipeline,
+      operators.Dedup.x3b_minhash_md5)
+  }
+
+  test("x26_fast near-dup: xxhash64 production path matches the same JVM replication") {
+    // Same chain, xxhash64 pair generator (the path a production run
+    // executes; rows-only at the driver because DuckDB lacks xxhash64).
+    // Seeding the union-find with the engine's own xxhash64 pair set keeps
+    // the check independent of the hash family: what's verified is that
+    // the COMPOSITION (clustering, canonical selection, sampling, packing)
+    // agrees with first-principles collections code for whatever pairs the
+    // generator emits.
+    assertNeardupReplication(
+      TrainPrep.x26_fast_neardup,
+      operators.Dedup.x3_minhash_lsh_pairs)
+  }
+
+  private def assertNeardupReplication(pipelineQ: graft.Q, pairsQ: graft.Q): Unit = {
+    val rows = pipelineQ.run(spark, sf0001).collect()
     assert(rows.nonEmpty)
 
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -162,7 +181,7 @@ class TrainPrepSpec extends SparkSpec {
     val tokensOf = docs.map(d => d._1 -> d._3).toMap
     val langOf   = docs.map(d => d._1 -> d._2).toMap
 
-    val pairs = operators.Dedup.x3b_minhash_md5.run(spark, sf0001)
+    val pairs = pairsQ.run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
 
     // union-find over the candidate-pair graph; unpaired docs stay singletons

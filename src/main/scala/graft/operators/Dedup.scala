@@ -213,18 +213,24 @@ object Dedup {
     * band buckets out of a single projection (a per-band union would
     * re-run the whole shingle aggregation once per band).
     */
-  private[operators] def minhashFastPairs(docs: DataFrame): DataFrame = {
+  /** The xxhash64-family LSH band table `(doc_id, band, bucket)` — the
+    * index a production corpus persists (partitioned/bucketed by (band,
+    * bucket) at write time so incremental probes shuffle only the batch).
+    */
+  private[operators] def fastBandTable(docs: DataFrame): DataFrame = {
     val sig = shingleHashes(docs, 5)
       .groupBy("doc_id")
       .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
     val bucketCols = (0 until 4).map { b =>
       xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
     }
-    val bands = capBuckets(
-      sig
-        .select(col("doc_id"), posexplode(array(bucketCols: _*)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")),
-      Seq("band", "bucket"), maxBucket = 200)
+    sig
+      .select(col("doc_id"), posexplode(array(bucketCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+  }
+
+  private[operators] def minhashFastPairs(docs: DataFrame): DataFrame = {
+    val bands = capBuckets(fastBandTable(docs), Seq("band", "bucket"), maxBucket = 200)
     bands.as("a")
       .join(
         bands.as("b"),
@@ -246,42 +252,39 @@ object Dedup {
     * x3b registry row and TrainPrep's x26 near-dup pipeline (which embeds
     * it under its WITH RECURSIVE prologue).
     */
+  /** DuckDB CTE chain computing the md5 LSH band table `bands<sfx>(doc_id,
+    * band, bucket)` over `documents` restricted by `where` (empty = whole
+    * corpus). The suffix lets one query carry several band tables (the
+    * x27 incremental probe builds corpus and batch tables side by side).
+    */
+  private[operators] def md5BandsSqlCtes(sfx: String, where: String): String = {
+    val slots = (0 until 16)
+      .map(i => s"    min(substr(md5('${i / 4}|' || sh), ${1 + 8 * (i % 4)}, 8)) AS mh$i")
+      .mkString(",\n")
+    val bandExprs = (0 until 4)
+      .map(b => s"md5(${(4 * b until 4 * b + 4).map(i => s"mh$i").mkString(" || '|' || ")})")
+      .mkString(",\n                 ")
+    s"""wd$sfx AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents $where),
+       |sh$sfx AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
+       |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM wd$sfx)),
+       |sig$sfx AS (
+       |  SELECT doc_id,
+       |$slots
+       |  FROM sh$sfx GROUP BY doc_id),
+       |bands$sfx AS (
+       |  SELECT doc_id,
+       |         unnest(generate_series(0, 3)) AS band,
+       |         unnest([$bandExprs]) AS bucket
+       |  FROM sig$sfx)""".stripMargin
+  }
+
   private[operators] val minhashMd5PairsSqlCtes: String =
-    """wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
-      |    SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i FROM wd)),
-      |sig AS (
-      |  SELECT doc_id,
-      |    min(substr(md5('0|' || sh),  1, 8)) AS mh0,
-      |    min(substr(md5('0|' || sh),  9, 8)) AS mh1,
-      |    min(substr(md5('0|' || sh), 17, 8)) AS mh2,
-      |    min(substr(md5('0|' || sh), 25, 8)) AS mh3,
-      |    min(substr(md5('1|' || sh),  1, 8)) AS mh4,
-      |    min(substr(md5('1|' || sh),  9, 8)) AS mh5,
-      |    min(substr(md5('1|' || sh), 17, 8)) AS mh6,
-      |    min(substr(md5('1|' || sh), 25, 8)) AS mh7,
-      |    min(substr(md5('2|' || sh),  1, 8)) AS mh8,
-      |    min(substr(md5('2|' || sh),  9, 8)) AS mh9,
-      |    min(substr(md5('2|' || sh), 17, 8)) AS mh10,
-      |    min(substr(md5('2|' || sh), 25, 8)) AS mh11,
-      |    min(substr(md5('3|' || sh),  1, 8)) AS mh12,
-      |    min(substr(md5('3|' || sh),  9, 8)) AS mh13,
-      |    min(substr(md5('3|' || sh), 17, 8)) AS mh14,
-      |    min(substr(md5('3|' || sh), 25, 8)) AS mh15
-      |  FROM sh GROUP BY doc_id),
-      |bands AS (
-      |  SELECT doc_id,
-      |         unnest(generate_series(0, 3)) AS band,
-      |         unnest([md5(mh0  || '|' || mh1  || '|' || mh2  || '|' || mh3),
-      |                 md5(mh4  || '|' || mh5  || '|' || mh6  || '|' || mh7),
-      |                 md5(mh8  || '|' || mh9  || '|' || mh10 || '|' || mh11),
-      |                 md5(mh12 || '|' || mh13 || '|' || mh14 || '|' || mh15)]) AS bucket
-      |  FROM sig),
-      |pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
+    s"""${md5BandsSqlCtes("", "")},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
   /** MinHash+LSH candidate pairs with md5 as the hash family — the
     * oracle-checkable x3b geometry, reusable as the pair generator of the
@@ -298,7 +301,11 @@ object Dedup {
     * sf0.1. Spark evaluates the shared md5(seed|sh) once per seed via
     * subexpression elimination in the partial-agg projection.
     */
-  private[operators] def minhashMd5Pairs(docs: DataFrame): DataFrame = {
+  /** The md5-family LSH band table `(doc_id, band, bucket)` — the
+    * persistable per-document index rows of the md5 rendering. Mirrors
+    * md5BandsSqlCtes exactly (fixed-width hex min + band-concat md5).
+    */
+  private[operators] def md5BandTable(docs: DataFrame): DataFrame = {
     val sh = shingles(docs, 5).localCheckpoint()
     val mins = (0 until 16).map { i =>
       val h = md5(concat_ws("|", lit((i / 4).toString), col("sh")))
@@ -308,10 +315,13 @@ object Dedup {
     val bucketCols = (0 until 4).map { b =>
       md5(concat_ws("|", (4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), posexplode(array(bucketCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
-      .localCheckpoint()
+  }
+
+  private[operators] def minhashMd5Pairs(docs: DataFrame): DataFrame = {
+    val bands = md5BandTable(docs).localCheckpoint()
     bands.as("a")
       .join(
         bands.as("b"),
@@ -472,9 +482,75 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-dup probe — the daily-ingest pattern: flag each doc
+    * in `batch` that shares any LSH (band, bucket) with an already-indexed
+    * corpus. `corpusBands` is the PERSISTED index (fastBandTable /
+    * md5BandTable rows written once when the corpus landed); only the new
+    * batch is shingled and hashed, so a 100 TB corpus is never re-read —
+    * the probe cost is O(batch) + a semi-join against the index, which a
+    * production layout partitions/buckets by (band, bucket) so only batch
+    * rows shuffle. Unlike pair GENERATION, the probe needs no hot-bucket
+    * cap: a left-semi join's output is bounded by the batch band rows, so
+    * a viral bucket inflates probe time, never output size.
+    *
+    * Output: `batch` with `dup_of_corpus` appended (batch-internal
+    * duplicates are deliberately NOT flagged — run the x26 pipeline within
+    * the batch for that; this op answers "is it new vs the corpus").
+    */
+  def incrementalNeardupFlags(
+      batch: DataFrame,
+      batchBands: DataFrame,
+      corpusBands: DataFrame): DataFrame = {
+    val dup = batchBands
+      .join(corpusBands.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("dup_of_corpus", lit(true))
+    batch
+      .join(dup, Seq("doc_id"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("dup_of_corpus"), lit(false)))
+  }
+
+  val x27_incremental_neardup = Q(
+    "x27_incremental_neardup",
+    s"""WITH ${md5BandsSqlCtes("_c", "WHERE doc_id % 2 = 0")},
+       |${md5BandsSqlCtes("_b", "WHERE doc_id % 2 <> 0")},
+       |dup AS (
+       |  SELECT DISTINCT b.doc_id FROM bands_b b
+       |  JOIN bands_c c ON b.band = c.band AND b.bucket = c.bucket)
+       |SELECT d.doc_id, d.lang, (dup.doc_id IS NOT NULL) AS dup_of_corpus
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |WHERE d.doc_id % 2 <> 0
+       |ORDER BY d.doc_id""".stripMargin,
+  ) { t =>
+    // Oracle-checked rendering of the incremental probe on the md5 family:
+    // even doc_ids play the indexed corpus, odd doc_ids the incoming
+    // batch; the oracle rebuilds both band tables in DuckDB and replays
+    // the same semi-join. Pins the probe semantics (band-table reuse,
+    // flag-not-drop, batch-internal dups ignored) to the driver signal.
+    val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+    val batch  = t.documents.filter(col("doc_id") % 2 =!= 0)
+    incrementalNeardupFlags(
+      batch.select("doc_id", "lang"),
+      md5BandTable(batch), md5BandTable(corpus))
+      .orderBy("doc_id")
+  }
+
+  val x27_fast_incremental = Q.noOracle("x27_fast_incremental") { t =>
+    // The xxhash64 production rendering of x27 (rows-only: DuckDB lacks
+    // xxhash64); DedupSimilaritySpec proves both renderings equal the
+    // mixed-parity restriction of their full-corpus pair sets.
+    val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+    val batch  = t.documents.filter(col("doc_id") % 2 =!= 0)
+    incrementalNeardupFlags(
+      batch.select("doc_id", "lang"),
+      fastBandTable(batch), fastBandTable(corpus))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
     x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
     x4_simhash, x4_simhash_pairs, x4b_simhash_md5,
+    x27_incremental_neardup, x27_fast_incremental,
   )
 }

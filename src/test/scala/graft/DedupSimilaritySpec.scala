@@ -128,6 +128,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(trained >= 0.5, s"k-means IVF recall too low: $trained")
   }
 
+  test("x27 incremental probe: flags equal the mixed-parity restriction of the full pair set") {
+    // The incremental probe (batch bands semi-joined against a persisted
+    // corpus index) must agree with what full-corpus pair GENERATION says
+    // about batch-vs-corpus pairs — for both hash families. (The fast
+    // pair row's hot-bucket cap never binds at this corpus size, so the
+    // restriction is exact.)
+    for ((probeQ, pairsQ) <- Seq(
+        (Dedup.x27_incremental_neardup, Dedup.x3b_minhash_md5),
+        (Dedup.x27_fast_incremental, Dedup.x3_minhash_lsh_pairs))) {
+      val flagged = probeQ.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      val expected = pairsQ.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .flatMap { case (a, b) =>
+          (a % 2, b % 2) match {
+            case (1, 0) => Seq(a)
+            case (0, 1) => Seq(b)
+            case _      => Seq.empty[Long]
+          }
+        }.toSet
+      val odd = spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter("doc_id % 2 <> 0").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(flagged.keySet == odd, s"${probeQ.name}: every batch doc gets exactly one row")
+      assert(flagged.filter(_._2).keySet == expected,
+        s"${probeQ.name}: probe flags must match pair-set restriction")
+    }
+  }
+
   test("brute-force top-k: k rows per query, sims sorted desc, no self-match") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()

@@ -217,7 +217,7 @@ object Dedup {
     * index a production corpus persists (partitioned/bucketed by (band,
     * bucket) at write time so incremental probes shuffle only the batch).
     */
-  private[operators] def fastBandTable(docs: DataFrame): DataFrame = {
+  private[graft] def fastBandTable(docs: DataFrame): DataFrame = {
     val sig = shingleHashes(docs, 5)
       .groupBy("doc_id")
       .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
@@ -228,6 +228,58 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(bucketCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
+
+  /** fastBandTable computed per-row with higher-order array functions
+    * instead of explode+groupBy: the MinHash slots are min() over the
+    * document's own fingerprint ARRAY (`array_min(transform(...))`), so
+    * the whole banding is a stateless projection — no shuffle, no
+    * aggregation state. Identical output to fastBandTable (spec-pinned);
+    * kept as a separate rendering because the explode+groupBy form's
+    * partial aggregation is friendlier to very long documents (the array
+    * form materializes each doc's full fingerprint set in one row).
+    *
+    * Being stateless is what makes the incremental probe STREAMABLE: a
+    * readStream of arriving documents can be banded row-by-row and
+    * stream-static-joined against the persisted corpus index with zero
+    * watermark/state bookkeeping.
+    */
+  private[graft] def fastBandsStateless(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val fpArr = when(
+      size(toks) >= 5,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - 4),
+          i => xxhash64(array_join(slice(toks, i, lit(5)), " ")))))
+      .otherwise(array().cast("array<long>"))
+    // docs too short for one shingle have no band rows (same as the
+    // explode path, where they contribute zero shingle rows)
+    val sig = docs
+      .select(col("doc_id"), fpArr.as("fps"))
+      .filter(size(col("fps")) > 0)
+      .select(
+        col("doc_id") +: (0 until 16).map(i =>
+          array_min(transform(col("fps"), f => xxhash64(lit(i), f))).as(s"mh$i")): _*)
+    val bucketCols = (0 until 4).map { b =>
+      xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
+    }
+    sig
+      .select(col("doc_id"), posexplode(array(bucketCols: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+  }
+
+  /** Streaming rendering of the incremental probe: band each arriving
+    * document statelessly (fastBandsStateless) and left-semi join the
+    * static corpus index — a stream-static join, which Structured
+    * Streaming executes with NO state store at all. Emits each dup
+    * candidate once per matching band (up to 4); collapse multiples with
+    * `dedupWithinWatermark` or a sink-side distinct. Runs identically on
+    * a batch frame (the spec compares it against x27_fast's flags).
+    */
+  def incrementalNeardupStream(arriving: DataFrame, corpusBands: DataFrame): DataFrame =
+    fastBandsStateless(arriving)
+      .join(corpusBands.select("band", "bucket"), Seq("band", "bucket"), "left_semi")
+      .select("doc_id")
 
   private[operators] def minhashFastPairs(docs: DataFrame): DataFrame = {
     val bands = capBuckets(fastBandTable(docs), Seq("band", "bucket"), maxBucket = 200)

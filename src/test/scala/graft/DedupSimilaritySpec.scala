@@ -156,6 +156,17 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("stateless per-row banding equals the explode+groupBy band table") {
+    // fastBandsStateless computes MinHash slots with array_min(transform)
+    // over the document's own fingerprint array — a pure projection. It
+    // must emit exactly the (doc_id, band, bucket) set of the aggregation
+    // form, or the streaming probe would disagree with the batch index.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(Dedup.fastBandsStateless(docs)) == rows(Dedup.fastBandTable(docs)))
+  }
+
   test("brute-force top-k: k rows per query, sims sorted desc, no self-match") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()

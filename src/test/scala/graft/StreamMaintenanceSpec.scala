@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Maintenance, Multimodal}
+import graft.operators.{Dedup, Maintenance, Multimodal}
 import graft.streaming.StreamOps
 
 /** StreamOps (tagging, token folding, windowed aggs, dead-letter,
@@ -27,6 +27,41 @@ class StreamMaintenanceSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out("m1") == ("hello world", 2L))
     assert(out("m2") == ("x", 1L))
+  }
+
+  test("incremental near-dup probe runs on a stream: stream-static, zero state") {
+    // The daily-ingest near-dup probe as a LIVE stream: arriving docs are
+    // banded statelessly and stream-static-joined against the persisted
+    // corpus index. The emitted dup-candidate set must equal the batch
+    // x27_fast flags — same engine answer whether the batch arrives as a
+    // file or as a stream.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    val corpusBands = Dedup.fastBandTable(docs.filter("doc_id % 2 = 0")).localCheckpoint()
+    val arriving = docs.filter("doc_id % 2 <> 0").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val query = Dedup
+      .incrementalNeardupStream(input.toDF().toDF("doc_id", "text"), corpusBands)
+      .writeStream.format("memory").queryName("neardup_probe")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches: per-row banding means batch boundaries can't
+      // change the answer
+      val (first, second) = arriving.splitAt(arriving.length / 2)
+      input.addData(first: _*)
+      query.processAllAvailable()
+      input.addData(second: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_probe").collect().map(_.getLong(0)).toSet
+      val expected = Dedup.x27_fast_incremental.run(spark, sf0001).collect()
+        .filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+      assert(streamed == expected)
+      // and the plan really is stateless: no state store operator ran
+      assert(query.lastProgress.stateOperators.isEmpty)
+    } finally query.stop()
   }
 
   test("dedupWithinWatermark: in-batch + cross-batch dups dropped, expired keys re-admit") {

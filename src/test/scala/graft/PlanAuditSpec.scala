@@ -68,6 +68,18 @@ class PlanAuditSpec extends SparkSpec {
       s"packing window must partition on the stratum key:\n$plan")
   }
 
+  test("x27 incremental probe plan: index side probed via left-semi, no window, no cartesian") {
+    // The probe's promised shape (Dedup.incrementalNeardupFlags comments):
+    // a keyed left-semi join against the band index — its output bounded
+    // by batch band rows — then one left join to attach flags. Nothing in
+    // the probe may window, nested-loop, or cross-product.
+    val plan = finalPlan(operators.Dedup.x27_fast_incremental.run(spark, sf0001))
+    assert(plan.contains("LeftSemi"), s"index probe must be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross products:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"every join must be keyed:\n$plan")
+    assert(!plan.contains("Window"), s"the probe must not use a window:\n$plan")
+  }
+
   test("x23 canonical plan: selection is one hash aggregate, no per-cluster sort") {
     // canonicalPerCluster promises max_by (one keyed aggregation), not a
     // rank-window: the executed plan must aggregate on the component key

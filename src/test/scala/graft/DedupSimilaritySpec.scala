@@ -165,6 +165,24 @@ class DedupSimilaritySpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(rows(Dedup.fastBandsStateless(docs)) == rows(Dedup.fastBandTable(docs)))
+
+    // adversarial shapes: empty text, under/exactly/over the shingle width,
+    // duplicate shingles inside one doc, identical docs, a long repetitive
+    // doc — the two renderings must still agree row-for-row
+    import spark.implicits._
+    val edge = Seq(
+      1L -> "",
+      2L -> "one",
+      3L -> "one two three four",            // k-1 tokens: no shingle
+      4L -> "one two three four five",       // exactly one shingle
+      5L -> "a a a a a a a a a",             // all shingles identical
+      6L -> "w x y z q w x y z q w x y z q", // repeated phrase -> dup shingles
+      7L -> "w x y z q w x y z q w x y z q", // identical to 6
+      8L -> (1 to 500).map(i => s"t${i % 13}").mkString(" "),
+    ).toDF("doc_id", "text")
+    assert(rows(Dedup.fastBandsStateless(edge)) == rows(Dedup.fastBandTable(edge)))
+    // docs with no shingle contribute no band rows in either rendering
+    assert(!rows(Dedup.fastBandTable(edge)).exists(r => r._1 <= 3L))
   }
 
   test("brute-force top-k: k rows per query, sims sorted desc, no self-match") {

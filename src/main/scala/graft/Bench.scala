@@ -88,11 +88,16 @@ object Bench {
       .mkString("{", ",", "}")
     val fullSpread = results.map(r => "\"" + r.name + "\":" + fmt(r.spread))
       .mkString("{", ",", "}")
-    try {
-      val w = new java.io.PrintWriter("BENCH_FULL.json")
-      try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"n_queries":${results.size},"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
-      finally w.close()
-    } catch { case _: Throwable => }
+    // Only a FULL-registry run may replace the committed record — an
+    // SPARK_GRAFT_ONLY-focused iteration run must not clobber it with a
+    // partial map (learned the hard way).
+    if (only.isEmpty) {
+      try {
+        val w = new java.io.PrintWriter("BENCH_FULL.json")
+        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"n_queries":${results.size},"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
+        finally w.close()
+      } catch { case _: Throwable => }
+    }
     val budget  = 1400
     val sorted  = results.sortBy(-_.median)
     val sb      = new StringBuilder

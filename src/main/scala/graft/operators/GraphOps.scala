@@ -154,6 +154,14 @@ object GraphOps {
   /** Connected components over undirected edges via alternating min-label
     * propagation — the scalable "group near-duplicates into clusters" step
     * after Dedup's pair generation. Converges in O(diameter) rounds.
+    *
+    * Why not large-star/small-star or per-round pointer jumping (O(log d)
+    * rounds)? The workload: near-dup clusters are small and dense (LSH
+    * pairs within a dup family), so component diameter is tiny and the
+    * round count is already 3-7; a jump step adds a labels-self-join
+    * shuffle to EVERY round to save rounds this graph shape doesn't have.
+    * For a general large-diameter graph the star algorithms win — this
+    * implementation deliberately optimizes the dedup shape.
     */
   def connectedComponents(edges: DataFrame, spark: SparkSession, maxIter: Int = 20): DataFrame = {
     // symmetric closure, every node starts as its own component. The closure

@@ -40,17 +40,24 @@ object Dedup {
     * merge two shingles; the oracle-checked x2 row stays hash-exact on the
     * test corpora, and at 100 TB a collision shifts one Jaccard by <1/|set|.
     */
-  private def shingleHashes(docs: DataFrame, k: Int): DataFrame = {
+  /** The document's distinct shingle-fingerprint ARRAY as one expression —
+    * the single source of the fingerprinting scheme, shared by the
+    * exploded rendering (shingleHashes) and the per-row stateless one
+    * (fastBandsStateless) so the hashing can never drift between them.
+    */
+  private def shingleFpArray(k: Int): Column = {
     val toks = split(col("text"), " ")
-    val sh = when(
+    when(
       size(toks) >= k,
       array_distinct(
         transform(
           sequence(lit(1), size(toks) - (k - 1)),
           i => xxhash64(array_join(slice(toks, i, lit(k)), " ")))))
       .otherwise(array().cast("array<long>"))
-    docs.select(col("doc_id"), explode(sh).as("sh"))
   }
+
+  private def shingleHashes(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingleFpArray(k)).as("sh"))
 
   val a5_exact_dedup = Q(
     "a5_exact_dedup",
@@ -203,24 +210,14 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash + LSH banding on the xxhash64 integer hash family: 16 hashes
-    * -> 4 bands of 4 rows. Docs sharing any full band land in the same
-    * bucket; the bucket equi-join yields candidate pairs (threshold ~
-    * (1/4)^(1/4) ≈ 0.71 Jaccard). This is the 100 TB path: shuffle on
-    * (band, bucket-hash), never n^2 — and the pair generator the
-    * production rendering of the near-dup pipeline (x26_fast) plugs in.
-    * One aggregation pass computes all 16 slots; posexplode fans the 4
-    * band buckets out of a single projection (a per-band union would
-    * re-run the whole shingle aggregation once per band).
+  /** Fan a 16-slot signature frame `(doc_id, mh0..mh15)` out to its 4
+    * xxhash64 band-bucket rows — the single source of the band geometry
+    * (4 bands of 4 rows, threshold ~ (1/4)^(1/4) ≈ 0.71 Jaccard), shared
+    * by both band-table renderings so it can never drift between them.
+    * posexplode fans the 4 buckets out of a single projection (a per-band
+    * union would re-run the whole signature computation once per band).
     */
-  /** The xxhash64-family LSH band table `(doc_id, band, bucket)` — the
-    * index a production corpus persists (partitioned/bucketed by (band,
-    * bucket) at write time so incremental probes shuffle only the batch).
-    */
-  private[graft] def fastBandTable(docs: DataFrame): DataFrame = {
-    val sig = shingleHashes(docs, 5)
-      .groupBy("doc_id")
-      .agg(minhashAgg(16).head, minhashAgg(16).tail: _*)
+  private def fastBandRows(sig: DataFrame): DataFrame = {
     val bucketCols = (0 until 4).map { b =>
       xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
     }
@@ -228,6 +225,20 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(bucketCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
+
+  /** The xxhash64-family LSH band table `(doc_id, band, bucket)` — the
+    * index a production corpus persists (partitioned/bucketed by (band,
+    * bucket) at write time so incremental probes shuffle only the batch),
+    * and the band frame whose self-join yields candidate pairs: docs
+    * sharing any full band land in the same bucket, so the equi-join is
+    * the 100 TB path — shuffle on (band, bucket-hash), never n^2. One
+    * aggregation pass computes all 16 slots.
+    */
+  private[graft] def fastBandTable(docs: DataFrame): DataFrame =
+    fastBandRows(
+      shingleHashes(docs, 5)
+        .groupBy("doc_id")
+        .agg(minhashAgg(16).head, minhashAgg(16).tail: _*))
 
   /** fastBandTable computed per-row with higher-order array functions
     * instead of explode+groupBy: the MinHash slots are min() over the
@@ -244,28 +255,15 @@ object Dedup {
     * watermark/state bookkeeping.
     */
   private[graft] def fastBandsStateless(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val fpArr = when(
-      size(toks) >= 5,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - 4),
-          i => xxhash64(array_join(slice(toks, i, lit(5)), " ")))))
-      .otherwise(array().cast("array<long>"))
     // docs too short for one shingle have no band rows (same as the
     // explode path, where they contribute zero shingle rows)
     val sig = docs
-      .select(col("doc_id"), fpArr.as("fps"))
+      .select(col("doc_id"), shingleFpArray(5).as("fps"))
       .filter(size(col("fps")) > 0)
       .select(
         col("doc_id") +: (0 until 16).map(i =>
           array_min(transform(col("fps"), f => xxhash64(lit(i), f))).as(s"mh$i")): _*)
-    val bucketCols = (0 until 4).map { b =>
-      xxhash64((4 * b until 4 * b + 4).map(i => col(s"mh$i")): _*)
-    }
-    sig
-      .select(col("doc_id"), posexplode(array(bucketCols: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+    fastBandRows(sig)
   }
 
   /** Streaming rendering of the incremental probe: band each arriving
@@ -299,11 +297,6 @@ object Dedup {
     minhashFastPairs(t.documents).orderBy("doc_a", "doc_b")
   }
 
-  /** DuckDB CTE chain producing the x3b candidate pairs as `pairs(doc_a,
-    * doc_b)` — the oracle rendering of [[minhashMd5Pairs]]. Shared by the
-    * x3b registry row and TrainPrep's x26 near-dup pipeline (which embeds
-    * it under its WITH RECURSIVE prologue).
-    */
   /** DuckDB CTE chain computing the md5 LSH band table `bands<sfx>(doc_id,
     * band, bucket)` over `documents` restricted by `where` (empty = whole
     * corpus). The suffix lets one query carry several band tables (the
@@ -331,6 +324,11 @@ object Dedup {
        |  FROM sig$sfx)""".stripMargin
   }
 
+  /** DuckDB CTE chain producing the x3b candidate pairs as `pairs(doc_a,
+    * doc_b)` — the oracle rendering of [[minhashMd5Pairs]]. Shared by the
+    * x3b registry row and TrainPrep's x26 near-dup pipeline (which embeds
+    * it under its WITH RECURSIVE prologue).
+    */
   private[operators] val minhashMd5PairsSqlCtes: String =
     s"""${md5BandsSqlCtes("", "")},
        |pairs AS (
@@ -338,13 +336,15 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
 
-  /** MinHash+LSH candidate pairs with md5 as the hash family — the
-    * oracle-checkable x3b geometry, reusable as the pair generator of the
-    * x26 near-dup pipeline. md5 exists in both engines and emits
-    * fixed-width lowercase hex, so min() over signatures and the
-    * band-bucket equality are engine-identical (lexicographic hex order ==
-    * unsigned numeric order at fixed width). The xxhash64 x3 variants
-    * remain the fast path (integer hashing, no string materialization).
+  /** The md5-family LSH band table `(doc_id, band, bucket)` — the
+    * persistable per-document index rows of the md5 rendering, and the
+    * band frame [[minhashMd5Pairs]] self-joins for the oracle-checkable
+    * x3b/x26 pair geometry. Mirrors md5BandsSqlCtes exactly: md5 exists
+    * in both engines and emits fixed-width lowercase hex, so min() over
+    * signatures and the band-bucket equality are engine-identical
+    * (lexicographic hex order == unsigned numeric order at fixed width).
+    * The xxhash64 renderings remain the fast path (integer hashing, no
+    * string materialization).
     *
     * 16 slots come from FOUR md5 calls, each split into four 8-hex chunks
     * (the standard one-hash-many-slots trick: disjoint bit ranges of a
@@ -352,10 +352,6 @@ object Dedup {
     * 4x the hashing for identical LSH quality — measured 4.4s -> ~1.5s at
     * sf0.1. Spark evaluates the shared md5(seed|sh) once per seed via
     * subexpression elimination in the partial-agg projection.
-    */
-  /** The md5-family LSH band table `(doc_id, band, bucket)` — the
-    * persistable per-document index rows of the md5 rendering. Mirrors
-    * md5BandsSqlCtes exactly (fixed-width hex min + band-concat md5).
     */
   private[operators] def md5BandTable(docs: DataFrame): DataFrame = {
     val sh = shingles(docs, 5).localCheckpoint()
@@ -372,6 +368,9 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
   }
 
+  /** MinHash+LSH candidate pairs on the md5 family: the [[md5BandTable]]
+    * band frame, materialized once, self-joined on (band, bucket).
+    */
   private[operators] def minhashMd5Pairs(docs: DataFrame): DataFrame = {
     val bands = md5BandTable(docs).localCheckpoint()
     bands.as("a")

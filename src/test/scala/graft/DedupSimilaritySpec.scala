@@ -137,8 +137,11 @@ class DedupSimilaritySpec extends SparkSpec {
     for ((probeQ, pairsQ) <- Seq(
         (Dedup.x27_incremental_neardup, Dedup.x3b_minhash_md5),
         (Dedup.x27_fast_incremental, Dedup.x3_minhash_lsh_pairs))) {
-      val flagged = probeQ.run(spark, sf0001).collect()
-        .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+      val flaggedRows = probeQ.run(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getBoolean(2)))
+      val flagged = flaggedRows.toMap
+      assert(flaggedRows.length == flagged.size,
+        s"${probeQ.name}: duplicate rows per doc_id (the probe's distinct regressed)")
       val expected = pairsQ.run(spark, sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
         .flatMap { case (a, b) =>

@@ -392,7 +392,10 @@ object Similarity {
     // key is (label) — candidates per block are |block|^2, never corpus^2.
     // At 100 TB the block key is a cheap partitioner (cluster id from IVF
     // assignment, LSH band, or an upstream dedup bucket); x10's sign-LSH is
-    // the unblocked scale path. The driver's synthetic embeddings are
+    // the unblocked scale path. The |block|^2 contract is MEASURED, not
+    // theoretical: at the 30x ScaleUp directory (fixed label vocabulary,
+    // so blocks grow 30x) this query runs 78.5s vs 0.63s at sf0.1 — see
+    // SCALE.md's 30x capstone. Blocks must be bounded by construction. The driver's synthetic embeddings are
     // near-orthogonal (within-label max sim ≈ 0.47), so the demo threshold
     // is 0.3; production near-dup sits at 0.9+.
     val e = t.embeddings.select(col("label"), col("vec_id"), col("embedding"))

@@ -40,14 +40,29 @@ object Bench {
     // recorded so a future delta can be read against measured noise.
     // Each run of q.run builds FRESH localCheckpoint/persist blocks (graph
     // loops, shingle/signature tables), so after a run every cached block
-    // is garbage — drop them, or ~100 queries of leaked blocks raise GC
-    // pressure and inflate later queries' times.
+    // is garbage — drop them BLOCKING (an async drop leaves the block
+    // manager draining into the next timed window), or ~100 queries of
+    // leaked blocks raise GC pressure and inflate later queries' times.
     // unpersisting a localCheckpointed RDD logs a (harmless, expected)
     // "lineage has been truncated" WARN per block — silence that logger
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
-    def dropCachedBlocks(): Unit =
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // Broadcasts and shuffle state are cleaned by the ContextCleaner, which
+    // only acts when driver GC collects their weak refs — and its periodic
+    // GC default (30 min) never fires inside one bench run, so ~350 query
+    // executions of broadcast blocks pile up in an 8 GiB heap until a full
+    // GC or eviction storm stalls whichever query is running (the r6 g7
+    // spike: 7.4 s median on unchanged code; a 0.9 s one-off on 0.14 s f3
+    // in a repro run). Explicit System.gc() between queries keeps those
+    // pauses OUT of the timed windows. SPARK_GRAFT_ISOLATE=1 hardens this
+    // to a GC between every repeat (the isolated-run protocol recorded in
+    // BASELINE.md).
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
+    def betweenRepeats(): Unit = {
+      Checkpoints.sweepAll(spark)
+      if (isolate) System.gc()
+    }
+    def betweenQueries(): Unit = System.gc()
     // Optional focus filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
     // benches just those queries (the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -62,9 +77,10 @@ object Bench {
         val t0 = System.nanoTime()
         try exec(q.run(spark, sfDir)) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        dropCachedBlocks()
+        betweenRepeats()
         dt
       }.sorted
+      betweenQueries()
       R(q.name, times(1), times(2) - times(0))
     }
     val total = results.map(_.median).sum

@@ -34,9 +34,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // each query's localCheckpoint/persist blocks are garbage once its
-      // parquet is written — drop them so storage stays bounded across the
-      // whole registry
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // parquet is written — drop them (blocking) so storage stays bounded
+      // across the whole registry
+      Checkpoints.sweepAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -561,6 +561,57 @@ object Dedup {
       .withColumn("dup_of_corpus", coalesce(col("dup_of_corpus"), lit(false)))
   }
 
+  /** Number of physical shards the persisted band index is partitioned
+    * into. A shard = pmod(xxhash64(bucket), BandIndexShards): bounded,
+    * uniform (bucket is already a hash), and type-agnostic (works for the
+    * xxhash64 long buckets and the md5 hex-string buckets alike).
+    */
+  val BandIndexShards = 64
+
+  private def bucketShard(shards: Int): Column =
+    pmod(xxhash64(col("bucket")), lit(shards.toLong)).cast("int")
+
+  /** Persist a band table as THE corpus index the incremental probe reads:
+    * parquet partitioned by `bucket_shard` so a probe touches only the
+    * shards its batch buckets hash into — on a 100 TB corpus the index is
+    * written once at ingest and a daily batch reads a pruned fraction of
+    * it instead of the whole thing. (With only `band` as the partition key
+    * there would be nothing to prune: every batch carries all 4 bands;
+    * sharding the bucket hash is what makes small-batch pruning real.)
+    * One task per shard via the repartition, i.e. compacted at write time.
+    */
+  def writeBandIndex(bands: DataFrame, path: String, shards: Int = BandIndexShards): Unit =
+    bands
+      .withColumn("bucket_shard", bucketShard(shards))
+      .repartition(col("bucket_shard"))
+      .write.mode("overwrite").partitionBy("bucket_shard").parquet(path)
+
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The incremental probe against a PERSISTED index (written by
+    * [[writeBandIndex]]): derive the batch's shard list and push it as a
+    * static IN filter on the index's partition column, so the index scan
+    * is partition-pruned (PartitionFilters in the plan) before the
+    * semi-join runs. The shard list is a driver-side collect, but of AT
+    * MOST `shards` small ints — bounded by the layout constant, never by
+    * data volume (the same class of metadata collect AQE itself performs).
+    * Output contract matches [[incrementalNeardupFlags]].
+    */
+  def probePersistedIndex(
+      batch: DataFrame,
+      batchBands: DataFrame,
+      index: DataFrame,
+      shards: Int = BandIndexShards): DataFrame = {
+    // the band table is consumed twice (shard list + probe): materialize
+    val bb = batchBands.localCheckpoint()
+    val shardList = bb.select(bucketShard(shards).as("s")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    incrementalNeardupFlags(
+      batch, bb,
+      index.filter(col("bucket_shard").isin(shardList: _*)))
+  }
+
   val x27_incremental_neardup = Q(
     "x27_incremental_neardup",
     s"""WITH ${md5BandsSqlCtes("_c", "WHERE doc_id % 2 = 0")},

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints
+
 /** Graph / recursive operators (SURVEY §2.10). Spark has no WITH RECURSIVE,
   * so these are iterative DataFrame loops: frontier -> join edges ->
   * anti-join visited -> union. Each iteration is one shuffle round;
@@ -35,9 +37,10 @@ object GraphOps {
     // turning an O(depth) loop into O(depth^2) work).
     val e = edges.select(col("src"), col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = Checkpoints.scope(roots.sparkSession)
     try {
-      var visited  = roots.select(col("node")).distinct()
-        .withColumn("depth", lit(0)).localCheckpoint()
+      var visited  = cp.checkpoint(roots.select(col("node")).distinct()
+        .withColumn("depth", lit(0)))
       var frontier = visited
       var depth    = 0
       while (depth < maxDepth && !frontier.isEmpty) {
@@ -47,18 +50,22 @@ object GraphOps {
         // recompiles 3-4 codegen stages (~200ms/round of pure Janino time);
         // with column arithmetic the plan is byte-identical across rounds
         // and the codegen cache hits after round 1.
-        val next = frontier
+        val next = cp.checkpoint(frontier
           .select(col("node").as("src"), (col("depth") + 1).as("depth"))
           .join(e, Seq("src"))
           .select(col("dst").as("node"), col("depth"))
           .distinct()
-          .join(visited.select("node"), Seq("node"), "left_anti")
-          .localCheckpoint()
+          .join(visited.select("node"), Seq("node"), "left_anti"))
         frontier = next
         // visited is a union of checkpointed frontiers — the plan is flat,
-        // but re-checkpoint periodically so the union fan-in stays bounded.
+        // but re-checkpoint periodically so the union fan-in stays bounded,
+        // then release the superseded generation: once the new snapshot is
+        // materialized, only it and the live frontier hold needed blocks.
         visited = visited.unionByName(frontier)
-        if (depth % CheckpointEvery == 0) visited = visited.localCheckpoint()
+        if (depth % CheckpointEvery == 0) {
+          visited = cp.checkpoint(visited)
+          cp.retain(visited, frontier)
+        }
       }
       visited
     } finally { e.unpersist(false); () }
@@ -107,23 +114,26 @@ object GraphOps {
     // Same persist + eager-checkpoint discipline as `bfs` (see there).
     val e = childParent.select(col("child"), col("parent"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = Checkpoints.scope(starts.sparkSession)
     try {
-      var acc      = starts.select(col("start")).distinct()
-        .withColumn("node", col("start")).withColumn("depth", lit(0)).localCheckpoint()
+      var acc      = cp.checkpoint(starts.select(col("start")).distinct()
+        .withColumn("node", col("start")).withColumn("depth", lit(0)))
       var frontier = acc
       var depth    = 0
       while (depth < maxDepth && !frontier.isEmpty) {
         depth += 1
         // depth from the frontier column, not lit(depth) — same codegen-
         // cache reasoning as in `bfs`.
-        val next = frontier
+        val next = cp.checkpoint(frontier
           .select(col("start"), col("node").as("child"), (col("depth") + 1).as("depth"))
           .join(e, Seq("child"))
-          .select(col("start"), col("parent").as("node"), col("depth"))
-          .localCheckpoint()
+          .select(col("start"), col("parent").as("node"), col("depth")))
         frontier = next
         acc = acc.unionByName(frontier)
-        if (depth % CheckpointEvery == 0) acc = acc.localCheckpoint()
+        if (depth % CheckpointEvery == 0) {
+          acc = cp.checkpoint(acc)
+          cp.retain(acc, frontier) // superseded generations' blocks die here
+        }
       }
       acc
     } finally { e.unpersist(false); () }
@@ -172,10 +182,10 @@ object GraphOps {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = Checkpoints.scope(spark)
     try {
-      var labels = sym.select(col("src").as("node")).distinct()
-        .withColumn("component", col("node"))
-        .localCheckpoint()
+      var labels = cp.checkpoint(sym.select(col("src").as("node")).distinct()
+        .withColumn("component", col("node")))
       var changed = true
       var iter    = 0
       while (changed && iter < maxIter) {
@@ -185,7 +195,7 @@ object GraphOps {
         // is min(component WHERE own) of the same group — no per-round
         // labels-vs-next probe join (that join was a second shuffle round
         // and its own codegen stage).
-        val next = sym
+        val next = cp.checkpoint(sym
           .select(col("src").as("node"), col("dst"))
           .join(labels, Seq("node"))
           .select(col("dst").as("node"), col("component"), lit(false).as("own"))
@@ -193,10 +203,10 @@ object GraphOps {
           .groupBy("node")
           .agg(
             min("component").as("component"),
-            min(when(col("own"), col("component"))).as("old_component"))
-          .localCheckpoint()
+            min(when(col("own"), col("component"))).as("old_component")))
         changed = !next.filter(col("component") =!= col("old_component")).isEmpty
         labels = next.select("node", "component")
+        cp.retain(next) // the prior round's label blocks are dead now
       }
       labels.select("node", "component")
     } finally { sym.unpersist(false); () }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.{Q, Tables}
+
 /** Multimodal-column plumbing (builder contract): media as opaque `binary`
   * columns plus typed metadata, processed in partition-sized batches.
   *
@@ -113,4 +115,70 @@ object Multimodal {
       .withColumn("__size_bucket", pmod(xxhash64(col("media_id")), lit(targetPartitions)))
       .repartition(targetPartitions, col("__size_bucket"))
       .drop("__size_bucket")
+
+  /** A deterministic synthetic media table derived from `documents`: each
+    * doc becomes one media row whose `bytes` are an md5-CHAIN of its text
+    * (k = 1 + doc_id % 24 chained hashes -> 32..768 ASCII-hex bytes), so
+    * blob length, byte values, and every downstream feature are pure
+    * functions of existing testdata — no codecs, no media fixtures needed.
+    * This is the generalization of the reference's content-hash store
+    * (context_messages.py:13-28: content addressed by hash of bytes) to
+    * binary media columns.
+    */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val fullHex = concat((0 until 24).map(j => md5(concat(col("text"), lit(s"|$j")))): _*)
+    val nChains = (col("doc_id") % 24 + 1).cast(IntegerType)
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("kind"),
+      concat(lit("synth://media/"), col("doc_id")).as("uri"),
+      encode(fullHex.substr(lit(1), nChains * 32), "UTF-8").as("bytes"),
+      ((col("doc_id") % 64 + 1) * 16).cast(IntegerType).as("width"),
+      ((col("doc_id") % 48 + 1) * 16).cast(IntegerType).as("height"),
+      ((col("doc_id") % 120) * 1000).cast(LongType).as("duration_ms"))
+  }
+
+  /** x28: the multimodal feature-extraction path, ORACLE-CHECKED. The rows
+    * go through the REAL plumbing — binary column, `MediaRow` encoder,
+    * `extractFeatures`'s mapPartitions batch, `DecodeStub` byte math — and
+    * the DuckDB oracle replays every feature per-character on the md5-chain
+    * hex (bytes are ASCII, so `ord` = byte value): n_bytes, exact-integer
+    * mean intensity (one double division), the 256-bytes-per-frame count,
+    * and the bucket-3 histogram slot as `frac_digit` ('0'-'9' = bytes
+    * 48-57 land in bucket 3 of DecodeStub.feature; float32 division of
+    * exact small ints is bit-identical across engines, widened to double).
+    */
+  val x28_media_features: Q = Q(
+    "x28_media_features",
+    s"""WITH blob AS (
+       |  SELECT doc_id,
+       |         substr(${(0 until 24).map(j => s"md5(text||'|$j')").mkString(" || ")},
+       |                1, 32 * (1 + doc_id % 24)) AS hex
+       |  FROM documents),
+       |ch AS (SELECT doc_id, hex, unnest(generate_series(1, length(hex))) AS i FROM blob),
+       |st AS (
+       |  SELECT doc_id, count(*) AS n, sum(ord(substr(hex, i, 1))) AS s,
+       |         sum(CASE WHEN substr(hex, i, 1) BETWEEN '0' AND '9' THEN 1 ELSE 0 END) AS nd
+       |  FROM ch GROUP BY doc_id)
+       |SELECT doc_id AS media_id,
+       |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |       n AS n_bytes,
+       |       CAST(s AS DOUBLE) / n AS mean_intensity,
+       |       CAST(greatest(1, n // 256) AS INTEGER) AS frame_count,
+       |       CAST(CAST(nd AS REAL) / CAST(n AS REAL) AS DOUBLE) AS frac_digit
+       |FROM st ORDER BY media_id""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    import spark.implicits._
+    extractFeatures(syntheticMedia(t.documents).as[MediaRow])
+      .select(
+        col("media_id"), col("kind"), col("n_bytes"), col("mean_intensity"),
+        col("frame_count"),
+        element_at(col("feature"), 4).cast(DoubleType).as("frac_digit"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(x28_media_features)
 }

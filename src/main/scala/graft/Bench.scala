@@ -26,12 +26,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup on the smallest sf so per-query numbers measure
-    // the plan, not first-run class loading.
+    // JVM warmup: one pass of the WHOLE registry on the smallest sf, so
+    // every one-time JVM cost — codegen class loading, the first
+    // collation-aware lower(), parquet footer readers — is paid before any
+    // timed window. (The old 3-query warmup left reproducible ~1 s spikes
+    // on the first repeat of whichever query first touched a lazy path:
+    // f3's first lower() showed a 0.9-1.1 s first-run spread in every
+    // full run while its median sat at 0.2 s.)
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    try SparkEntry.queries.values.take(3).foreach(f => exec(f(spark, "/root/testdata/sf0.001")))
-    catch { case _: Throwable => }
+    SparkEntry.queries.values.foreach { f =>
+      try exec(f(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
+    }
     // median-of-3 per query: the later runs reuse compiled codegen classes,
     // so the median isolates plan cost from JIT/classload noise AND from
     // one-off GC/interleaving spikes (the r5 lesson: with 115 queries in
@@ -48,21 +54,30 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // Broadcasts and shuffle state are cleaned by the ContextCleaner, which
-    // only acts when driver GC collects their weak refs — and its periodic
-    // GC default (30 min) never fires inside one bench run, so ~350 query
-    // executions of broadcast blocks pile up in an 8 GiB heap until a full
-    // GC or eviction storm stalls whichever query is running (the r6 g7
-    // spike: 7.4 s median on unchanged code; a 0.9 s one-off on 0.14 s f3
-    // in a repro run). Explicit System.gc() between queries keeps those
-    // pauses OUT of the timed windows. SPARK_GRAFT_ISOLATE=1 hardens this
-    // to a GC between every repeat (the isolated-run protocol recorded in
-    // BASELINE.md).
+    // only acts when driver GC collects their weak refs — and G1 left to
+    // itself eventually takes a multi-second organic full GC in the MIDDLE
+    // of some random timed window (measured: a 3.5 s one-off on 0.58 s q3
+    // in a GC-free run; the r6 driver's g7 7.4 s median is the same storm).
+    // A periodic System.gc() between queries keeps old-gen debt low enough
+    // that organic full GCs never fire mid-query, while being cheap on a
+    // pinned heap (-Xms=-Xmx, so no shrink/regrow cycle; a full GC after
+    // EVERY query on a shrinkable 8 g heap measured ~15% slower overall).
+    // SPARK_GRAFT_ISOLATE=1 hardens to a GC between every repeat (the
+    // isolated-run protocol recorded in BASELINE.md).
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
     def betweenRepeats(): Unit = {
       Checkpoints.sweepAll(spark)
       if (isolate) System.gc()
     }
-    def betweenQueries(): Unit = System.gc()
+    // Cadence measured across full runs on the pinned heap: GC every query
+    // = 73.3 s total / 0.34 median rel-spread; every 10 queries = 70.5 s /
+    // 0.26 — the winner on both axes (every 25 and never both admitted
+    // 1-3.5 s one-off stalls into timed windows).
+    var sinceGc = 0
+    def betweenQueries(): Unit = {
+      sinceGc += 1
+      if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
+    }
     // Optional focus filter for local iteration: SPARK_GRAFT_ONLY=q1,q2
     // benches just those queries (the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")

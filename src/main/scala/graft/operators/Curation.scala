@@ -196,7 +196,11 @@ object Curation {
     * equivalent of running [[Maintenance.compact]] after an incremental
     * append), each row carrying `shard_hash` = md5(shard_text) so a reader
     * can verify shard bytes end-to-end without re-deriving the packing.
-    * Returns the frame as written (including the hash) for verification.
+    * Returns the frame whose CONTENT was written (including the hash):
+    * unmaterialized lineage, so a downstream use RECOMPUTES the packing
+    * (deterministically — same rows as on disk) rather than reading the
+    * parquet back; use `spark.read.parquet(path)` for a true as-written
+    * view that costs a scan instead of the pipeline.
     */
   def writeShards(
       df: DataFrame,

@@ -151,11 +151,14 @@ object Dedup {
     * "materialize the shingle table once" step of every MinHash-era
     * pipeline; swap localCheckpoint for a parquet stage write there.
     */
-  private def ngramJaccardPairs(docs: DataFrame, fingerprints: Boolean): DataFrame = {
+  private[graft] def ngramJaccardPairs(
+      docs: DataFrame,
+      fingerprints: Boolean,
+      maxDf: Int = MaxShingleDF): DataFrame = {
     val sh0 = (if (fingerprints) shingleHashes(docs, 5) else shingles(docs, 5))
       .localCheckpoint()
     val rare = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDF).select("sh")
+      .filter(col("df") <= maxDf).select("sh")
     val sh = sh0.join(rare, Seq("sh"), "left_semi")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
@@ -540,9 +543,20 @@ object Dedup {
     * batch is shingled and hashed, so a 100 TB corpus is never re-read —
     * the probe cost is O(batch) + a semi-join against the index, which a
     * production layout partitions/buckets by (band, bucket) so only batch
-    * rows shuffle. Unlike pair GENERATION, the probe needs no hot-bucket
-    * cap: a left-semi join's output is bounded by the batch band rows, so
-    * a viral bucket inflates probe time, never output size.
+    * rows shuffle ([[writeBandIndex]]/[[probePersistedIndex]] are that
+    * layout). Unlike pair GENERATION, the probe needs no hot-bucket cap: a
+    * left-semi join's output is bounded by the batch band rows, so a viral
+    * bucket inflates probe time, never output size.
+    *
+    * Above-cap contract: because the probe is uncapped while
+    * [[minhashFastPairs]] drops buckets over its cap (200), a doc whose
+    * ONLY shared bucket is over-cap is flagged here but pairless there.
+    * That asymmetry is deliberate — flag-don't-drop is the right answer
+    * for "is this new vs the corpus" (an over-cap bucket means MANY corpus
+    * near-copies, the strongest possible dup signal), while the generator
+    * drops it to bound its quadratic output. The pair-set-restriction
+    * equivalence DedupSimilaritySpec pins holds only while no bucket
+    * exceeds the cap (true at test scale).
     *
     * Output: `batch` with `dup_of_corpus` appended (batch-internal
     * duplicates are deliberately NOT flagged — run the x26 pipeline within

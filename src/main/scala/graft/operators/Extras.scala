@@ -156,7 +156,11 @@ object Extras {
     // Variance/stddev rebuilt from order-independent exact sums (plain
     // stddev(double) is partial-aggregation-order-dependent and would flap
     // vs the oracle): sqrt((Σx² − (Σx)²/n)/(n−1)). Sums run in integer
-    // cents — exact in int64 up to >10^12 rows at max quantity — which
+    // cents; the exactness envelopes differ per accumulator: Σx is exact in
+    // int64 to ~1.8e15 rows at max quantity (5000 cents/row), but Σx²
+    // accumulates cents² (2.5e7/row), overflowing at ~3.7e11 rows — still
+    // >300x the 1e9-row sf100 lineitem, and a scale-out beyond that shards
+    // the group key before any single group nears it — which
     // keeps the aggregate in codegen'd long math instead of Spark's slow
     // wide-decimal path (the r5 a12 cost). round() before the long cast so
     // Spark's truncating cast and DuckDB's rounding cast agree even for

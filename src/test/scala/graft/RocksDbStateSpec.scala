@@ -24,6 +24,22 @@ class RocksDbStateSpec extends SparkSpec {
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Evidence that the RUNNING query actually instantiated the RocksDB
+    * provider (not just that the conf was set): RocksDB's StateStore
+    * implementation reports provider-specific custom metrics
+    * (rocksdbGet/Put latencies, memory usage, …) in every
+    * StateOperatorProgress; the default HDFS-backed store reports none of
+    * those keys.
+    */
+  private def assertRocksDbInUse(query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import scala.jdk.CollectionConverters._
+    val ops = query.lastProgress.stateOperators
+    assert(ops.nonEmpty, "no state operator reported progress")
+    val keys = ops.flatMap(_.customMetrics.keySet().asScala).toSeq
+    assert(keys.exists(_.toLowerCase.contains("rocksdb")),
+      s"state operator custom metrics carry no rocksdb evidence: $keys")
+  }
+
   /** Run `body` with the RocksDB provider set, restoring the prior value
     * (the provider is read at query START, so setting it around the start
     * call is sufficient and keeps the other specs on the default).
@@ -51,11 +67,11 @@ class RocksDbStateSpec extends SparkSpec {
       def emitted(): Seq[(Long, String)] = spark.table("dedup_rocks")
         .collect().map(r => (r.getTimestamp(0).getTime / 1000, r.getString(1))).toSeq
       try {
-        // the state store provider actually in use must be RocksDB
-        assert(query.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
-          .sparkSession.conf.get(ProviderConf).contains("RocksDB"))
         input.addData(ts(1) -> "A", ts(1) -> "A", ts(2) -> "B")
         query.processAllAvailable()
+        // the state store provider actually in use must be RocksDB —
+        // judged from the query's own runtime metrics, not the conf
+        assertRocksDbInUse(query)
         assert(emitted().sorted == Seq(1L -> "A", 2L -> "B"))
         input.addData(ts(3) -> "A") // duplicate inside the watermark -> dropped
         query.processAllAvailable()
@@ -84,6 +100,7 @@ class RocksDbStateSpec extends SparkSpec {
           RawEvent("s", t(1), "prompt:submit", """{"prompt":"p1"}""", 1),
           RawEvent("s", t(2), "tool:pre", """{"tool_name":"R","parallel_group_id":"pg"}""", 2))
         query.processAllAvailable()
+        assertRocksDbInUse(query)
         assert(spark.table("turns_rocks").count() == 0) // turn still open in state
         input.addData(
           RawEvent("s", t(3), "tool:post", """{"tool_name":"R","parallel_group_id":"pg","result":"ok"}""", 3),

@@ -663,9 +663,104 @@ object TrainPrep {
       .orderBy("lang", "split")
   }
 
+  val x29_ingest_pipeline = Q(
+    "x29_ingest_pipeline",
+    s"""WITH ${Dedup.md5BandsSqlCtes("_c", "WHERE doc_id % 2 = 0")},
+       |${Dedup.md5BandsSqlCtes("_b", "WHERE doc_id % 2 <> 0")},
+       |dup AS (
+       |  SELECT DISTINCT b.doc_id FROM bands_b b
+       |  JOIN bands_c c ON b.band = c.band AND b.bucket = c.bucket),
+       |surv AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d
+       |  LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |  WHERE d.doc_id % 2 <> 0 AND dup.doc_id IS NULL),
+       |feat AS (
+       |  SELECT doc_id, lang, text,
+       |         len(string_split(text, ' ')) AS toks,
+       |         CAST(len(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS mean_len,
+       |         (SELECT count(DISTINCT array_to_string(w[i:i+1], ' '))
+       |          FROM (SELECT string_split(text, ' ') AS w) t,
+       |               unnest(generate_series(1, len(w) - 1)) u(i)) AS uniq_bg
+       |  FROM surv),
+       |v AS (
+       |  SELECT doc_id, lang, text, toks,
+       |         CASE WHEN toks < 25 THEN 'too_short'
+       |              WHEN toks > 90 THEN 'too_long'
+       |              WHEN mean_len < 4.15 OR mean_len > 4.9 THEN 'word_length'
+       |              WHEN 1.0 - CAST(uniq_bg AS DOUBLE) / (toks - 1) > 0.09 THEN 'repetitive'
+       |              ELSE 'ok' END AS verdict
+       |  FROM feat)
+       |SELECT doc_id, lang,
+       |       CASE WHEN ${md5BucketSql("'p|' || CAST(doc_id AS VARCHAR)")} % 10 < 8 THEN 'train'
+       |            WHEN ${md5BucketSql("'p|' || CAST(doc_id AS VARCHAR)")} % 10 = 8 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       CAST(toks AS BIGINT) AS tokens,
+       |       md5(regexp_replace(
+       |             regexp_replace(
+       |               regexp_replace(text, '$EmailRe', '[EMAIL]', 'g'),
+       |               '$Ipv4Re', '[IP]', 'g'),
+       |             '$PhoneRe', '[PHONE]', 'g')) AS content_hash
+       |FROM v WHERE verdict = 'ok' ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    // The incremental-ingest WRITE path as ONE dataflow — what lands a
+    // daily batch into an already-curated 100 TB corpus (the composition
+    // x27 probes and x19/x26 curate; the reference's ingest analog is the
+    // content-addressed admit decision in content_deduplicator.py:31-88):
+    //   probe the corpus band index (only the BATCH is shingled; the
+    //   corpus side is the persisted index, here rebuilt inline so the
+    //   oracle can replay it) → drop near-dups of the corpus → quality
+    //   verdict on the survivors, admit only 'ok' → split assignment +
+    //   token count + redacted-content hash for the admitted docs (the
+    //   content_hash is what a content-addressed store files the doc
+    //   under — md5 pins every redacted byte to the oracle).
+    // Plan shape: batch-sized banding aggregation + semi-join against the
+    // index, then pure map-side expressions — no corpus scan, no window,
+    // one presentation sort. At scale the index probe is
+    // Dedup.probePersistedIndex against the parquet index (BandIndexSpec
+    // round-trips it); every other stage is embarrassingly parallel.
+    val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+    val batch  = t.documents.filter(col("doc_id") % 2 =!= 0)
+    ingestAdmit(
+      Dedup.incrementalNeardupFlags(
+        batch.select("doc_id", "lang", "text"),
+        Dedup.md5BandTable(batch), Dedup.md5BandTable(corpus)))
+  }
+
+  /** The shared admit chain of both x29 renderings (single source, so the
+    * oracle-checked md5 row pins the exact composition the fast row runs):
+    * drop corpus dups → verdict gate → split/tokens/redacted-hash.
+    */
+  private def ingestAdmit(flagged: DataFrame): DataFrame =
+    flagged
+      .filter(!col("dup_of_corpus"))
+      .withColumn("verdict", Curation.qualityVerdict(col("text"), 25, 90, 4.15, 4.9, 0.09))
+      .filter(col("verdict") === "ok")
+      .select(
+        col("doc_id"), col("lang"),
+        Curation.assignSplit(col("doc_id")).as("split"),
+        Curation.tokenCount(col("text")).as("tokens"),
+        md5(Curation.redactPii(col("text"))).as("content_hash"))
+      .orderBy("doc_id")
+
+  val x29_fast_ingest = Q.noOracle("x29_fast_ingest") { t =>
+    // The xxhash64 production rendering of x29 (rows-only: DuckDB lacks
+    // xxhash64). Identical admit chain by construction (ingestAdmit);
+    // only the band family differs — TrainPrepSpec pins this rendering's
+    // admitted set against its independently-verified components
+    // (x27_fast's dup flags ∩ the oracle-checked verdict gate).
+    val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+    val batch  = t.documents.filter(col("doc_id") % 2 =!= 0)
+    ingestAdmit(
+      Dedup.incrementalNeardupFlags(
+        batch.select("doc_id", "lang", "text"),
+        Dedup.fastBandTable(batch), Dedup.fastBandTable(corpus)))
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
-    x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup)
+    x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
+    x29_ingest_pipeline, x29_fast_ingest)
 }

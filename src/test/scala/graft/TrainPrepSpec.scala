@@ -231,4 +231,34 @@ class TrainPrepSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
   }
+
+  test("x29_fast ingest: admitted set == (non-dup by x27_fast flags) ∩ (verdict ok), hashes match redaction") {
+    // Pins the fast rendering's COMPOSITION against its independently
+    // verified components: x27_fast's dup flags (spec'd vs the md5 bridge
+    // family) and the oracle-checked verdict gate — so the only thing the
+    // composition could get wrong (wiring) is what this asserts.
+    import graft.operators.{Curation, Dedup}
+    val admitted = TrainPrep.x29_fast_ingest.run(spark, sf0001).collect()
+    val admittedIds = admitted.map(_.getLong(0)).toSet
+
+    val nonDup = Dedup.x27_fast_incremental.run(spark, sf0001).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val okIds = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"),
+        Curation.qualityVerdict(col("text"), 25, 90, 4.15, 4.9, 0.09).as("v"))
+      .filter(col("v") === "ok").collect().map(_.getLong(0)).toSet
+    assert(admittedIds == (nonDup & okIds),
+      s"admitted ${admittedIds.size} != nonDup∩ok ${(nonDup & okIds).size}")
+
+    // content_hash really is md5 of the redacted text, split is the split
+    val expected = docs
+      .select(col("doc_id"),
+        Curation.assignSplit(col("doc_id")).as("split"),
+        md5(Curation.redactPii(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    admitted.foreach { r =>
+      assert(expected(r.getLong(0)) == ((r.getString(2), r.getString(4))))
+    }
+  }
 }

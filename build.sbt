@@ -29,16 +29,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap: local[32] runs 32 executor threads in ONE JVM on a 125 GiB box —
-// 8g starved the block manager across a 120-query bench (eviction/GC
-// stalls landing on random queries); 16g pinned (-Xms=-Xmx) keeps G1 from
-// shrink/regrow cycles around allocation-heavy hash queries.
-javaOptions ++= jdk17AddOpens ++ Seq(
+val commonJavaOptions = jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+)
+// Heap for `run` (Bench/Verify at local[32] on a 125 GiB box): 8g starved
+// the block manager across a 120-query bench (eviction/GC stalls landing
+// on random queries); 16g pinned (-Xms=-Xmx) keeps G1 from shrink/regrow
+// cycles around allocation-heavy hash queries, and AlwaysPreTouch pays
+// the page-zeroing at JVM start instead of as first-touch faults inside
+// the first minutes of timed queries. Tests run sf0.001 data on
+// local[4] — they get the common options and a modest default heap, not
+// a 16 GiB pre-touched commit per forked suite JVM.
+run / javaOptions := commonJavaOptions ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  // commit+zero the whole heap at JVM start, not as first-touch page
-  // faults scattered through the first minutes of timed queries
   "-XX:+AlwaysPreTouch",
 )
+Test / javaOptions := commonJavaOptions ++ Seq("-Xmx8g")

@@ -38,6 +38,11 @@ object Bench {
     SparkEntry.queries.values.foreach { f =>
       try exec(f(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
     }
+    // drop the warmup pass's own checkpoint/persist blocks and settle the
+    // heap BEFORE the first timed window — otherwise query 1's first
+    // repeat runs against ~120 queries of warmup garbage
+    Checkpoints.sweepAll(spark)
+    System.gc()
     // median-of-3 per query: the later runs reuse compiled codegen classes,
     // so the median isolates plan cost from JIT/classload noise AND from
     // one-off GC/interleaving spikes (the r5 lesson: with 115 queries in

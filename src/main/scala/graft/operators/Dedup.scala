@@ -593,37 +593,67 @@ object Dedup {
     * there would be nothing to prune: every batch carries all 4 bands;
     * sharding the bucket hash is what makes small-batch pruning real.)
     * One task per shard via the repartition, i.e. compacted at write time.
+    * The shard count is written into the index as a `_graft_shards`
+    * marker, so probes can never silently disagree with the layout.
     */
-  def writeBandIndex(bands: DataFrame, path: String, shards: Int = BandIndexShards): Unit =
+  def writeBandIndex(bands: DataFrame, path: String, shards: Int = BandIndexShards): Unit = {
     bands
       .withColumn("bucket_shard", bucketShard(shards))
       .repartition(col("bucket_shard"))
       .write.mode("overwrite").partitionBy("bucket_shard").parquet(path)
+    val p  = new org.apache.hadoop.fs.Path(path, "_graft_shards")
+    val fs = p.getFileSystem(bands.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(shards.toString.getBytes("UTF-8")) finally out.close()
+  }
 
   def readBandIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** The incremental probe against a PERSISTED index (written by
-    * [[writeBandIndex]]): derive the batch's shard list and push it as a
-    * static IN filter on the index's partition column, so the index scan
-    * is partition-pruned (PartitionFilters in the plan) before the
-    * semi-join runs. The shard list is a driver-side collect, but of AT
-    * MOST `shards` small ints — bounded by the layout constant, never by
-    * data volume (the same class of metadata collect AQE itself performs).
-    * Output contract matches [[incrementalNeardupFlags]].
+  /** The modulus the index at `path` was sharded with — read from the
+    * `_graft_shards` marker [[writeBandIndex]] leaves, so a probe computes
+    * batch shards with the exact layout constant of the index it reads
+    * (a mismatched modulus would silently drop corpus partitions from the
+    * semi-join and flag near-dups as new).
+    */
+  def indexShards(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p  = new org.apache.hadoop.fs.Path(path, "_graft_shards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](64)
+      var n   = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, "UTF-8").trim.toInt
+    } finally in.close()
+  }
+
+  /** The incremental probe against a PERSISTED index at `path` (written by
+    * [[writeBandIndex]]): derive the batch's shard list — with the modulus
+    * read from the index's own marker — and push it as a static IN filter
+    * on the partition column, so the index scan is partition-pruned
+    * (PartitionFilters in the plan) before the semi-join runs. The shard
+    * list is a driver-side collect, but of AT MOST `shards` small ints —
+    * bounded by the layout constant, never by data volume (the same class
+    * of metadata collect AQE itself performs). The batch band table is
+    * deliberately NOT checkpointed: it is evaluated twice (shard list +
+    * probe), both O(batch) passes, which beats pinning unevictable
+    * checkpoint blocks in a long-lived ingest session (the exact leak
+    * Checkpoints.scala documents). Output contract matches
+    * [[incrementalNeardupFlags]].
     */
   def probePersistedIndex(
       batch: DataFrame,
       batchBands: DataFrame,
-      index: DataFrame,
-      shards: Int = BandIndexShards): DataFrame = {
-    // the band table is consumed twice (shard list + probe): materialize
-    val bb = batchBands.localCheckpoint()
-    val shardList = bb.select(bucketShard(shards).as("s")).distinct()
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val shards = indexShards(spark, path)
+    val shardList = batchBands.select(bucketShard(shards).as("s")).distinct()
       .collect().map(_.getInt(0)).toSeq
     incrementalNeardupFlags(
-      batch, bb,
-      index.filter(col("bucket_shard").isin(shardList: _*)))
+      batch, batchBands,
+      readBandIndex(spark, path).filter(col("bucket_shard").isin(shardList: _*)))
   }
 
   val x27_incremental_neardup = Q(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.{Q, Tables}
+import graft.Q
 
 /** Multimodal-column plumbing (builder contract): media as opaque `binary`
   * columns plus typed metadata, processed in partition-sized batches.

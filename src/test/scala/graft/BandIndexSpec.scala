@@ -25,17 +25,25 @@ class BandIndexSpec extends SparkSpec {
     val batch = docs.filter("doc_id % 2 <> 0").orderBy("doc_id").limit(5)
 
     Dedup.writeBandIndex(Dedup.fastBandTable(corpus), dir)
-    val index      = Dedup.readBandIndex(spark, dir)
     val batchBands = Dedup.fastBandTable(batch)
 
     def flags(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean)] =
       df.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
 
-    val probed = Dedup.probePersistedIndex(batch.select("doc_id"), batchBands, index)
+    val probed = Dedup.probePersistedIndex(batch.select("doc_id"), batchBands, spark, dir)
     val inline = Dedup.incrementalNeardupFlags(
       batch.select("doc_id"), batchBands, Dedup.fastBandTable(corpus))
     val probedRows = flags(probed) // action first, so scan metrics are populated
     assert(probedRows == flags(inline))
+
+    // a NON-default shard modulus round-trips too: the probe reads the
+    // layout constant from the index's _graft_shards marker, so the two
+    // call sites can never silently disagree
+    val dir16 = Files.createTempDirectory("bandidx16").toString + "/idx"
+    Dedup.writeBandIndex(Dedup.fastBandTable(corpus), dir16, shards = 16)
+    assert(Dedup.indexShards(spark, dir16) == 16)
+    assert(flags(Dedup.probePersistedIndex(batch.select("doc_id"), batchBands, spark, dir16))
+      == probedRows)
 
     // the index scan carries the shard list as a PARTITION filter…
     // (unwrap AQE: executed leaves live under AdaptiveSparkPlanExec)

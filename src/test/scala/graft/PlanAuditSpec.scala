@@ -90,4 +90,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"selection must not use a rank window:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cross products:\n$plan")
   }
+
+  test("x29 ingest plan: semi-join probe + map-side curation — no window, no cartesian, no nested loop") {
+    // The ingest write path's promised shape (TrainPrep.ingestAdmit
+    // comments): the dup decision is the x27 left-semi probe, and
+    // everything after it — verdict gate, split hash, token count,
+    // redaction hash — is pure map-side expression work. Nothing in the
+    // chain may window, nested-loop, or cross-product; the only exchanges
+    // are the banding aggregations and the presentation sort.
+    val plan = finalPlan(TrainPrep.x29_fast_ingest.run(spark, sf0001))
+    assert(plan.contains("LeftSemi"), s"dup decision must be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross products:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"every join must be keyed:\n$plan")
+    assert(!plan.contains("Window"), s"the admit chain must not use a window:\n$plan")
+  }
 }

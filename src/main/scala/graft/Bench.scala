@@ -92,16 +92,36 @@ object Bench {
       case None        => SparkEntry.registry
     }
     case class R(name: String, median: Double, spread: Double)
+    // The VM host occasionally freezes all cores for 1-6 s (BASELINE.md r7:
+    // whole-registry totals swing 70-103 s on identical code). A stall
+    // landing in one of 3 repeats corrupts that query's median and spread.
+    // Mitigation: when the 3-repeat spread exceeds half the median, take 2
+    // more repeats and report the median of 5 with the middle-3 spread —
+    // the stall repeat is rejected instead of polluting the record. The
+    // retry budget is bounded and the retry count is reported
+    // (noisy_retries) so a run that needed many is visibly a noisy run.
+    var retryBudget = 24
+    var retried     = 0
     val results = selected.map { q =>
-      val times = (1 to 3).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         try exec(q.run(spark, sfDir)) catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         betweenRepeats()
         dt
-      }.sorted
+      }
+      var times = (1 to 3).map(_ => rep()).sorted
+      if (times(2) - times(0) > 0.5 * times(1) && retryBudget >= 2) {
+        retryBudget -= 2
+        retried += 1
+        times = (times ++ (1 to 2).map(_ => rep())).sorted
+      }
       betweenQueries()
-      R(q.name, times(1), times(2) - times(0))
+      val median = times(times.size / 2)
+      val spread =
+        if (times.size == 3) times(2) - times(0)
+        else times(3) - times(1) // middle-3 of 5: extremes are the stalls
+      R(q.name, median, spread)
     }
     val total = results.map(_.median).sum
     // headline variance indicators: worst and median relative spread
@@ -130,7 +150,7 @@ object Bench {
     if (only.isEmpty) {
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json")
-        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"n_queries":${results.size},"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
+        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"noisy_retries":$retried,"n_queries":${results.size},"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
         finally w.close()
       } catch { case _: Throwable => }
     }
@@ -149,7 +169,7 @@ object Bench {
         else full_ = true
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"noisy_retries":$retried,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

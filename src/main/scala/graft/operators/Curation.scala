@@ -35,6 +35,59 @@ object Curation {
   def sampleByHash(df: DataFrame, key: Column, keepPct: Column, salt: String = "s|"): DataFrame =
     df.filter(hashBucket(key, salt, 100) < keepPct)
 
+  /** Budget-driven mixture rates: per-stratum admission rates (basis
+    * points) such that the admitted corpus approximates the target token
+    * mixture `weightsPm` (per-mille, e.g. en→400 = 40% of the budget)
+    * under a total budget of `budgetTokens`. One map-side-combined
+    * aggregate over (stratum → sum tokens) — the measure pass; the output
+    * is #strata rows. All arithmetic is exact bigint division, so any
+    * engine reproduces every rate bit-for-bit. A stratum with fewer
+    * available tokens than its target caps at 10000 bp (keep everything);
+    * the under-fill is visible in the returned `avail_tokens` vs the
+    * budget share — deliberately reported, never silently re-balanced
+    * onto other strata (re-balancing changes the mixture, which is the
+    * one thing the caller asked to control). A stratum absent from
+    * `weightsPm` gets rate 0 (admit nothing, still reported).
+    *
+    * Output: (stratum, avail_tokens, rate_bp).
+    */
+  def mixtureRates(
+      docs: DataFrame,
+      stratum: String,
+      tokens: Column,
+      weightsPm: Map[String, Long],
+      budgetTokens: Long): DataFrame =
+    docs
+      .groupBy(col(stratum))
+      .agg(sum(tokens).as("avail_tokens"))
+      .withColumn("w_pm", coalesce(element_at(typedLit(weightsPm), col(stratum)), lit(0L)))
+      .withColumn(
+        "rate_bp",
+        least(
+          lit(10000L),
+          expr(s"(((CAST($budgetTokens AS BIGINT) * w_pm) div 1000) * 10000) div avail_tokens")))
+      .drop("w_pm")
+
+  /** The admit pass for [[mixtureRates]]: broadcast the #strata-row rates
+    * frame onto the corpus and keep rows whose salted hash bucket falls
+    * under their stratum's rate — a pure per-row decision (no corpus
+    * shuffle, rerun-stable, engine-portable like [[sampleByHash]]).
+    * Together the two passes are the standard "hit a target domain
+    * mixture under a token budget" step of pretraining-corpus assembly;
+    * at 100 TB the measure pass is a map-side agg on a handful of keys
+    * and this pass never shuffles the corpus at all.
+    */
+  def admitByMixture(
+      docs: DataFrame,
+      stratum: String,
+      key: Column,
+      rates: DataFrame,
+      salt: String = "m|"): DataFrame =
+    docs
+      .join(broadcast(rates.select(col(stratum), col("rate_bp"))), Seq(stratum))
+      .filter(hashBucket(key, salt, 10000) < col("rate_bp"))
+      .drop("rate_bp")
+
   /** Deterministic 80/10/10 train/val/test assignment from a stable key. */
   def assignSplit(key: Column, salt: String = "p|"): Column = {
     val b = hashBucket(key, salt, 10)

@@ -757,10 +757,68 @@ object TrainPrep {
         Dedup.fastBandTable(batch), Dedup.fastBandTable(corpus)))
   }
 
+  val x30_mixture_budget = Q(
+    "x30_mixture_budget",
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |avail AS (
+       |  SELECT lang, CAST(SUM(tokens) AS BIGINT) AS avail_tokens
+       |  FROM toks GROUP BY lang),
+       |w(lang, w_pm) AS (VALUES ('en', 400), ('zh', 150), ('es', 150), ('de', 150), ('fr', 150)),
+       |rates AS (
+       |  SELECT a.lang, a.avail_tokens,
+       |         LEAST(10000, (((CAST(20000 AS BIGINT) * COALESCE(w.w_pm, 0)) // 1000) * 10000)
+       |                        // a.avail_tokens) AS rate_bp
+       |  FROM avail a LEFT JOIN w ON a.lang = w.lang),
+       |adm AS (
+       |  SELECT t.lang, t.tokens
+       |  FROM toks t JOIN rates r ON t.lang = r.lang
+       |  WHERE ${md5BucketSql("'m|' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp)
+       |SELECT r.lang, r.avail_tokens, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       |       CAST(COALESCE(g.n_admitted, 0) AS BIGINT) AS n_admitted,
+       |       CAST(COALESCE(g.admitted_tokens, 0) AS BIGINT) AS admitted_tokens
+       |FROM rates r LEFT JOIN (
+       |  SELECT lang, count(*) AS n_admitted,
+       |         CAST(SUM(tokens) AS BIGINT) AS admitted_tokens
+       |  FROM adm GROUP BY lang) g ON r.lang = g.lang
+       |ORDER BY r.lang""".stripMargin,
+  ) { t =>
+    // Budget-driven mixture sampling — the step AFTER x14's fixed-rate
+    // stratified sampling in corpus assembly: given a total token budget
+    // and target per-stratum weights (en 40%, the rest 15% each of a
+    // 20k-token budget), COMPUTE each stratum's admission rate from the
+    // measured supply, then admit per-row by salted hash. Two passes,
+    // neither shuffles the corpus: the measure pass is a map-side-combined
+    // aggregate on #strata keys; the admit pass is a broadcast of the
+    // 5-row rates frame + a per-row hash decision. Rates are exact bigint
+    // arithmetic (basis points), so DuckDB reproduces every admission
+    // bit-for-bit; an under-supplied stratum caps at 10000 bp and the
+    // under-fill is visible in the output (never silently re-balanced —
+    // that would change the mixture, the one thing the op controls).
+    val weights = Map("en" -> 400L, "zh" -> 150L, "es" -> 150L, "de" -> 150L, "fr" -> 150L)
+    val toks = t.documents.select(
+      col("doc_id"), col("lang"), Curation.tokenCount(col("text")).as("tokens"))
+    val rates = Curation.mixtureRates(toks, "lang", col("tokens"), weights, budgetTokens = 20000L)
+    val admitted = Curation.admitByMixture(toks, "lang", col("doc_id"), rates)
+    rates
+      .join(
+        admitted.groupBy("lang").agg(
+          count(lit(1)).as("n_admitted"),
+          sum(col("tokens")).as("admitted_tokens")),
+        Seq("lang"), "left")
+      .select(
+        col("lang"), col("avail_tokens"), col("rate_bp"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("admitted_tokens"), lit(0L)).as("admitted_tokens"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
-    x29_ingest_pipeline, x29_fast_ingest)
+    x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget)
 }

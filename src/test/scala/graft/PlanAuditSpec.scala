@@ -104,4 +104,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"every join must be keyed:\n$plan")
     assert(!plan.contains("Window"), s"the admit chain must not use a window:\n$plan")
   }
+
+  test("x30 mixture plan: rates frame broadcast onto the corpus, no shuffle join, no window") {
+    // The admit pass's promised shape (Curation.admitByMixture comments):
+    // the #strata-row rates frame reaches the corpus as a broadcast build;
+    // the corpus itself never shuffles for the join (its only exchanges
+    // are the two small reporting aggregations). A SortMergeJoin here
+    // would mean the corpus is being shuffled to meet a 5-row table.
+    val plan = finalPlan(TrainPrep.x30_mixture_budget.run(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"rates frame must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle-join the rates:\n$plan")
+    assert(!plan.contains("Window"), s"the mixture op must not use a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cross products:\n$plan")
+  }
 }

@@ -261,4 +261,38 @@ class TrainPrepSpec extends SparkSpec {
       assert(expected(r.getLong(0)) == ((r.getString(2), r.getString(4))))
     }
   }
+
+  test("x30 mixture: under-supplied stratum caps at 10000bp; zero-weight admits nothing; admit pass matches rates") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // Synthetic supply: 'a' has plenty (over-supplied for a 30% share of
+    // 1000 tokens), 'b' is under-supplied for its 70% share (supply 100 <
+    // target 700 -> cap), 'c' carries no weight at all.
+    val docs = (1 to 200).map(i => (i.toLong, "a", 10L)) ++
+      (201 to 210).map(i => (i.toLong, "b", 10L)) ++
+      (211 to 220).map(i => (i.toLong, "c", 10L))
+    val df = docs.toDF("doc_id", "stratum", "tokens")
+    val rates = Curation
+      .mixtureRates(df, "stratum", col("tokens"), Map("a" -> 300L, "b" -> 700L), 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("a") == ((2000L, 1500L)), "a: target 300 of supply 2000 = 1500bp")
+    assert(rates("b") == ((100L, 10000L)), "b: target 700 > supply 100 caps at 10000bp")
+    assert(rates("c") == ((100L, 0L)), "c: absent from weights -> rate 0, still reported")
+
+    val ratesDf = Curation.mixtureRates(df, "stratum", col("tokens"), Map("a" -> 300L, "b" -> 700L), 1000L)
+    val admitted = Curation.admitByMixture(df, "stratum", col("doc_id"), ratesDf).collect()
+    val byStratum = admitted.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(byStratum.getOrElse("c", 0) == 0, "zero-weight stratum admits nothing")
+    assert(byStratum("b") == 10, "capped stratum keeps everything")
+    // 'a' admissions are exactly the rows whose salted bucket < rate_bp
+    val expectA = df.filter(col("stratum") === "a")
+      .filter(Curation.hashBucket(col("doc_id"), "m|", 10000) < lit(1500L))
+      .count()
+    assert(byStratum("a").toLong == expectA)
+
+    // determinism: the registry row returns identical results twice
+    val r1 = TrainPrep.x30_mixture_budget.run(spark, sf0001).collect()
+    val r2 = TrainPrep.x30_mixture_budget.run(spark, sf0001).collect()
+    assert(r1.map(_.toSeq.toList).toList == r2.map(_.toSeq.toList).toList)
+  }
 }

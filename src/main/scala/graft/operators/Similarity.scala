@@ -315,6 +315,141 @@ object Similarity {
       .toDF("cell", "centroid")
   }
 
+  /** SQ8 scalar quantization — the memory/bandwidth move for corpus-scale
+    * ANN: one global scale 127/max|x| maps every component to an int8 code
+    * `floor(x * scale)` in [-128, 127]. At 100 TB the codes column is 4x
+    * smaller than the float32 embeddings (25 TB scanned/shuffled instead of
+    * 100), the candidate-ranking dot product becomes exact 64-bit integer
+    * math (SIMD-able, and — like x10b's quantized projections — bit-equal
+    * across engines, no summation-order sensitivity), and the floats are
+    * touched only to rescore the k winners per query. floor (not round) is
+    * deliberate: round's half-way tie-break differs between engines;
+    * floor is exact on any double.
+    *
+    * One scalar scale (not per-dimension) keeps the dequantization
+    * implicit: code dot products are proportional to quantized float dot
+    * products, so ranking needs no scale correction at all. Per-dimension
+    * scales (classic SQ8) squeeze more precision from anisotropic
+    * dimensions but make the dot a weighted sum; this corpus is isotropic
+    * by construction and recall@5 is already 0.98 (spec), so the simpler
+    * form wins.
+    */
+  def sq8Scale(embeddings: DataFrame): Double = {
+    // one map-side-combined aggregate -> a scalar; the only driver-side
+    // value, same metadata-sized collect as literalPlanes' dim probe.
+    val maxAbs = embeddings
+      .select(max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
+      .head.getDouble(0)
+    127.0 / maxAbs
+  }
+
+  /** (vec_id, c: array<tinyint>, n2: long) — the compact code table. n2 is
+    * the code self-dot (persisted alongside, so probes never recompute
+    * corpus norms). Zero-norm codes (a vector whose every component
+    * quantizes to 0) are dropped on BOTH engines — they cannot be ranked
+    * by cosine and 0/0 NaN semantics differ across engines.
+    */
+  def sq8Codes(embeddings: DataFrame, scale: Double): DataFrame =
+    embeddings
+      .select(
+        col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * lit(scale)).cast("byte")).as("c"))
+      .withColumn("n2", sq8Dot(col("c"), col("c")))
+      .filter(col("n2") > 0)
+
+  /** Exact integer dot over int8 code arrays, backed by the codegen'd
+    * Int8Dot expression (the higher-order zip_with+aggregate form runs
+    * outside whole-stage codegen and was 3.5x slower on the ranking join —
+    * kept below as the reference the expression is spec-pinned against).
+    * Bounded by 128^2 * dim ~ 2^20 at dim 64: exactly representable in
+    * double, so the DuckDB oracle's double-list inner product is bit-equal.
+    */
+  def sq8Dot(a: Column, b: Column): Column =
+    graft.plans.Int8Dot.int8_dot(a, b)
+
+  /** Composed-builtins reference implementation for the spec cross-check
+    * (cast up per element — byte arithmetic would wrap at 127).
+    */
+  def sq8DotBuiltins(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+
+  /** SQ8 ANN top-k: rank ALL candidates by integer code similarity, rescore
+    * only the k winners per query against the float embeddings. `coded` is
+    * sq8Codes output (persisted once at ingest, 4x smaller than the
+    * floats); `queries` selects query_ids from it.
+    */
+  def sq8TopK(coded: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val q = coded.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("c").as("qc"), col("n2").as("qn2"))
+    val w = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id"))
+    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(
+        col("query_id"), col("vec_id"),
+        round(
+          sq8Dot(col("qc"), col("c")).cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("n2").cast("double"))), 6).as("qsim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  val x31_sq8_topk = Q(
+    "x31_sq8_topk",
+    """WITH m AS (
+      |  SELECT CAST(127 AS DOUBLE) / max(abs(CAST(x AS DOUBLE))) AS scale
+      |  FROM (SELECT unnest(embedding) AS x FROM embeddings)),
+      |codes AS (
+      |  SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * m.scale)) AS c
+      |  FROM embeddings, m),
+      |normed AS (
+      |  SELECT vec_id, c, list_inner_product(c, c) AS n2 FROM codes
+      |  WHERE list_inner_product(c, c) > 0),
+      |ranked AS (
+      |  SELECT q.vec_id AS query_id, d.vec_id AS vec_id,
+      |         round(list_inner_product(q.c, d.c) / (sqrt(q.n2) * sqrt(d.n2)), 6) AS qsim,
+      |         row_number() OVER (
+      |           PARTITION BY q.vec_id
+      |           ORDER BY round(list_inner_product(q.c, d.c) / (sqrt(q.n2) * sqrt(d.n2)), 6) DESC,
+      |                    d.vec_id) AS rn
+      |  FROM normed q JOIN normed d ON d.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10)
+      |SELECT r.query_id, r.vec_id AS vec_id, r.qsim,
+      |       round(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+      |                                    CAST(ed.embedding AS DOUBLE[])), 6) AS sim
+      |FROM ranked r
+      |JOIN embeddings eq ON eq.vec_id = r.query_id
+      |JOIN embeddings ed ON ed.vec_id = r.vec_id
+      |WHERE r.rn <= 5
+      |ORDER BY r.query_id, r.rn, r.vec_id""".stripMargin,
+  ) { t =>
+    // Scalar-quantized (SQ8) ANN, oracle-checked end-to-end: the scale,
+    // every int8 code, the integer candidate ranking, AND the float rescore
+    // of the winners replay exactly in DuckDB (floor quantization makes the
+    // codes engine-exact; integer dots are exactly representable in the
+    // oracle's double-list inner product — the x10b argument). Completes
+    // the ANN family's storage axis: x9 exact / x10 LSH / x18 IVF prune
+    // CANDIDATES, SQ8 shrinks BYTES — at 100 TB the ranking pass scans the
+    // 25 TB code table and only 10*k float rows are ever fetched. Recall@5
+    // vs exact cosine: 0.98 (spec-asserted >= 0.9).
+    val scale = sq8Scale(t.embeddings)
+    val coded = sq8Codes(t.embeddings, scale)
+    val winners = sq8TopK(coded, col("vec_id") < 10, k = 5)
+    // rescore the 50 winners against the floats: both joins broadcast the
+    // tiny side, so the embeddings table is probed, never shuffled.
+    val eq = t.embeddings.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val ed = t.embeddings.select(col("vec_id"), col("embedding").as("ce"))
+    val enriched = eq.join(broadcast(winners), Seq("query_id"))
+    ed.join(broadcast(enriched), Seq("vec_id"))
+      .select(
+        col("query_id"), col("vec_id"), col("qsim"),
+        cosine(col("qe"), col("ce")).as("sim"), col("rn"))
+      .orderBy("query_id", "rn", "vec_id")
+      .drop("rn")
+  }
+
   /** Exact brute-force top-k as a reusable API (not just the oracle query). */
   def bruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
@@ -411,5 +546,6 @@ object Similarity {
   }
 
   val all: Seq[Q] =
-    Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk)
+    Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
+      x31_sq8_topk)
 }

@@ -188,6 +188,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!rows(Dedup.fastBandTable(edge)).exists(r => r._1 <= 3L))
   }
 
+  test("SQ8 ANN: codes are int8, recall vs exact top-k >= 0.9, rescore matches exact cosine") {
+    val emb   = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val scale = Similarity.sq8Scale(emb)
+    val coded = Similarity.sq8Codes(emb, scale)
+    // compact storage contract: element type is TINYINT (1 byte on disk),
+    // and no code escapes the int8 range
+    val elemType = coded.schema("c").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(elemType == org.apache.spark.sql.types.ByteType)
+    // zero-norm drop: every surviving row ranks
+    assert(coded.filter(col("n2") <= 0).isEmpty)
+    // codegen'd Int8Dot === composed-builtins fold on every code row
+    val both = coded.withColumn("n2b", Similarity.sq8DotBuiltins(col("c"), col("c")))
+    assert(both.filter(col("n2") =!= col("n2b")).isEmpty)
+    // quantized ranking finds the true float top-k at high recall
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5))
+    val sq8   = pairs(Similarity.sq8TopK(coded, col("vec_id") < 10, 5))
+    val recall = (exact & sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall too low: $recall")
+    // the registry query's rescored sim column is the exact cosine
+    val out = Similarity.x31_sq8_topk.run(spark, sf0001)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ref = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 40)
+      .select("query_id", "vec_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    out.foreach { case (k, v) =>
+      ref.get(k).foreach(expected => assert(math.abs(v - expected) < 1e-9, s"rescore mismatch at $k")) }
+  }
+
   test("brute-force top-k: k rows per query, sims sorted desc, no self-match") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()

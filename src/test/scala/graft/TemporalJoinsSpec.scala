@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+/** Semantics + plan shape for the temporal join operators. The driver
+  * oracle (x32 vs DuckDB's native ASOF JOIN, x33 vs its IEJoin range
+  * predicate, x34 vs its window SQL) pins testdata behavior; these pin the
+  * EDGES testdata never hits — equal-ts inclusivity, tie-breaking,
+  * intervals longer than the grid width — and the one-shuffle plan
+  * contracts the scaladocs promise.
+  */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String = {
+    df.collect()
+    // AQE's toString prints the final plan AND the pre-adaptive initial
+    // plan; exchange COUNTS must only see the plan that actually ran.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  // ---- as-of join semantics ------------------------------------------------
+
+  private def lefts(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("user_id", "event_id", "ms")
+  private def rights(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("user_id", "event_id", "ms")
+
+  test("asOfJoin: latest at-or-before match, inclusive at equal ts, null when none") {
+    val l = lefts((1L, 100L, 50L), (1L, 101L, 10L), (2L, 200L, 99L))
+    val r = rights((1L, 900L, 20L), (1L, 901L, 50L), (3L, 902L, 1L))
+    val out = TemporalJoins.asOfJoin(l, r, "user_id", "ms", "event_id")
+      .select($"event_id", $"matched.event_id".as("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    // left@50 matches right@50 (inclusive), not right@20
+    assert(out(100L) === Some(901L))
+    // left@10 predates every right for the key -> null
+    assert(out(101L) === None)
+    // key 2 has no rights at all -> null (key 3's rights invisible)
+    assert(out(200L) === None)
+  }
+
+  test("asOfJoin: equal (key, ts) rights tie-break to the greatest tiebreak") {
+    val l = lefts((1L, 100L, 50L))
+    val r = rights((1L, 900L, 50L), (1L, 950L, 50L), (1L, 925L, 50L))
+    val out = TemporalJoins.asOfJoin(l, r, "user_id", "ms", "event_id")
+      .select($"matched.event_id").as[Long].collect()
+    assert(out.toSeq === Seq(950L))
+  }
+
+  test("asOfJoin plan: one hash exchange, a window, and no join operator") {
+    // The scalable rendering's whole point: point-in-time match WITHOUT a
+    // range join. The plan must be union -> ONE shuffle on the key ->
+    // sort -> running window; any Join operator or second hash exchange
+    // means the rendering regressed to the theta-join it exists to avoid.
+    val e = Tables(spark, sf0001).events
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ms"),
+        $"event_type")
+    val p = plan(TemporalJoins.asOfJoin(
+      e.filter($"event_type" === "purchase").drop("event_type"),
+      e.filter($"event_type" === "click").drop("event_type"),
+      "user_id", "ms", "event_id"))
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      s"expected exactly one hash exchange:\n$p")
+    assert(p.contains("Window"), s"expected the running window:\n$p")
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+  }
+
+  // ---- bucketed range join -------------------------------------------------
+
+  test("bucketedRangeJoin equals the naive range join, including intervals spanning many cells") {
+    // width 10 << interval lengths: the sequence() explosion must cover
+    // every cell an interval touches, and because a point maps to exactly
+    // one cell, each qualifying pair must appear exactly once (count
+    // equality catches both misses and duplicates).
+    val pts = Seq((1L, 1L, 5L), (1L, 2L, 17L), (1L, 3L, 42L), (2L, 4L, 17L))
+      .toDF("k", "pid", "ms")
+    val ivs = Seq((1L, 10L, 0L, 45L), (1L, 11L, 17L, 18L), (2L, 12L, 20L, 30L))
+      .toDF("k", "iid", "start_ms", "end_ms")
+    val bucketed = TemporalJoins.bucketedRangeJoin(
+      pts, ivs, "k", "ms", "start_ms", "end_ms", widthMs = 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, Seq("k"))
+      .filter($"ms" >= $"start_ms" && $"ms" < $"end_ms")
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(naive.length === naive.toSet.size)
+    assert(bucketed === naive.toSet)
+    assert(bucketed === Set((1L, 10L), (2L, 10L), (3L, 10L), (2L, 11L)))
+  }
+
+  test("x33 plan: the range join runs as a keyed equi-join, never nested-loop") {
+    val p = plan(TemporalJoins.x33_range_join.run(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range predicate must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert(p.contains("Join"), s"expected the (key, cell) equi-join:\n$p")
+  }
+
+  // ---- scd2 ----------------------------------------------------------------
+
+  test("scd2: runs collapse, validity chains are contiguous, last row current") {
+    val e = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "a", 20L), (1L, 3L, "b", 30L),
+      (1L, 4L, "a", 40L), (2L, 5L, "x", 5L))
+      .toDF("user_id", "event_id", "state", "ms")
+    val out = TemporalJoins.scd2(e, "user_id", "state", "ms", "event_id")
+      .orderBy("user_id", "valid_from_ms")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", 10L, Some(30L), false),  // the 20L repeat collapsed
+      (1L, "b", 30L, Some(40L), false),
+      (1L, "a", 40L, None, true),
+      (2L, "x", 5L, None, true)))
+  }
+
+  test("scd2 plan: both windows ride one exchange") {
+    // lag (change detection) and lead (validity horizon) both partition on
+    // the key: the second window must reuse the first's exchange, or the
+    // build pays a pointless second shuffle at every scale.
+    val e = Tables(spark, sf0001).events
+      .select($"user_id", $"event_id", $"event_type".as("state"),
+        unix_millis($"ts").as("ms"))
+    val p = plan(TemporalJoins.scd2(e, "user_id", "state", "ms", "event_id"))
+    assert(p.split("Exchange hashpartitioning").length - 1 === 1,
+      s"expected exactly one hash exchange:\n$p")
+  }
+}

@@ -220,6 +220,34 @@ class DedupSimilaritySpec extends SparkSpec {
       ref.get(k).foreach(expected => assert(math.abs(v - expected) < 1e-9, s"rescore mismatch at $k")) }
   }
 
+  test("SQ8 code table persisted: ranking from parquet identical, bytes a fraction of the floats") {
+    // The storage claim behind x31 (SCALE.md): codes are written ONCE at
+    // ingest and the ranking pass scans the code table INSTEAD of the
+    // floats. Round-trip the code table through parquet and require (a)
+    // ranking from the persisted table reproduces the inline ranking
+    // cell-for-cell, and (b) the code table's on-disk footprint is a
+    // fraction of the float table's — int8 vs float32 is 4x raw; parquet
+    // overhead on this 500-row file still leaves >2.5x.
+    val emb   = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val scale = Similarity.sq8Scale(emb)
+    val coded = Similarity.sq8Codes(emb, scale)
+    val dir   = java.nio.file.Files.createTempDirectory("sq8-codes").toFile
+    coded.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val persisted = spark.read.parquet(dir.toString)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "qsim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cells(Similarity.sq8TopK(persisted, col("vec_id") < 10, 5)) ===
+      cells(Similarity.sq8TopK(coded, col("vec_id") < 10, 5)))
+    def bytesOf(d: java.io.File): Long =
+      if (d.isFile) d.length
+      else d.listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val codeBytes  = bytesOf(dir)
+    val floatBytes = bytesOf(new java.io.File(s"$sf0001/embeddings.parquet"))
+    assert(codeBytes * 5 < floatBytes * 2,
+      s"code table not compact: $codeBytes vs floats $floatBytes")
+  }
+
   test("brute-force top-k: k rows per query, sims sorted desc, no self-match") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 3).collect()

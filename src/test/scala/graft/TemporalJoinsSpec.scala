@@ -115,6 +115,49 @@ class TemporalJoinsSpec extends SparkSpec {
       (2L, "x", 5L, None, true)))
   }
 
+  test("scd2Merge equals from-scratch rebuild, batch-boundary collapse included") {
+    // key 1: batch opens with the SAME state the dim is current in -> the
+    // boundary rows must collapse to one version (the merge's hardest
+    // edge). key 2: untouched by the batch. key 3: new key only in batch.
+    val old = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 20L), (2L, 3L, "x", 15L))
+      .toDF("user_id", "event_id", "state", "ms")
+    val batch = Seq(
+      (1L, 4L, "b", 30L), (1L, 5L, "c", 40L), (3L, 6L, "z", 35L))
+      .toDF("user_id", "event_id", "state", "ms")
+    val dim = TemporalJoins.versionedScd2(old, "user_id", "state", "ms", "event_id")
+    val merged = TemporalJoins.scd2Merge(dim, batch, "user_id", "state", "ms", "event_id")
+      .drop("version_id")
+    val rebuilt = TemporalJoins.scd2(old.unionByName(batch), "user_id", "state", "ms", "event_id")
+    val m = merged.orderBy("user_id", "valid_from_ms")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq
+    assert(m === rebuilt.orderBy("user_id", "valid_from_ms")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect().toSeq)
+    // the boundary collapse happened: key 1 has versions a,b,c - not a,b,b,c
+    assert(m.filter(_._1 == 1L).map(_._2) === Seq("a", "b", "c"))
+    // untouched key 2 passed through with its original open row
+    assert(m.filter(_._1 == 2L) === Seq((2L, "x", 15L, None, true)))
+  }
+
+  test("scd2Merge plan: untouched dimension rows bypass the window entirely") {
+    // The merge's scale contract: only affected keys replay through the
+    // windows; the untouched branch is an anti-join feeding the final
+    // union directly. With the window above the union the merge would
+    // re-window the whole dimension and the incremental path would be
+    // pointless - so the Union must sit ABOVE the Window in the plan.
+    val e = Tables(spark, sf0001).events
+      .select($"user_id", $"event_id", $"event_type".as("state"),
+        unix_millis($"ts").as("ms"))
+    val dim = TemporalJoins.versionedScd2(
+      e.filter($"ms" < 1706140800000L), "user_id", "state", "ms", "event_id")
+    val p = plan(TemporalJoins.scd2Merge(
+      dim, e.filter($"ms" >= 1706140800000L), "user_id", "state", "ms", "event_id"))
+    val unionAt  = p.indexOf("Union")
+    val windowAt = p.indexOf("Window")
+    assert(unionAt >= 0 && windowAt >= 0 && unionAt < windowAt,
+      s"untouched rows must not pass through the window:\n$p")
+  }
+
   test("scd2 plan: both windows ride one exchange") {
     // lag (change detection) and lead (validity horizon) both partition on
     // the key: the second window must reuse the first's exchange, or the

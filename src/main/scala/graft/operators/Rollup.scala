@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Materialized-aggregate maintenance — the lakehouse rollup pattern: keep
+  * a small PARTIALS table at (day, group, user) grain, append each day's
+  * partials as the batch lands, and answer the corpus-wide rollup from the
+  * partials alone. The 100 TB raw event log is read exactly once (the day
+  * it lands); every refresh after that aggregates the partials table,
+  * which is smaller by the per-day dedup factor on its grain.
+  *
+  * Reference anchor: the metrics recompute endpoint
+  * (amplifierd/amplifierd/services/session_metrics.py:31-88) rescans every
+  * session's JSONL to rebuild counters on demand; a9_metrics_recompute
+  * reproduces that semantics, this module is the scale rendering — same
+  * answers, incremental cost.
+  *
+  * Design rules the accumulators follow:
+  *   - Every partial is MERGEABLE by an associative exact operation
+  *     (count/sum: +, min/max: min/max). Double sums are NOT exact under
+  *     re-association, so money/value sums accumulate integer cents
+  *     (same envelope as a12, Extras.scala) — the merged rollup is
+  *     bit-identical to a from-scratch recompute, which is what makes the
+  *     incremental path auditable at all.
+  *   - COUNT(DISTINCT user) is not mergeable from counts, but IS mergeable
+  *     from per-day distinct rows: the (day, group, user) grain carries the
+  *     dedup, so the refresh counts distinct users over partials without
+  *     ever touching raw events. The approximate twin ([[x39_hll_rollup]])
+  *     replaces the user grain with a constant-size HLL sketch per
+  *     (day, group) — the partials table stops growing with the user count
+  *     and merges by sketch union, at bounded relative error.
+  */
+object Rollup {
+
+  /** One day's partials at (event_date, event_type, user_id) grain.
+    * Map-side combinable group-by; `value` accumulates in integer cents
+    * (exact; see a12's overflow envelope — sum_cents wraps only past
+    * ~9e14 rows at max |value| 100.00).
+    */
+  def dailyPartials(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy("event_date", "event_type", "user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        min("value").as("min_v"),
+        max("value").as("max_v"))
+
+  /** The corpus-wide rollup from partials alone: one aggregate over the
+    * partials table. n_users is exact because the input grain already
+    * deduplicates (day, type, user).
+    */
+  def mergeRollup(partials: DataFrame): DataFrame =
+    partials
+      .groupBy("event_type")
+      .agg(
+        sum("n").as("n_events"),
+        sum("sum_cents").as("sum_cents"),
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"),
+        countDistinct("user_id").as("n_users"))
+
+  /** Sketch partials at (event_date, event_type) grain: constant-size HLL
+    * of the day's users per type. Merges by `hll_union_agg` — the refresh
+    * cost is O(#days x #types) regardless of user cardinality.
+    */
+  def sketchPartials(events: DataFrame, lgK: Int = 14): DataFrame =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .groupBy("event_date", "event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("user_sketch"))
+
+  def mergeSketchRollup(sketchParts: DataFrame): DataFrame =
+    sketchParts
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))
+        .as("est_users"))
+
+  /** Same cutoff as x35: 2024-01-25, engine-neutral ms literal — the
+    * pre-cutoff 80% plays the long-lived base, the post-cutoff 20% the
+    * daily batch whose partials get appended.
+    */
+  private val CutoffMs = 1706140800000L
+
+  val x36_incremental_agg = Q(
+    "x36_incremental_agg",
+    """SELECT event_type,
+      |       count(*) AS n_events,
+      |       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+      |       min(value) AS min_v,
+      |       max(value) AS max_v,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ) { t =>
+    // The incremental refresh must land EXACTLY where a from-scratch scan
+    // lands: the oracle recomputes the rollup over ALL raw events, while
+    // Spark builds base partials from pre-cutoff history, batch partials
+    // from the post-cutoff 20% (the appended day), and merges partials
+    // only — same equivalence discipline as x27/x29/x35. The raw table is
+    // never re-read by the refresh; at 100 TB that is the whole point.
+    val e = t.events.select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .withColumn("ms", unix_millis(col("ts")))
+    val base  = dailyPartials(e.filter(col("ms") < CutoffMs))
+    val batch = dailyPartials(e.filter(col("ms") >= CutoffMs))
+    mergeRollup(base.unionByName(batch)).orderBy("event_type")
+  }
+
+  /** Rows-only by nature (DuckDB's approx_count_distinct is a different
+    * sketch family — estimates cannot hash-match). The estimate-vs-exact
+    * envelope is spec-pinned instead (RollupSpec): lgK=14 keeps relative
+    * error ~1% at this cardinality.
+    */
+  val x39_hll_rollup = Q.noOracle("x39_hll_rollup") { t =>
+    val e = t.events.select(col("ts"), col("event_type"), col("user_id"), col("value"))
+      .withColumn("ms", unix_millis(col("ts")))
+    val base  = sketchPartials(e.filter(col("ms") < CutoffMs))
+    val batch = sketchPartials(e.filter(col("ms") >= CutoffMs))
+    mergeSketchRollup(base.unionByName(batch))
+      .withColumn("est_users", round(col("est_users")).cast("long"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(x36_incremental_agg, x39_hll_rollup)
+}

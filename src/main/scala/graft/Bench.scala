@@ -92,6 +92,12 @@ object Bench {
       case None        => SparkEntry.registry
     }
     case class R(name: String, median: Double, spread: Double)
+    // A bench that cannot fail is not a bench (the r7 lesson: 26 queries
+    // threw at analysis time and the record published them as ~0 s
+    // successes, rc=0). Every per-query Throwable is captured by NAME and
+    // error class; any failure makes the run exit nonzero AFTER the JSON
+    // line is printed, so the record itself says what broke.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // The VM host occasionally freezes all cores for 1-6 s (BASELINE.md r7:
     // whole-registry totals swing 70-103 s on identical code). A stall
     // landing in one of 3 repeats corrupts that query's median and spread.
@@ -105,7 +111,11 @@ object Bench {
     val results = selected.map { q =>
       def rep(): Double = {
         val t0 = System.nanoTime()
-        try exec(q.run(spark, sfDir)) catch { case _: Throwable => () }
+        try exec(q.run(spark, sfDir)) catch {
+          case e: Throwable =>
+            failed.getOrElseUpdate(q.name, e.getClass.getSimpleName)
+            System.err.println(s"[bench] ${q.name} FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         betweenRepeats()
         dt
@@ -149,13 +159,15 @@ object Bench {
       .mkString("{", ",", "}")
     val fullSpread = results.map(r => "\"" + r.name + "\":" + fmt(r.spread))
       .mkString("{", ",", "}")
+    val failedJson = failed.map { case (n, c) => "\"" + n + "\":\"" + c + "\"" }
+      .mkString("{", ",", "}")
     // Only a FULL-registry run may replace the committed record — an
     // SPARK_GRAFT_ONLY-focused iteration run must not clobber it with a
     // partial map (learned the hard way).
     if (only.isEmpty) {
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json")
-        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"noisy_retries":$retried,"n_queries":${results.size},"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
+        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"noisy_retries":$retried,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
         finally w.close()
       } catch { case _: Throwable => }
     }
@@ -174,7 +186,8 @@ object Bench {
         else full_ = true
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"noisy_retries":$retried,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","repeats":3,"noisy_retries":$retried,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

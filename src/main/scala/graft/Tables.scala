@@ -22,15 +22,31 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-    * as a timestamp. Read it as nanos-since-epoch (legacy long mode), then
-    * surface a micros-precision TimestampType — integer `div`, never double
-    * division (nanos exceed 2^53). Sub-microsecond ordering is recovered by
-    * the event_id tiebreaker every consumer already uses.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses to read as a
+    * timestamp — only as nanos-since-epoch long under the legacy conf) and,
+    * since the 2026-08-13 regeneration, plain TIMESTAMP(MICROS) with no UTC
+    * adjustment (arrives as TIMESTAMP_NTZ). Branch on the parquet-resolved
+    * type rather than assuming either: LongType → legacy nanos shim
+    * (integer `div`, never double division — nanos exceed 2^53);
+    * TIMESTAMP_NTZ → reinterpret the wall-clock as session-UTC
+    * TimestampType (the session timezone is pinned to UTC everywhere);
+    * TimestampType → already what consumers expect. Sub-microsecond
+    * ordering under the nanos shim is recovered by the event_id tiebreaker
+    * every consumer already uses.
     */
   def events: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported parquet type $other")
+    }
   }
 }
 

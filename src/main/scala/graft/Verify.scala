@@ -27,10 +27,16 @@ object Verify {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None        => SparkEntry.queries
     }
+    // r7 lesson: stderr-only error reporting made 26 broken queries
+    // invisible in the driver artifacts (their rows simply vanished from
+    // CORRECTNESS). Capture every failure by name into errors.json so the
+    // artifact itself distinguishes "not sampled" from "threw".
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // each query's localCheckpoint/persist blocks are garbage once its
@@ -53,6 +59,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries failed: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -181,8 +181,50 @@ object Extras {
       .orderBy("l_returnflag")
   }
 
+  val s1_permissive_jsonl = Q(
+    "s1_permissive_jsonl",
+    """SELECT CASE WHEN event_id % 7 = 0 THEN '_corrupt' ELSE event_type END AS kind,
+      |       count(*) AS n
+      |FROM events GROUP BY kind ORDER BY kind""".stripMargin,
+  ) { t =>
+    // SURVEY S1's skip-malformed contract (routers/sessions.py:1306-1326:
+    // json.JSONDecodeError -> skip line, keep reading) as a driver-checkable
+    // round trip: render events to JSONL, corrupt a known subset (every
+    // event_id % 7 == 0 loses its closing brace), write to a scratch dir,
+    // and read it back through the PERMISSIVE reader. Good lines come back
+    // typed; corrupt lines land whole in _corrupt_record with null columns
+    // — the dead-letter rendering of the reference's silent skip (ST8's
+    // split rides the same column). The oracle replays the corruption rule
+    // over the original parquet table, so the counts only match if the permissive
+    // parse classifies every line exactly as the rule says.
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_s1_" + t.dir.replaceAll("[^A-Za-z0-9.]", "_")).toString
+    val lines = t.events
+      .select(
+        col("event_id"),
+        to_json(struct(col("event_id"), col("user_id"), col("event_type"))).as("value"))
+      .select(
+        when(col("event_id") % 7 === 0,
+          expr("substring(value, 1, length(value) - 1)"))
+          .otherwise(col("value")).as("value"))
+    lines.write.mode("overwrite").text(scratch)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    graft.sources.EventLog.readJsonlPermissive(t.spark, scratch, schema)
+      .select(
+        when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+          .otherwise(col("event_type")).as("kind"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+  }
+
   val all: Seq[Q] = Seq(
     f5_autocomplete_prefix, o3_union_merge_sort, f9_hidden_exclusion,
     x11_approx_stats, c13_map_ops, a11_exact_percentiles, a12_variance_from_sums,
+    s1_permissive_jsonl,
   )
 }

@@ -54,9 +54,17 @@ object LayoutOps {
     * div, monotone, exact. The per-column min/max come from one 1-row
     * aggregate broadcast (the a9 crossJoin idiom) — one extra scan-agg at
     * write time, amortized over every pruned read after.
+    *
+    * Overflow precondition: the numerator is (c - minC) * 2^bits in Long
+    * arithmetic, so (maxC - minC + 1) * 2^bits must stay < 2^63. The
+    * `bits <= 31` bound guarantees that for any column whose range fits in
+    * an Int (and 2^31 tiles is already far past useful zone-map
+    * granularity); wider ranges still have 2^63 / range headroom.
     */
-  def rankScale(c: Column, minC: Column, maxC: Column, bits: Int): Column =
+  def rankScale(c: Column, minC: Column, maxC: Column, bits: Int): Column = {
+    require(bits > 0 && bits <= 31, s"rankScale bits=$bits outside (0, 31]")
     intDiv((c - minC) * (1L << bits), maxC - minC + 1L).cast("long")
+  }
 
   /** The write-side verb: range-partition by the Morton code into
     * `numFiles` files, each internally sorted by it — every file is a

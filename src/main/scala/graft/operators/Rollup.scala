@@ -11,11 +11,12 @@ import graft.Q
   * it lands); every refresh after that aggregates the partials table,
   * which is smaller by the per-day dedup factor on its grain.
   *
-  * Reference anchor: the metrics recompute endpoint
-  * (amplifierd/amplifierd/services/session_metrics.py:31-88) rescans every
-  * session's JSONL to rebuild counters on demand; a9_metrics_recompute
-  * reproduces that semantics, this module is the scale rendering — same
-  * answers, incremental cost.
+  * Reference anchor: the session metrics counters
+  * (amplifier_library/sessions/manager.py:286-291 — message_count and
+  * token_usage incremented per appended message) are rebuilt by rescanning
+  * every session's JSONL on demand; a9_metrics_recompute reproduces that
+  * semantics, this module is the scale rendering — same answers,
+  * incremental cost.
   *
   * Design rules the accumulators follow:
   *   - Every partial is MERGEABLE by an associative exact operation
@@ -89,7 +90,7 @@ object Rollup {
     "x36_incremental_agg",
     """SELECT event_type,
       |       count(*) AS n_events,
-      |       SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+      |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
       |       min(value) AS min_v,
       |       max(value) AS max_v,
       |       count(DISTINCT user_id) AS n_users

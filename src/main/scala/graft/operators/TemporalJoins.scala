@@ -12,9 +12,10 @@ import graft.Q
   * 100 TB corpus cannot survive).
   *
   * Reference anchor: the pre/post correlation views over the event log
-  * (amplifierd/amplifierd/services/session_analysis.py pairs tool:pre with
-  * the NEXT tool:post by walking sorted JSONL imperatively). J3 covers the
-  * bounded-window batch shape; these add the unbounded point-in-time match
+  * (amplifierd/amplifierd/services/trace_aggregator.py:134-155 pairs a
+  * tool:post with its still-running tool:pre by walking sorted JSONL
+  * imperatively). J3 covers the bounded-window batch shape; these add the
+  * unbounded point-in-time match
   * (as-of), the interval-containment match (range join), and the
   * versioned-dimension rendering (SCD2) a lakehouse feeds BI from.
   */
@@ -248,5 +249,65 @@ object TemporalJoins {
       .orderBy("user_id", "valid_from_ms")
   }
 
-  val all: Seq[Q] = Seq(x32_asof_join, x33_range_join, x34_scd2_build, x35_scd2_merge)
+  /** The SCD2 serving view: versioned dimension rows a point-in-time
+    * lookup can bind to. Zero-length versions (two changes inside one ms —
+    * the earlier one's validity is empty) are dropped, which leaves
+    * (key, valid_from_ms) unique, so an as-of lookup at any ts is
+    * DETERMINISTIC: the one version whose half-open validity contains it.
+    */
+  def scd2Serve(events: DataFrame, key: String, state: String, ms: String,
+                tiebreak: String): DataFrame =
+    versionedScd2(events, key, state, ms, tiebreak)
+      .filter(col("valid_to_ms").isNull || col("valid_to_ms") > col("valid_from_ms"))
+
+  val x38_scd2_serve = Q(
+    "x38_scd2_serve",
+    """WITH e AS (SELECT user_id, event_id, event_type AS state, epoch_ms(ts) AS ms FROM events WHERE event_type <> 'purchase'),
+      |chg AS (SELECT *, lag(state) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_state FROM e),
+      |f AS (SELECT user_id, event_id, state, ms FROM chg WHERE prev_state IS NULL OR prev_state <> state),
+      |v AS (SELECT user_id, state, ms AS valid_from_ms,
+      |             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms
+      |      FROM f),
+      |d AS (SELECT user_id, state, valid_from_ms FROM v
+      |      WHERE valid_to_ms IS NULL OR valid_to_ms > valid_from_ms),
+      |p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase')
+      |SELECT p.user_id, p.event_id AS p_event_id, p.ms AS p_ms,
+      |       d.state AS dim_state, d.valid_from_ms AS dim_from_ms
+      |FROM p ASOF LEFT JOIN d ON p.user_id = d.user_id AND p.ms >= d.valid_from_ms
+      |ORDER BY p.user_id, p_event_id""".stripMargin,
+  ) { t =>
+    // The composition the SCD2 family exists for: facts (purchases) joined
+    // to the dimension AS OF the fact's own timestamp — the BI "what was
+    // the customer's state when they bought" view. The dimension is the
+    // user's NON-purchase activity stream (purchases are the facts, so
+    // they stay out of the dimension — 1941/1981 matched at sf0.01, the
+    // 40 nulls are purchases before the user's first other event).
+    // scd2Serve guarantees a unique version per (key, valid_from_ms);
+    // asOfJoin binds each fact to the greatest valid_from at-or-before it,
+    // which IS the containing validity interval. Plan: the dimension build
+    // is one keyed window-shuffle, the as-of bind is one more on the same
+    // key — no range theta-join anywhere (the oracle uses DuckDB's native
+    // ASOF).
+    val e = t.events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val dim = scd2Serve(
+      e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id"), col("event_type").as("state"), col("ms")),
+      key = "user_id", state = "state", ms = "ms", tiebreak = "event_id")
+      .select(
+        col("user_id"), col("state"),
+        col("valid_from_ms").as("ms"), col("version_id").as("event_id"))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ms")
+    asOfJoin(facts, dim, key = "user_id", ts = "ms", tiebreak = "event_id")
+      .select(
+        col("user_id"), col("event_id").as("p_event_id"), col("ms").as("p_ms"),
+        col("matched.state").as("dim_state"),
+        col("matched.ms").as("dim_from_ms"))
+      .orderBy("user_id", "p_event_id")
+  }
+
+  val all: Seq[Q] = Seq(x32_asof_join, x33_range_join, x34_scd2_build,
+    x35_scd2_merge, x38_scd2_serve)
 }

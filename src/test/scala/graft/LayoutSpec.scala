@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+
+/** Pins the clusterByZ write-path contract the x37 oracle row cannot see:
+  * that range-partitioning by the Morton code actually yields files
+  * (partitions) whose z-ranges are contiguous and non-overlapping — i.e. a
+  * valid 2-D zone map — and that the layout bounds the span of BOTH
+  * dimensions per file, where a single-key sort bounds only its own key.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def zEncoded = {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+    val mm = li.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    li.crossJoin(broadcast(mm))
+      .withColumn("px", LayoutOps.rankScale(col("l_partkey"), col("pmin"), col("pmax"), 8))
+      .withColumn("sx", LayoutOps.rankScale(col("l_suppkey"), col("smin"), col("smax"), 8))
+      .withColumn("zval", LayoutOps.interleaveBits(Seq(col("px"), col("sx")), 8))
+  }
+
+  test("rankScale stays inside [0, 2^bits) and rejects overflow-prone bits") {
+    val bounds = zEncoded.agg(
+      min("px").as("pxMin"), max("px").as("pxMax"),
+      min("sx").as("sxMin"), max("sx").as("sxMax")).head()
+    assert(bounds.getLong(0) >= 0 && bounds.getLong(1) < 256)
+    assert(bounds.getLong(2) >= 0 && bounds.getLong(3) < 256)
+    intercept[IllegalArgumentException] {
+      LayoutOps.rankScale(col("x"), lit(0L), lit(10L), 32)
+    }
+    intercept[IllegalArgumentException] {
+      LayoutOps.interleaveBits(Seq(col("a"), col("b")), 32) // 64 total bits
+    }
+  }
+
+  test("clusterByZ partitions carry contiguous non-overlapping z-ranges") {
+    val numFiles = 16
+    val parts = LayoutOps.clusterByZ(zEncoded, col("zval"), numFiles)
+      .select(spark_partition_id().as("pid"), col("zval"))
+      .groupBy("pid")
+      .agg(min("zval").as("zmin"), max("zval").as("zmax"), count(lit(1)).as("n"))
+      .orderBy("pid")
+      .collect()
+    assert(parts.nonEmpty && parts.length <= numFiles)
+    // range partitioning => ordered, pairwise disjoint z-intervals: the
+    // parquet min/max footer of each file is a true zone-map entry
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("zmax") <= b.getAs[Long]("zmin"),
+        s"overlapping z-ranges between partitions ${a.getInt(0)} and ${b.getInt(0)}")
+      case _ => ()
+    }
+  }
+
+  test("z-layout bounds the second dimension's per-file span; single-key sort does not") {
+    def avgSuppSpan(layout: org.apache.spark.sql.DataFrame): Double =
+      layout
+        .select(spark_partition_id().as("pid"), col("l_suppkey"))
+        .groupBy("pid")
+        .agg((max("l_suppkey") - min("l_suppkey")).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+    val byZ    = avgSuppSpan(LayoutOps.clusterByZ(zEncoded, col("zval"), 16))
+    val byPart = avgSuppSpan(zEncoded.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey")))
+    // partkey-sorted files each see (nearly) the full suppkey range; z files
+    // see a tile. Demand at least a 2x advantage — the measured gap at
+    // sf0.001/16 files is far larger, so this will not flake.
+    assert(byZ * 2 < byPart, s"z avg supp span $byZ not < half of $byPart")
+  }
+}

@@ -200,11 +200,21 @@ class TraceSessionizerSpec extends SparkSpec {
       .writeStream.format("memory").queryName("turns_idle").outputMode(OutputMode.Append).start()
     // NOTE: processAllAvailable can block indefinitely once processing-time
     // timeouts are armed (timeout batches keep the query "busy"), so this
-    // test polls the sink with a deadline instead.
+    // test polls the sink with a deadline instead. Determinism (the r7
+    // flake): an armed processing-time timeout only fires when a
+    // micro-batch RUNS, and under a loaded suite the scheduler may not get
+    // around to a no-data batch inside any fixed window. So each poll
+    // iteration injects a wake tick for a throwaway session — every tick
+    // forces a data batch, and every batch evaluates armed timeouts, so
+    // the idle session's 1 ms timeout fires on the first forced batch
+    // rather than whenever a no-data batch happens to be scheduled.
+    var wakeLine = 1000L
     def awaitIdleFlush(deadlineMs: Long): Option[graft.model.TraceTurn] = {
       val end = System.currentTimeMillis() + deadlineMs
       var found: Option[graft.model.TraceTurn] = None
       while (found.isEmpty && System.currentTimeMillis() < end) {
+        wakeLine += 1
+        input.addData(RawEvent("wake", t(20), "thinking:delta", """{"delta":"w"}""", wakeLine))
         found = spark.table("turns_idle").as[graft.model.TraceTurn]
           .collect().find(_.sessionId == "idle")
         if (found.isEmpty) Thread.sleep(200)

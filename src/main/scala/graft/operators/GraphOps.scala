@@ -148,7 +148,13 @@ object GraphOps {
     nodes
       .groupBy(col(parentCol).as("parent"))
       .agg(
-        sort_array(collect_list(struct(lower(col(nameCol)).as("sort_key"),
+        // ICU base-sensitivity sort key (case- AND accent-insensitive) —
+        // the exact localeCompare(sensitivity:'base') semantics of
+        // treeUtils.ts:71, via Spark 4's native UNICODE_CI_AI collation
+        // (CollationSpec pins the non-ASCII behavior lower() missed; on
+        // pure-ASCII names the two orderings coincide, which keeps the o6
+        // DuckDB oracle expressible as lower()).
+        sort_array(collect_list(struct(collate(col(nameCol), "UNICODE_CI_AI").as("sort_key"),
           col(idCol).as("id"), col(nameCol).as("name")))).as("children"))
 
   /** J2-flavored orphan detection over the same parent-child table:

@@ -124,5 +124,27 @@ object Rollup {
       .orderBy("event_type")
   }
 
+  /** Streaming maintenance of the partials store — the ingest-time half of
+    * the x36 contract: each micro-batch aggregates to ITS OWN partials
+    * (map-side combinable, batch-sized) and appends them to the persisted
+    * partials table; any later [[mergeRollup]] over the store lands exactly
+    * where a from-scratch scan would, because partials merge associatively
+    * (duplicate (day, group, user) grain rows across batches collapse in
+    * the merge's re-aggregation — append never needs upsert). foreachBatch
+    * rather than a streaming agg: the store is bounded by grain, not by
+    * stream history, so there is no watermark/state question at all — zero
+    * streaming state at any ingest volume, same discipline as the
+    * stateless near-dup ingest probe. Small appended files are the
+    * standard compaction concern (`Maintenance.compact`).
+    */
+  def streamingPartials(events: DataFrame, partialsDir: String,
+                        checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        dailyPartials(batch).write.mode("append").parquet(partialsDir); ()
+      }
+      .start()
+
   val all: Seq[Q] = Seq(x36_incremental_agg, x39_hll_rollup)
 }

@@ -33,6 +33,34 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("streaming-appended partials merge to the exact from-scratch rollup (zero state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = events.select("ts", "event_type", "user_id", "value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSeq
+    val input = MemoryStream[(java.sql.Timestamp, String, Long, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("rollup-partials").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rollup-ckpt").toString
+    val q = Rollup.streamingPartials(
+      input.toDS().toDF("ts", "event_type", "user_id", "value"),
+      s"$dir/partials", ckpt)
+    try {
+      // three uneven micro-batches, including a batch that re-touches
+      // earlier days (duplicate grain rows across appends must collapse)
+      val (a, rest) = rows.splitAt(rows.size / 4)
+      val (b, c)    = rest.splitAt(rest.size / 2)
+      Seq(a, b, c).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0), "streaming state is not zero")
+      val streamed = Rollup.mergeRollup(spark.read.parquet(s"$dir/partials"))
+        .orderBy("event_type").collect().toSeq
+      val direct = Rollup.mergeRollup(Rollup.dailyPartials(events))
+        .orderBy("event_type").collect().toSeq
+      assert(streamed == direct, "streamed partials diverged from from-scratch rollup")
+    } finally q.stop()
+  }
+
   test("HLL rollup estimate stays within 5% of exact per-type user counts (lgK=14)") {
     val e = events
     val exact = e.groupBy("event_type")

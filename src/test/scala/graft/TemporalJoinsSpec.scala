@@ -169,4 +169,34 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(p.split("Exchange hashpartitioning").length - 1 === 1,
       s"expected exactly one hash exchange:\n$p")
   }
+
+  // ---- x38: SCD2 serving composition --------------------------------------
+
+  test("scd2Serve drops zero-length versions, leaving (key, valid_from) unique") {
+    // three changes inside one ms: the first two versions are zero-length
+    // and must not be servable (an as-of bind at that ms must see the LAST)
+    val e = Seq(
+      (1L, 1L, "a", 10L), (1L, 2L, "b", 10L), (1L, 3L, "c", 10L),
+      (1L, 4L, "d", 20L))
+      .toDF("user_id", "event_id", "state", "ms")
+    val out = TemporalJoins.scd2Serve(e, "user_id", "state", "ms", "event_id")
+      .orderBy("valid_from_ms")
+      .select("state", "valid_from_ms").as[(String, Long)].collect().toSeq
+    assert(out === Seq(("c", 10L), ("d", 20L)))
+  }
+
+  test("x38 plan: dimension build + as-of bind, all keyed shuffles, no range join") {
+    val p = plan(TemporalJoins.x38_scd2_serve.run(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"no nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cross product:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the as-of bind must be the union+window, not a join:\n$p")
+    // exactly two hash exchanges — the dimension build's window shuffle on
+    // user_id and the as-of union's on __k (user_id renamed); the only
+    // other exchange is the presentation sort's range partitioning
+    val keyedEx = "Exchange hashpartitioning\\((user_id|__k)".r.findAllIn(p).size
+    val allHashEx = p.split("Exchange hashpartitioning").length - 1
+    assert(allHashEx == 2 && keyedEx == allHashEx,
+      s"expected 2 keyed shuffles on the user key ($keyedEx of $allHashEx):\n$p")
+  }
 }

@@ -128,5 +128,93 @@ object LayoutOps {
       .orderBy("tile")
   }
 
-  val all: Seq[Q] = Seq(x37_zorder_tiles)
+  /** Clamped rank-scale for INCREMENTAL layout maintenance: a z-layout
+    * freezes its min/max at creation (they are the layout's metadata — at
+    * a real lakehouse, table properties next to the tile files), and later
+    * batches scale against the FROZEN bounds, clamping overflow into the
+    * edge cells. Re-measuring bounds per batch would shift every z-value
+    * and force a full rewrite — the one thing incremental maintenance
+    * exists to avoid. Out-of-range rows land in edge tiles whose footer
+    * min/max still bound them, so pruning stays CORRECT (merely less tight
+    * until the next full re-cluster).
+    */
+  def clampScale(c: Column, minC: Column, maxC: Column, bits: Int): Column =
+    rankScale(greatest(least(c, maxC), minC), minC, maxC, bits)
+
+  /** Incremental z-maintenance split (the OPTIMIZE-merge verb): given the
+    * persisted layout and a batch both carrying `tile`, return
+    * (untouched, rewritten) — untouched tiles pass through BYTE-IDENTICAL
+    * (anti-join, never sorted, never shuffled beyond the semi/anti
+    * probe with the batch's tile list broadcast), and only affected tiles
+    * union the batch and re-sort. A daily batch touching k of N tiles
+    * rewrites k files; the other N-k never leave disk at a real lakehouse.
+    */
+  def zMergeSplit(layout: DataFrame, batchZ: DataFrame,
+                  tile: String = "tile"): (DataFrame, DataFrame) = {
+    val aff = batchZ.select(col(tile)).distinct()
+    val untouched = layout.join(broadcast(aff), Seq(tile), "left_anti")
+    val rewritten = layout.join(broadcast(aff), Seq(tile), "left_semi")
+      .unionByName(batchZ)
+    (untouched, rewritten)
+  }
+
+  val x40_zorder_merge = Q(
+    "x40_zorder_merge",
+    s"""WITH mm AS (
+       |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+       |  FROM lineitem WHERE l_orderkey % 5 <> 0),
+       |n AS (
+       |  SELECT l_partkey, l_suppkey, (l_orderkey % 5 = 0) AS is_batch,
+       |         ((least(greatest(l_partkey, pmin), pmax) - pmin) * 256) // (pmax - pmin + 1) AS px,
+       |         ((least(greatest(l_suppkey, smin), smax) - smin) * 256) // (smax - smin + 1) AS sx
+       |  FROM lineitem, mm),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey, is_batch,
+       |         ${interleaveSql(Seq("px", "sx"), 8)} // 1024 AS tile
+       |  FROM n),
+       |aff AS (SELECT DISTINCT tile FROM z WHERE is_batch)
+       |SELECT tile, tile IN (SELECT tile FROM aff) AS rewritten,
+       |       count(*) AS n_rows,
+       |       min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |       min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
+  ) { t =>
+    // Incremental OPTIMIZE: the persisted layout (80% of lineitem,
+    // z-clustered at creation with bounds frozen then) absorbs a daily
+    // batch (the other 20%) — batch rows z-encode against the FROZEN
+    // bounds, only tiles the batch actually hits go through the
+    // semi-join + union + re-sort path, every other tile passes through
+    // the anti branch untouched. The oracle replays the whole merge
+    // (frozen bounds, clamping, tile assignment, affected-set) in exact
+    // integer math; the output is the post-merge zone map with each
+    // tile's rewritten flag — wrong routing, lost rows, or a bounds
+    // re-measure all break the hash. Plan: one broadcast tile-list probe
+    // per branch + one 64-key aggregate; the batch-side banding is
+    // map-side only.
+    val li    = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+    val base  = li.filter(col("l_orderkey") % 5 =!= 0)
+    val batch = li.filter(col("l_orderkey") % 5 === 0)
+    val mm = base.agg(
+      min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    def zTiles(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(mm))
+        .withColumn("px", clampScale(col("l_partkey"), col("pmin"), col("pmax"), 8))
+        .withColumn("sx", clampScale(col("l_suppkey"), col("smin"), col("smax"), 8))
+        .withColumn("tile", intDiv(interleaveBits(Seq(col("px"), col("sx")), 8), lit(1024L)))
+        .select("l_partkey", "l_suppkey", "tile")
+    val (untouched, rewritten) = zMergeSplit(zTiles(base), zTiles(batch))
+    untouched.withColumn("rewritten", lit(false))
+      .unionByName(rewritten.withColumn("rewritten", lit(true)))
+      .groupBy("tile", "rewritten")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .select("tile", "rewritten", "n_rows", "min_part", "max_part", "min_supp", "max_supp")
+      .orderBy("tile")
+  }
+
+  val all: Seq[Q] = Seq(x37_zorder_tiles, x40_zorder_merge)
 }

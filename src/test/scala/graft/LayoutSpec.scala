@@ -10,6 +10,7 @@ import graft.operators.LayoutOps
   * dimensions per file, where a single-key sort bounds only its own key.
   */
 class LayoutSpec extends SparkSpec {
+  import spark.implicits._
 
   private def zEncoded = {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
@@ -53,6 +54,31 @@ class LayoutSpec extends SparkSpec {
         s"overlapping z-ranges between partitions ${a.getInt(0)} and ${b.getInt(0)}")
       case _ => ()
     }
+  }
+
+  test("zMergeSplit routes exactly the affected tiles; untouched rows pass through as-is") {
+    val layout = Seq((1L, 10L, 0L), (2L, 20L, 0L), (3L, 30L, 1L), (4L, 40L, 2L))
+      .toDF("id", "v", "tile")
+    val batch = Seq((5L, 50L, 1L), (6L, 60L, 3L)).toDF("id", "v", "tile")
+    val (untouched, rewritten) = LayoutOps.zMergeSplit(layout, batch)
+    val uTiles = untouched.select("tile").distinct().as[Long].collect().toSet
+    assert(uTiles == Set(0L, 2L), s"untouched tiles: $uTiles")
+    val r = rewritten.select("id", "tile").as[(Long, Long)].collect().toSet
+    // affected tile 1 carries its layout row AND the batch row; tile 3 is
+    // batch-only (a brand-new tile); tiles 0/2 never enter the rewrite
+    assert(r == Set((3L, 1L), (5L, 1L), (6L, 3L)), s"rewritten rows: $r")
+    // no row lost or duplicated across the split
+    assert(untouched.count() + rewritten.count() == layout.count() + batch.count())
+  }
+
+  test("clampScale pins out-of-range batch values into edge cells (frozen bounds)") {
+    val df = Seq(-5L, 0L, 50L, 100L, 999L).toDF("v")
+    val scaled = df.select(
+      LayoutOps.clampScale(col("v"), lit(0L), lit(100L), 8).as("s"))
+      .as[Long].collect().toSeq
+    assert(scaled.head == 0L, "below-min must clamp to cell 0")
+    assert(scaled.last == scaled(3), "above-max must clamp to the max cell")
+    assert(scaled.forall(s => s >= 0 && s < 256))
   }
 
   test("z-layout bounds the second dimension's per-file span; single-key sort does not") {

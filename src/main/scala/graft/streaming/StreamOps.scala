@@ -41,6 +41,25 @@ object StreamOps {
       }
       .start()
 
+  /** Point-in-time dimension lookup for a FACT STREAM against a static
+    * SCD2 serving view (`TemporalJoins.scd2Serve` output: disjoint
+    * half-open validity intervals per key) — the streaming rendering of
+    * x38. Because validity intervals partition time within a key, the
+    * stream-static equi-join on the key plus the containment residual
+    * matches AT MOST ONE version per fact: no dedup, no window, no
+    * streaming state at all (stream-static joins keep nothing across
+    * batches), and the static side broadcasts when small or
+    * shuffle-matches per batch when not. `how = "left_outer"` keeps
+    * pre-history facts with a null version (x38's null semantics).
+    */
+  def pointInTimeLookup(facts: DataFrame, dim: DataFrame, key: String,
+                        factMs: String, how: String = "left_outer"): DataFrame = {
+    val bound = col(factMs) >= col("valid_from_ms") &&
+      (col("valid_to_ms").isNull || col(factMs) < col("valid_to_ms"))
+    facts.join(dim, facts(key) === dim(key) && bound, how)
+      .drop(dim(key))
+  }
+
   /** ST5/A8: token stream -> assembled message. Tokens arrive as
     * (messageId, seq, token); the fold is collect_list sorted by seq inside
     * the group — Complete/Update-mode agg keyed by messageId.

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.TemporalJoins
+import graft.streaming.StreamOps
 
 /** Semantics + plan shape for the temporal join operators. The driver
   * oracle (x32 vs DuckDB's native ASOF JOIN, x33 vs its IEJoin range
@@ -183,6 +184,38 @@ class TemporalJoinsSpec extends SparkSpec {
       .orderBy("valid_from_ms")
       .select("state", "valid_from_ms").as[(String, Long)].collect().toSeq
     assert(out === Seq(("c", 10L), ("d", 20L)))
+  }
+
+  test("streaming pointInTimeLookup agrees with the batch as-of bind (x38 semantics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables(spark, sf0001).events
+      .select($"user_id", $"event_id", $"event_type", unix_millis($"ts").as("ms"))
+    val dim = TemporalJoins.scd2Serve(
+      e.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_id", $"event_type".as("state"), $"ms"),
+      "user_id", "state", "ms", "event_id")
+    val facts = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ms")
+      .as[(Long, Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Long)]
+    val q = StreamOps.pointInTimeLookup(
+        input.toDS().toDF("user_id", "event_id", "ms"), dim, "user_id", "ms")
+      .select($"user_id", $"event_id", $"state", $"valid_from_ms")
+      .writeStream.format("memory").queryName("pit_out").outputMode("append").start()
+    try {
+      val (a, b) = facts.splitAt(facts.size / 3)
+      Seq(a, b).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      assert(q.lastProgress.stateOperators.isEmpty ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal == 0), "lookup must keep no state")
+      val streamed = spark.table("pit_out")
+        .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+      val batch = TemporalJoins.x38_scd2_serve.run(spark, sf0001)
+        .select($"user_id", $"p_event_id", $"dim_state", $"dim_from_ms")
+        .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+      assert(streamed.size == batch.size && streamed == batch,
+        s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    } finally q.stop()
   }
 
   test("x38 plan: dimension build + as-of bind, all keyed shuffles, no range join") {

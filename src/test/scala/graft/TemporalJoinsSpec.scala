@@ -171,6 +171,52 @@ class TemporalJoinsSpec extends SparkSpec {
       s"expected exactly one hash exchange:\n$p")
   }
 
+  // ---- randomized brute-force equivalence (seeded, deterministic) ----------
+
+  test("asOfJoin equals brute force over randomized keyed streams (seeded)") {
+    // duplicate-heavy ts space (15 values across 6 keys) exercises the
+    // equal-ts inclusive match and the tiebreak ordering far harder than
+    // the pinned edge cases can
+    val rng = new scala.util.Random(421)
+    (1 to 4).foreach { round =>
+      val left  = (1 to 60).map(i => (rng.nextInt(6).toLong, rng.nextInt(15).toLong, (1000 + i).toLong))
+      val right = (1 to 50).map(i => (rng.nextInt(6).toLong, rng.nextInt(15).toLong, (2000 + i).toLong))
+      val out = TemporalJoins.asOfJoin(
+          left.toDF("k", "ms", "event_id"), right.toDF("k", "ms", "event_id"),
+          key = "k", ts = "ms", tiebreak = "event_id")
+        .select($"event_id", $"matched.event_id")
+        .as[(Long, Option[Long])].collect().toMap
+      left.foreach { case (k, ms, id) =>
+        val expect = right.filter(r => r._1 == k && r._2 <= ms)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(out(id) == expect, s"round $round, left row $id (k=$k, ms=$ms)")
+      }
+    }
+  }
+
+  test("bucketedRangeJoin equals brute force over randomized intervals (seeded)") {
+    // interval lengths 1..25 across widths 3/7/10: cells-per-interval from
+    // 1 to ~9, boundary-inclusive starts, exclusive ends
+    val rng = new scala.util.Random(77)
+    Seq(3L, 7L, 10L).foreach { width =>
+      val pts = (1 to 80).map(i => (rng.nextInt(5).toLong, rng.nextInt(60).toLong, (100 + i).toLong))
+      val ivs = (1 to 40).map { i =>
+        val s = rng.nextInt(60).toLong
+        (rng.nextInt(5).toLong, s, s + 1 + rng.nextInt(25), (500 + i).toLong)
+      }
+      val out = TemporalJoins.bucketedRangeJoin(
+          pts.toDF("k", "ms", "pid"), ivs.toDF("k", "start_ms", "end_ms", "iid"),
+          key = "k", ptMs = "ms", startMs = "start_ms", endMs = "end_ms", widthMs = width)
+        .select($"pid", $"iid").as[(Long, Long)].collect()
+      val expect = (for {
+        (pk, ms, pid) <- pts; (ik, s, e, iid) <- ivs
+        if pk == ik && ms >= s && ms < e
+      } yield (pid, iid)).toSet
+      assert(out.length == expect.size, s"width $width: duplicate or missing pairs")
+      assert(out.toSet == expect, s"width $width")
+    }
+  }
+
   // ---- x38: SCD2 serving composition --------------------------------------
 
   test("scd2Serve drops zero-length versions, leaving (key, valid_from) unique") {

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Q
 
 /** Scale-path join utilities (the 100 TB design notes made executable):
   * salting for skewed keys and bucketing for shuffle-free co-located
@@ -48,4 +49,31 @@ object ScaleJoins {
     */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  val x41_salted_join = Q(
+    "x41_salted_join",
+    """WITH dim AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+      |SELECT e.event_type, count(*) AS n,
+      |       CAST(SUM(d.n_events) AS BIGINT) AS weight
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+  ) { t =>
+    // The salting IDENTITY, oracle-checked: a salted equi-join must
+    // produce byte-identical rows to the plain join (the oracle replays
+    // the plain join in DuckDB) — salting only changes WHERE rows meet
+    // (shuffle keys become (key, salt), spreading a hot key over
+    // saltFactor reducers), never WHAT matches. The dim side replicates
+    // saltFactor times: the explicit trade — saltFactor x dim shuffle
+    // volume buys hot-key parallelism AQE's skew split can't give when a
+    // single key exceeds one reducer. event_id is the discriminator
+    // (unique per fact row -> deterministic salt assignment).
+    val e = t.events.select("event_id", "user_id", "event_type")
+    val dim = e.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    saltedJoin(e, dim, key = "user_id", rowDiscriminator = col("event_id"), saltFactor = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("n_events").as("weight"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(x41_salted_join)
 }

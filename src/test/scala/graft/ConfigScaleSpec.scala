@@ -79,6 +79,20 @@ class ConfigScaleSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("salted join shuffles on (key, salt) so a hot key spreads over reducers") {
+    val left  = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i)).toDF("key", "v")
+    val right = Seq(("hot", 10), ("k901", 20)).toDF("key", "w")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleJoins.saltedJoin(left, right, "key", col("v"), 8)
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(key[#\\d]*, __salt".r.findFirstIn(plan).isDefined,
+        s"shuffle must key on (key, __salt):\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("bucketed join plans without an exchange on either side") {
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")

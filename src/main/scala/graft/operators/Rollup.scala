@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Q
 
@@ -124,6 +124,96 @@ object Rollup {
       .orderBy("event_type")
   }
 
+  /** Fixed-bin histogram partials — the MERGEABLE percentile accumulator
+    * (the third leg of the rollup family: counts/sums merge exactly (x36),
+    * distinct merges via HLL (x39), and percentiles — famously NOT
+    * mergeable as percentiles — merge as bin counts). Bounds are FROZEN
+    * at layout creation (same discipline as the z-layout's clampScale):
+    * out-of-range values clamp into the edge bins, so later batches never
+    * shift the grid. Bin assignment is exact arithmetic both engines
+    * replay bit-for-bit.
+    */
+  def histBin(v: Column, lo: Double, width: Double, bins: Int): Column =
+    least(greatest(floor((v - lo) / width).cast("long"), lit(0L)), lit(bins - 1L))
+
+  def histPartials(events: DataFrame, lo: Double, width: Double, bins: Int): DataFrame =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("bin", histBin(col("value"), lo, width, bins))
+      .groupBy("event_date", "event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+
+  /** Quantile estimates from merged histogram partials: per group, the
+    * target bin is the first whose running count reaches q*total
+    * (cum_prev < q*total <= cum — strict/inclusive so the pick is unique
+    * even when the target lands exactly on a bin boundary), and the
+    * estimate interpolates linearly inside it. Error is bounded by the
+    * bin width — the knob the frozen grid trades against state size.
+    * Output: (event_type, q, est), one row per group x quantile.
+    */
+  def histQuantiles(partials: DataFrame, lo: Double, width: Double,
+                    qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = partials.groupBy("event_type", "bin").agg(sum("n").as("n"))
+    val cum = h
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("total", sum("n").over(Window.partitionBy("event_type")))
+    cum
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter((col("cum") - col("n")) < col("q") * col("total") &&
+        col("cum") >= col("q") * col("total"))
+      .select(
+        col("event_type"), col("q"),
+        (lit(lo) + lit(width) *
+          (col("bin") + (col("q") * col("total") - (col("cum") - col("n"))) / col("n")))
+          .as("est"))
+  }
+
+  val x42_histogram_quantiles = Q(
+    "x42_histogram_quantiles",
+    """WITH p AS (
+      |  SELECT event_type,
+      |         LEAST(GREATEST(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 99) AS bin,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *, SUM(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |         SUM(n) OVER (PARTITION BY event_type) AS total
+      |  FROM p),
+      |sel AS (
+      |  SELECT c.event_type, t.q,
+      |         0.0 + 5.0 * (bin + (t.q * total - (cum - n)) / n) AS est
+      |  FROM c, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS t(q)
+      |  WHERE (cum - n) < t.q * total AND cum >= t.q * total)
+      |SELECT event_type,
+      |       max(CASE WHEN q = 0.5 THEN est END) AS p50_est,
+      |       max(CASE WHEN q = 0.99 THEN est END) AS p99_est
+      |FROM sel GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ) { t =>
+    // Same incremental discipline as x36/x39: base partials from
+    // pre-cutoff history, batch partials from the post-cutoff 20%, merged
+    // by bin-count addition — the oracle recomputes the histogram over ALL
+    // raw events and must land on the identical interpolated estimates
+    // (grid frozen at [0, 500) x 100 bins; identical double expression
+    // trees on both engines). RollupSpec pins the accuracy contract: every
+    // estimate lies in the bin where the true data CDF crosses q*N (the
+    // exact histogram guarantee), with the one-bin-width error bound
+    // additionally asserted at the dense p50 — NOT at p99, where exact
+    // percentiles interpolate between order statistics and a sparse tail
+    // legitimately exceeds one bin of divergence.
+    val e = t.events.select(col("ts"), col("event_type"), col("value"))
+      .withColumn("ms", unix_millis(col("ts")))
+    val base  = histPartials(e.filter(col("ms") < CutoffMs), 0.0, 5.0, 100)
+    val batch = histPartials(e.filter(col("ms") >= CutoffMs), 0.0, 5.0, 100)
+    histQuantiles(base.unionByName(batch), 0.0, 5.0, Seq(0.5, 0.99))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("q") === 0.5, col("est"))).as("p50_est"),
+        max(when(col("q") === 0.99, col("est"))).as("p99_est"))
+      .orderBy("event_type")
+  }
+
   /** Streaming maintenance of the partials store — the ingest-time half of
     * the x36 contract: each micro-batch aggregates to ITS OWN partials
     * (map-side combinable, batch-sized) and appends them to the persisted
@@ -146,5 +236,5 @@ object Rollup {
       }
       .start()
 
-  val all: Seq[Q] = Seq(x36_incremental_agg, x39_hll_rollup)
+  val all: Seq[Q] = Seq(x36_incremental_agg, x39_hll_rollup, x42_histogram_quantiles)
 }

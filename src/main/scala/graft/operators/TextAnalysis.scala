@@ -214,7 +214,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  val x43_bm25_topk = Q(
+    "x43_bm25_topk",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM d),
+      |tok AS (SELECT doc_id, unnest(toks) AS w FROM docs),
+      |tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf FROM tok
+      |       WHERE w IN ('join', 'stream', 'filter') GROUP BY doc_id, w),
+      |dfreq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY w),
+      |s AS (SELECT tf.doc_id, tf.w,
+      |        ln(CAST(1.0 AS DOUBLE) + (n_docs - dfreq.df + CAST(0.5 AS DOUBLE)) / (dfreq.df + CAST(0.5 AS DOUBLE)))
+      |          * tf.tf * CAST(2.2 AS DOUBLE)
+      |          / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / avgdl)) AS s
+      |      FROM tf JOIN d ON tf.doc_id = d.doc_id JOIN dfreq ON dfreq.w = tf.w, stats)
+      |SELECT doc_id,
+      |       round(COALESCE(max(CASE WHEN w = 'join' THEN s END), 0)
+      |             + COALESCE(max(CASE WHEN w = 'stream' THEN s END), 0)
+      |             + COALESCE(max(CASE WHEN w = 'filter' THEN s END), 0), 6) AS score
+      |FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+  ) { t =>
+    // BM25 keyword retrieval (k1=1.2, b=0.75) as one dataflow — the
+    // lexical half of a retrieval stack next to the ANN family (x9/x18/
+    // x31). Tokens filter to the QUERY TERMS before any aggregation, so
+    // the tf table is (matching docs x query terms) — at 100 TB the
+    // inverted-index statistics for a 3-term query never touch non-
+    // matching tokens after the scan projection; df/idf frames are
+    // broadcast (3 rows) and the doc-length stats one row. Cross-engine
+    // float discipline: ln() can differ by 1 ulp between libm and JVM, so
+    // scores round to 6 decimals; per-term contributions combine in a
+    // FIXED order (the CASE pivot) because a 3-way float sum under
+    // partial aggregation could re-associate; ordering uses the ROUNDED
+    // score + doc_id tiebreak in both engines. k=20 plans as
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
+    val terms = Seq("join", "stream", "filter")
+    val docs = t.documents.select(col("doc_id"), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).cast("double").as("df"))
+    def term(w: String): Column =
+      coalesce(max(when(col("w") === w, col("s"))), lit(0.0))
+    tf.join(broadcast(dfreq), "w").crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(term("join") + term("stream") + term("filter"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     x5_text_stats, x6_stopword_langscore, x7_regex_tokens, x8_fingerprint, x12_lang_id,
-    x17_repetition_stats)
+    x17_repetition_stats, x43_bm25_topk)
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** ANALYZE-style column profiling — the stats pass every lakehouse runs
+  * before it can plan anything else: per-column null counts, exact
+  * distinct cardinality, and min/max. The same numbers drive file-skipping
+  * (min/max zone maps — see LayoutOps), broadcast-vs-shuffle join choice
+  * (distinct counts), and data-quality drift alerts (null-rate deltas).
+  *
+  * Shape: UNPIVOT the profiled columns to (column_name, value) rows —
+  * a map-side projection expansion, NO shuffle until the aggregate — then
+  * one groupBy on column_name. Cell values cross the exchange only for the
+  * exact-distinct count (partial-deduped map-side on (column_name, value)
+  * first, so the shuffle carries each distinct cell once per partition,
+  * not each row). At 100 TB where even that is too much, swap
+  * count_distinct for approx_count_distinct (HLL, constant-size partials —
+  * the x39 trade) without touching the rest of the plan; the oracle pins
+  * the exact variant.
+  *
+  * Numeric and string-ish columns profile through separate typed unpivots
+  * (min/max must compare in the column's own type — a string min over
+  * stringified doubles would order "9" > "10"), then union: numerics carry
+  * (min_d, max_d), strings/dates carry (min_s, max_s).
+  */
+object Profiling {
+
+  /** One-pass profile of `df`: numCols as doubles, strCols as strings
+    * (cast first for dates/timestamps). Output one row per column:
+    * (column_name, n_rows, n_null, n_distinct, min_d, max_d, min_s, max_s).
+    */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    val numRows = df
+      .select(numCols.map(c => col(c).cast("double").as(c)): _*)
+      .unpivot(Array.empty[Column], numCols.map(col).toArray, "column_name", "vnum")
+      .withColumn("vstr", lit(null).cast("string"))
+    val strRows = df
+      .select(strCols.map(c => col(c).cast("string").as(c)): _*)
+      .unpivot(Array.empty[Column], strCols.map(col).toArray, "column_name", "vstr")
+      .withColumn("vnum", lit(null).cast("double"))
+    numRows
+      .select("column_name", "vnum", "vstr")
+      .unionByName(strRows.select("column_name", "vnum", "vstr"))
+      .groupBy("column_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("vnum").isNull && col("vstr").isNull, 1L).otherwise(0L)).as("n_null"),
+        // coalesce to one representation per cell: injective in each
+        // engine, so the distinct count matches DuckDB's per-column
+        // COUNT(DISTINCT col) exactly.
+        count_distinct(coalesce(col("vstr"), col("vnum").cast("string"))).as("n_distinct"),
+        min("vnum").as("min_d"),
+        max("vnum").as("max_d"),
+        min("vstr").as("min_s"),
+        max("vstr").as("max_s"))
+      .orderBy("column_name")
+  }
+
+  val x45_profile = Q(
+    "x45_profile",
+    Seq(
+      ("o_orderkey", true), ("o_custkey", true), ("o_totalprice", true),
+      ("o_orderstatus", false), ("o_orderpriority", false), ("o_orderdate", false),
+    ).map { case (c, isNum) =>
+      val expr   = if (c == "o_orderdate") "CAST(o_orderdate AS VARCHAR)" else c
+      val minMax =
+        if (isNum) s"CAST(min($c) AS DOUBLE) AS min_d, CAST(max($c) AS DOUBLE) AS max_d, CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s"
+        else s"CAST(NULL AS DOUBLE) AS min_d, CAST(NULL AS DOUBLE) AS max_d, min($expr) AS min_s, max($expr) AS max_s"
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, $minMax
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+  ) { t =>
+    // Full profile of the orders table; the oracle recomputes each row as
+    // an independent per-column aggregate and must agree cell-for-cell.
+    profile(
+      t.orders,
+      numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+      strCols = Seq("o_orderstatus", "o_orderpriority", "o_orderdate"))
+  }
+
+  val all: Seq[Q] = Seq(x45_profile)
+}

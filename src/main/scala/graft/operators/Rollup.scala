@@ -236,5 +236,30 @@ object Rollup {
       }
       .start()
 
-  val all: Seq[Q] = Seq(x36_incremental_agg, x39_hll_rollup, x42_histogram_quantiles)
+  val x46_heavy_hitters = Q(
+    "x46_heavy_hitters",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) || '|' || event_type AS item,
+      |       count(*) AS est
+      |FROM events
+      |GROUP BY 1 ORDER BY est DESC, item""".stripMargin,
+  ) { t =>
+    // Frequent items — the fourth leg of the mergeable-summary family
+    // (exact counts x36, HLL distinct x39, histogram quantiles x42,
+    // Misra-Gries heavy hitters here). One pass, constant-size state per
+    // partition, partials merge map-side under Spark's partial
+    // aggregation exactly like any built-in agg. The oracle pins the
+    // EXACT regime: the (day, type) domain is ~150 items at every sf,
+    // far under the 2048 capacity, so no decrement ever fires and the
+    // sketch returns true counts (FreqItemsSpec pins the t - n/(k+1)
+    // error envelope and heavy-hitter completeness in the saturated
+    // regime the oracle can't reach).
+    import graft.plans.FreqItemsAgg.mg_freq
+    t.events
+      .select(concat(to_date(col("ts")).cast("string"), lit("|"), col("event_type")).as("item"))
+      .agg(mg_freq(col("item"), 2048).as("m"))
+      .select(explode(col("m")).as(Seq("item", "est")))
+      .orderBy(desc("est"), col("item"))
+  }
+
+  val all: Seq[Q] = Seq(x36_incremental_agg, x39_hll_rollup, x42_histogram_quantiles, x46_heavy_hitters)
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Declarative data-quality gating (the "expectations" pattern: dbt tests /
+  * Deequ checks / Delta constraints) — a rule is a named boolean Column;
+  * the engine evaluates the whole rule set in ONE pass and serves three
+  * views of the result:
+  *
+  *   - [[check]]: per-rule violation counts + the quarantine total — a
+  *     map-side-only aggregate (every rule is a codegen'd sum(when(...)),
+  *     one tiny exchange for the final merge). This is the cheap
+  *     every-batch health signal at 100 TB: cost = one scan, no shuffle
+  *     of data rows.
+  *   - [[split]]: (pass, quarantine) row sets for the ingest gate — same
+  *     predicate evaluated per row, no aggregation; the quarantine side
+  *     carries `failed_rules` (the names of the rules the row broke) so
+  *     triage never re-derives why a row was held.
+  *
+  * A rule violation is `NOT coalesce(rule, false)` — a NULL rule result
+  * (null input to a comparison) counts as a violation, matching the
+  * constraint-semantics a NOT NULL gate expects (SQL WHERE would silently
+  * pass nulls through a negated predicate).
+  */
+object DataQuality {
+
+  /** Per-rule violation counts in one aggregate pass; final row set is
+    * one row per rule plus the `__quarantined` total (rows failing >= 1
+    * rule). Output: (rule, n_fail) ordered by rule.
+    */
+  def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val anyFail = rules
+      .map { case (_, c) => !coalesce(c, lit(false)) }
+      .reduce(_ || _)
+    val aggs = rules.map { case (name, c) =>
+      sum(when(!coalesce(c, lit(false)), 1L).otherwise(0L)).as(name)
+    } :+ sum(when(anyFail, 1L).otherwise(0L)).as("__quarantined")
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array.empty[Column], (rules.map(_._1) :+ "__quarantined").map(col).toArray, "rule", "n_fail")
+      .orderBy("rule")
+  }
+
+  /** The ingest gate: rows passing every rule vs rows held for triage
+    * (with the failing rule names attached).
+    */
+  def split(df: DataFrame, rules: Seq[(String, Column)]): (DataFrame, DataFrame) = {
+    val failed = array(rules.map { case (name, c) =>
+      when(!coalesce(c, lit(false)), lit(name))
+    }: _*)
+    val tagged = df.withColumn("failed_rules", filter(failed, _.isNotNull))
+    (
+      tagged.where(size(col("failed_rules")) === 0).drop("failed_rules"),
+      tagged.where(size(col("failed_rules")) > 0),
+    )
+  }
+
+  /** The x47 rule set over orders: two rules that real rows violate
+    * (price cap, status domain), one date-bounds rule with a few
+    * violations, and one that everything passes (the format rule — a
+    * green rule must report 0, not vanish).
+    */
+  def orderRules: Seq[(String, Column)] = Seq(
+    "price_below_cap"   -> (col("o_totalprice") > 0 && col("o_totalprice") <= 300000),
+    "status_in_domain"  -> col("o_orderstatus").isin("O", "F"),
+    "date_in_bounds"    -> (col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("2001-01-01").cast("timestamp")),
+    "priority_format"   -> col("o_orderpriority").rlike("^[1-5]-"),
+  )
+
+  val x47_dq_check = Q(
+    "x47_dq_check",
+    """SELECT rule, n_fail FROM (
+      |  SELECT 'price_below_cap' AS rule,
+      |         CAST(count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0 AND o_totalprice <= 300000, false)) AS BIGINT) AS n_fail FROM orders
+      |  UNION ALL
+      |  SELECT 'status_in_domain',
+      |         CAST(count(*) FILTER (WHERE NOT coalesce(o_orderstatus IN ('O','F'), false)) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'date_in_bounds',
+      |         CAST(count(*) FILTER (WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2001-01-01', false)) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'priority_format',
+      |         CAST(count(*) FILTER (WHERE NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false)) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT '__quarantined',
+      |         CAST(count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0 AND o_totalprice <= 300000, false)
+      |                OR NOT coalesce(o_orderstatus IN ('O','F'), false)
+      |                OR NOT coalesce(o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '2001-01-01', false)
+      |                OR NOT coalesce(regexp_matches(o_orderpriority, '^[1-5]-'), false)) AS BIGINT) FROM orders
+      |) ORDER BY rule""".stripMargin,
+  ) { t =>
+    check(t.orders, orderRules)
+  }
+
+  val all: Seq[Q] = Seq(x47_dq_check)
+}

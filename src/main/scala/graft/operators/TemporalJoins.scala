@@ -308,6 +308,87 @@ object TemporalJoins {
       .orderBy("user_id", "p_event_id")
   }
 
+  /** Snapshot diff — the CDC primitive when the source system can only
+    * hand over full snapshots (no changelog): classify every key as
+    * insert / update / delete between two snapshot versions and emit ONLY
+    * the changed rows (the changelog the SCD2 merge (x35) then consumes).
+    *
+    * Plan: one full-outer join on the key (ONE keyed shuffle of each
+    * snapshot — at 100 TB, snapshots bucketed on the key make even that
+    * exchange-free), presence flags on both sides, null-safe column
+    * comparison (`<=>`) for the update test — all codegen'd; `unchanged`
+    * rows (the overwhelming majority of a daily snapshot pair) are
+    * filtered before anything else is computed for them.
+    *
+    * Output per changed key: `change_type`, new values under the column's
+    * own name (null for deletes), old values as `<col>_old` (null for
+    * inserts).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(col(key) +: compareCols.map(c => col(c).as(s"${c}_old")): _*)
+      .withColumn("__in_old", lit(true))
+    val n = newSnap.select(col(key) +: compareCols.map(col): _*)
+      .withColumn("__in_new", lit(true))
+    val changed = compareCols
+      .map(c => !(col(c) <=> col(s"${c}_old")))
+      .reduce(_ || _)
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .where(col("change_type") =!= "unchanged")
+      .select(col(key) +: col("change_type") +:
+        (compareCols.map(col) ++ compareCols.map(c => col(s"${c}_old"))): _*)
+  }
+
+  val x48_snapshot_diff = Q(
+    "x48_snapshot_diff",
+    """WITH snap_a AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |snap_b AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |  UNION ALL
+      |  SELECT -o_orderkey, 'N', o_totalprice * 0.5
+      |  FROM orders WHERE o_orderkey % 10 = 2),
+      |d AS (
+      |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |         CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+      |              WHEN b.o_orderkey IS NULL THEN 'delete'
+      |              WHEN (a.o_orderstatus IS DISTINCT FROM b.o_orderstatus)
+      |                OR (a.o_totalprice IS DISTINCT FROM b.o_totalprice) THEN 'update'
+      |              ELSE 'unchanged' END AS change_type,
+      |         b.o_orderstatus, b.o_totalprice,
+      |         a.o_orderstatus AS o_orderstatus_old, a.o_totalprice AS o_totalprice_old
+      |  FROM snap_a a FULL OUTER JOIN snap_b b USING (o_orderkey))
+      |SELECT * FROM d WHERE change_type <> 'unchanged'
+      |ORDER BY o_orderkey, change_type""".stripMargin,
+  ) { t =>
+    // Deterministic day-2 snapshot simulated from orders: keys ending in 0
+    // deleted, keys ending in 1 repriced (+1.5 — exact in IEEE double on
+    // both engines), and a -key insert per key ending in 2. The diff must
+    // recover exactly those change sets and nothing else.
+    val a = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val b = t.orders
+      .where(col("o_orderkey") % 10 =!= 0)
+      .select(
+        col("o_orderkey"),
+        col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 1, col("o_totalprice") + 1.5)
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(
+        t.orders.where(col("o_orderkey") % 10 === 2).select(
+          (-col("o_orderkey")).as("o_orderkey"),
+          lit("N").as("o_orderstatus"),
+          (col("o_totalprice") * 0.5).as("o_totalprice")))
+    snapshotDiff(a, b, key = "o_orderkey", compareCols = Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey", "change_type")
+  }
+
   val all: Seq[Q] = Seq(x32_asof_join, x33_range_join, x34_scd2_build,
-    x35_scd2_merge, x38_scd2_serve)
+    x35_scd2_merge, x38_scd2_serve, x48_snapshot_diff)
 }

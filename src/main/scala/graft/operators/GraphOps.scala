@@ -217,4 +217,65 @@ object GraphOps {
       labels.select("node", "component")
     } finally { sym.unpersist(false); () }
   }
+
+  /** PageRank, fixed iteration count — node importance over the mention/
+    * link graph (the global ranking the reference's mention resolver has
+    * no batch analog for). Probability formulation: ranks start uniform
+    * at 1/N and each round every node gets (1-d)/N teleport mass plus d
+    * times the rank inflow of its in-neighbors (rank/out-degree each) —
+    * the simplified variant without dangling-mass redistribution (leaf
+    * rank leaks; acceptable for RANKING, and it keeps the recurrence a
+    * pure per-edge dataflow).
+    *
+    * Scale shape per round: edges (persisted once, the loop's only big
+    * table) join ranks on src — one keyed shuffle — then a groupBy dst
+    * with map-side partial sums; rank frames are node-sized, checkpointed
+    * eagerly and released a generation behind (the g7 Scope discipline),
+    * so lineage and block-manager pressure stay O(1) in the iteration
+    * count. The N scalar rides along as a 1-row broadcast, never a
+    * driver-side collect.
+    *
+    * Cross-engine exactness note (why the oracle can hash-match a float
+    * fixpoint): every arithmetic step is an IEEE double op both engines
+    * evaluate identically, and on the oracle's tree-plus-back-edge graph
+    * every in-degree is <= 2, so the inflow "sum" never re-associates
+    * more than a pair — bit-identical across 32-way partial aggregation.
+    */
+  def pagerank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = Checkpoints.scope(edges.sparkSession)
+    try {
+      val nodes = cp.checkpoint(
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node")))
+          .distinct())
+      val nTotal = nodes.agg(count(lit(1)).as("n_nodes"))
+      val deg    = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      var ranks = cp.checkpoint(
+        nodes.crossJoin(broadcast(nTotal))
+          .select(col("node"), (lit(1.0) / col("n_nodes")).as("r")))
+      var i = 0
+      while (i < iters) {
+        i += 1
+        val inflow = e
+          .join(deg, Seq("src"))
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("r") / col("outdeg")).as("c"))
+          .groupBy("node")
+          .agg(sum("c").as("inflow"))
+        val next = cp.checkpoint(
+          nodes
+            .join(inflow, Seq("node"), "left")
+            .crossJoin(broadcast(nTotal))
+            .select(
+              col("node"),
+              ((lit(1.0) - lit(damping)) / col("n_nodes") +
+                lit(damping) * coalesce(col("inflow"), lit(0.0))).as("r")))
+        ranks = next
+        cp.retain(next, nodes) // prior generation's blocks are dead; nodes stays live
+      }
+      ranks
+    } finally { e.unpersist(false); () }
+  }
 }

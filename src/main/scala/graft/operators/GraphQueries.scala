@@ -156,7 +156,42 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  val x50_pagerank = Q(
+    "x50_pagerank",
+    """WITH e AS (SELECT (doc_id-1)//2 AS src, doc_id AS dst FROM documents WHERE doc_id >= 1
+      |           UNION ALL SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+      |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |c AS (SELECT count(*) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |r0 AS (SELECT node, CAST(1 AS DOUBLE)/c.n AS r FROM nodes, c),
+      |r1 AS (SELECT nd.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/c.n + CAST(0.85 AS DOUBLE)*coalesce(
+      |         (SELECT SUM(p.r/d.outdeg) FROM e JOIN r0 p ON p.node = e.src
+      |          JOIN deg d ON d.src = e.src WHERE e.dst = nd.node), 0) AS r
+      |       FROM nodes nd, c),
+      |r2 AS (SELECT nd.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/c.n + CAST(0.85 AS DOUBLE)*coalesce(
+      |         (SELECT SUM(p.r/d.outdeg) FROM e JOIN r1 p ON p.node = e.src
+      |          JOIN deg d ON d.src = e.src WHERE e.dst = nd.node), 0) AS r
+      |       FROM nodes nd, c),
+      |r3 AS (SELECT nd.node, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))/c.n + CAST(0.85 AS DOUBLE)*coalesce(
+      |         (SELECT SUM(p.r/d.outdeg) FROM e JOIN r2 p ON p.node = e.src
+      |          JOIN deg d ON d.src = e.src WHERE e.dst = nd.node), 0) AS r
+      |       FROM nodes nd, c)
+      |SELECT node, r FROM r3 ORDER BY node""".stripMargin,
+  ) { t =>
+    // PageRank(3 iterations, d=0.85) over the same tree-plus-back-edge
+    // graph as g1 — the oracle unrolls the recurrence as three chained
+    // CTEs with a correlated inflow subquery per node. Bit-exact across
+    // engines: the teleport constant is written as (1 - 0.85) on BOTH
+    // sides (the parsed literal 0.15 is a DIFFERENT double than the
+    // computed 1-0.85), in-degrees on this graph are 1, and every step
+    // is a deterministic IEEE double op.
+    import t.spark.implicits._
+    val edges = treeEdges(t).unionByName(Seq((3L, 0L)).toDF("src", "dst"))
+    GraphOps.pagerank(edges, iters = 3, damping = 0.85)
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(
     g1_bfs_reachability, g2_clone_subtree, g3_cascade_survivors, g5_ancestor_walk,
-    g7_connected_components)
+    g7_connected_components, x50_pagerank)
 }

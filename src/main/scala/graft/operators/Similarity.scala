@@ -545,7 +545,39 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-group element-wise embedding mean — class prototypes: nearest-
+    * centroid classification, cluster summarization, semantic-blocking
+    * seeds (the deterministic cousin of the k-means step x18's trained
+    * variant uses). Long-shape output (group, pos, value) rather than an
+    * array column: it keeps the aggregation a plain (group, pos) groupBy
+    * — map-side partial sums, one 640-key exchange — instead of a
+    * collect_list rebuild, and it is directly joinable for the
+    * nearest-centroid scoring pass.
+    *
+    * Exactness across engines: float components are summed as
+    * floor(v*1e6) integer micros (exact under any re-association; floor,
+    * not round — round's half-case tie-break differs between engines on
+    * negative values), and the mean divides once in double at the end.
+    */
+  val x49_embed_centroid = Q(
+    "x49_embed_centroid",
+    """SELECT label, pos,
+      |       CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / count(*)
+      |         AS centroid_micro
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             unnest(range(len(embedding))) AS pos
+      |      FROM embeddings)
+      |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+  ) { t =>
+    t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
+        count(lit(1))).as("centroid_micro"))
+      .orderBy("label", "pos")
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
-      x31_sq8_topk)
+      x31_sq8_topk, x49_embed_centroid)
 }

@@ -19,7 +19,7 @@ object SparkEntry {
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ TrainPrep.all ++ Extras.all ++
       ApiQueries.all ++ GraphQueries.all ++ TraceQueries.all ++ Multimodal.all ++
       TemporalJoins.all ++ Rollup.all ++ LayoutOps.all ++ ScaleJoins.all ++ Profiling.all ++
-      DataQuality.all
+      DataQuality.all ++ Analytics.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §7.2 minimum slice: scan -> filter -> broadcast star join -> hash

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q
+
+/** Behavioral analytics over the event stream — the product-analytics
+  * verbs (funnels, cohort retention) every event lakehouse serves, each
+  * shaped as at most two keyed shuffles regardless of corpus size.
+  *
+  * Reference anchor: the event log these run over is S1's JSONL stream
+  * (amplifierd/amplifierd/routers/sessions.py:1306-1326 read path); the
+  * reference surfaces raw event lists and leaves analytics to the caller —
+  * these are the batch renderings a warehouse adds on top.
+  */
+object Analytics {
+
+  /** Strict-sequence funnel: stage k counts users whose earliest
+    * qualifying stage-k event follows their earliest qualifying
+    * stage-(k-1) event (strictly later ts). One shuffle on user_id: both
+    * chained "earliest qualifying prior event" columns are running mins
+    * over the SAME (user, ts-ordered) window, so Catalyst plans one
+    * Exchange + one Sort and evaluates the two Window operators back to
+    * back; the per-user reduction is then an ordinary aggregate on the
+    * already-partitioned rows.
+    *
+    * The rows-frame tiebreak is event_id, and stage strictness is
+    * "a qualifying prior event exists on an earlier row"; with (user, ts)
+    * unique (asserted on the testdata, every sf) row order IS ts order
+    * and the window rendering is exactly the oracle's `ts >` join chain.
+    *
+    * Why not 3 chained groupBy+join passes: same answers, but 3 shuffles
+    * and two join builds; why not collect_list + fold: a hot user's event
+    * list has no size bound at 100 TB, running mins keep state O(1).
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    val before = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+
+    // qual(k) = this row's ts if it's a stage-k event preceded by a
+    // qualifying stage-(k-1) chain; built left to right, each level one
+    // running-min over `before` of the previous level's column.
+    val base = events.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val withQuals = stages.zipWithIndex.foldLeft((base, Option.empty[String])) {
+      case ((df, prevQual), (stage, i)) =>
+        val qual = s"__q$i"
+        val qualified = prevQual match {
+          case None       => when(col("event_type") === stage, col("ts"))
+          case Some(prev) =>
+            when(col("event_type") === stage && min(col(prev)).over(before).isNotNull, col("ts"))
+        }
+        (df.withColumn(qual, qualified), Some(qual))
+    }._1
+
+    val perUser = withQuals
+      .groupBy("user_id")
+      .agg(
+        stages.indices.map(i => min(col(s"__q$i")).as(s"t$i")).head,
+        stages.indices.map(i => min(col(s"__q$i")).as(s"t$i")).tail: _*)
+    perUser
+      .agg(
+        stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+          .as(s"s$i")).head,
+        stages.indices.map(i => sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L))
+          .as(s"s$i")).tail: _*)
+      .unpivot(Array.empty[Column],
+        stages.indices.map(i => col(s"s$i")).toArray, "stage_idx", "n_users")
+      .select(
+        concat(expr("substring(stage_idx, 2)").cast("int") + 1, lit("_"),
+          element_at(typedLit(stages), expr("substring(stage_idx, 2)").cast("int") + 1))
+          .as("stage"),
+        col("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Weekly cohort retention: cohort = ISO week of the user's first event
+    * (any type), activity = distinct (user, week), cell (cohort_week,
+    * week_offset) counts the cohort's users active that week. Two keyed
+    * shuffles — user grain (first-event min + the distinct), then the
+    * cohort-cell aggregate whose key space is weeks × offsets, constant
+    * in the corpus.
+    */
+  def cohortRetention(events: DataFrame, maxOffsetWeeks: Int): DataFrame = {
+    val firstWeek = events
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+    val activeWeeks = events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    activeWeeks
+      .join(firstWeek, Seq("user_id"))
+      .withColumn("week_offset", (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .where(col("week_offset") <= maxOffsetWeeks)
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users")) // (user, week) is distinct already
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val x51_funnel = Q(
+    "x51_funnel",
+    """WITH u AS (
+      |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      |  FROM events GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN u USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > u.t0 GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY e.user_id)
+      |SELECT '1_view' AS stage, CAST(count(t0) AS BIGINT) AS n_users FROM u
+      |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+      |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin,
+  ) { t =>
+    // view -> click -> purchase, strictly ordered per user; the oracle
+    // renders the same funnel as the chained `ts >` join form.
+    funnel(t.events, Seq("view", "click", "purchase"))
+  }
+
+  val x52_cohort_retention = Q(
+    "x52_cohort_retention",
+    """WITH f AS (
+      |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events)
+      |SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+      |       CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INT) AS week_offset,
+      |       count(*) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |WHERE date_diff('day', f.cohort_week, a.week) // 7 <= 8
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+  ) { t =>
+    cohortRetention(t.events, maxOffsetWeeks = 8)
+      .withColumn("cohort_week", col("cohort_week").cast("string"))
+  }
+
+  val all: Seq[Q] = Seq(x51_funnel, x52_cohort_retention)
+}

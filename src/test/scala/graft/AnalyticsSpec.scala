@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** x51/x52: funnel semantics pinned against an independent chained-join
+  * rendering, monotonicity, and cohort cell conservation.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def events = Tables(spark, sf0001).events
+
+  /** The oracle's formulation, independently in Spark: stage k = min ts of
+    * stage-k events strictly after the user's stage-(k-1) time.
+    */
+  private def chainedJoinFunnel(e: DataFrame, stages: Seq[String]): Seq[Long] = {
+    var cur = e.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val counts = Seq.newBuilder[Long]
+    counts += cur.count()
+    stages.tail.foreach { s =>
+      cur = e.where(col("event_type") === s).as("e")
+        .join(cur.as("c"), col("e.user_id") === col("c.user_id"))
+        .where(col("e.ts") > col("c.t"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min("ts").as("t"))
+      counts += cur.count()
+    }
+    counts.result()
+  }
+
+  test("funnel equals the chained-join rendering and is monotone") {
+    val stages = Seq("view", "click", "purchase")
+    val got = Analytics.funnel(events, stages)
+      .select("n_users").as[Long].collect()
+    assert(got.toSeq === chainedJoinFunnel(events, stages))
+    assert(got.sliding(2).forall(p => p(0) >= p(1)), s"not monotone: ${got.toSeq}")
+    // order invariance: a different stage sequence still monotone + bounded
+    val alt = Analytics.funnel(events, Seq("signup", "purchase"))
+      .select("n_users").as[Long].collect()
+    assert(alt.length === 2 && alt(0) >= alt(1))
+  }
+
+  test("cohort retention: offset-0 cell covers every user exactly once per cohort") {
+    val cells = Analytics.cohortRetention(events, maxOffsetWeeks = 52)
+    // every user is active in their own first week -> sum of offset-0
+    // cells equals the distinct user count
+    val week0 = cells.where(col("week_offset") === 0)
+      .agg(sum("n_users")).as[Long].head()
+    assert(week0 === events.select("user_id").distinct().count())
+    // no negative offsets, counts never exceed the cohort's size
+    assert(cells.where(col("week_offset") < 0).isEmpty)
+    val overflow = cells.as("c")
+      .join(cells.where(col("week_offset") === 0).as("z"), Seq("cohort_week"))
+      .where(col("c.n_users") > col("z.n_users"))
+    assert(overflow.isEmpty)
+  }
+}

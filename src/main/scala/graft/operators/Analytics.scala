@@ -140,5 +140,35 @@ object Analytics {
       .withColumn("cohort_week", col("cohort_week").cast("string"))
   }
 
-  val all: Seq[Q] = Seq(x51_funnel, x52_cohort_retention)
+  /** First-order Markov transition counts over the per-user event
+    * sequence: one lag window on the (user, ts)-ordered stream (the same
+    * single Exchange + Sort shape as the funnel), then an aggregate on
+    * the constant (prev, next) key space (|types|+1 squared). `_start`
+    * marks each user's entry event, so row counts conserve: sum(n) =
+    * total events.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", coalesce(lag("event_type", 1).over(w), lit("_start")))
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  val x54_transition_matrix = Q(
+    "x54_transition_matrix",
+    """WITH s AS (
+      |  SELECT event_type,
+      |         coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |                  '_start') AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, count(*) AS n
+      |FROM s GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin,
+  ) { t =>
+    transitionMatrix(t.events)
+  }
+
+  val all: Seq[Q] = Seq(x51_funnel, x52_cohort_retention, x54_transition_matrix)
 }

@@ -278,4 +278,50 @@ object GraphOps {
       ranks
     } finally { e.unpersist(false); () }
   }
+
+  /** Incremental connected components — the graph member of the
+    * affected-only maintenance family (x35 SCD2 keys, x40 z-layout tiles,
+    * x36 rollup partials): fold a batch of NEW edges into an existing
+    * labeling without re-running the fixpoint over the corpus.
+    *
+    * The iterative loop runs only on the LABEL-PAIR graph the batch
+    * induces (<= 2x batch-size nodes — each new edge collapses to the
+    * pair of its endpoints' current labels); the corpus is touched by
+    * exactly three broadcast-joined scans (two endpoint-label lookups,
+    * one relabel) and ZERO corpus-sized shuffles. Correct because
+    * component merging is a congruence: contracting each existing
+    * component to its label preserves exactly the connectivity the new
+    * edges add, and min-label CC on the contracted graph yields the same
+    * final labels as a from-scratch run (spec-checked against full
+    * recompute on randomized graphs).
+    *
+    * `labels`: (node, component) from a prior [[connectedComponents]]
+    * run; batch endpoints unseen by it enter as singleton labels.
+    */
+  def mergeNewEdges(labels: DataFrame, newEdges: DataFrame, spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val ends = newEdges.select(col("src").as("node"))
+      .unionByName(newEdges.select(col("dst").as("node")))
+      .distinct()
+    val allLabels = labels.unionByName(
+      ends.join(labels.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("component")))
+    val withSrc = allLabels
+      .select(col("node").as("src"), col("component").as("src_comp"))
+      .join(broadcast(newEdges), Seq("src"))
+    val labelPairs = allLabels
+      .select(col("node").as("dst"), col("component").as("dst_comp"))
+      .join(broadcast(withSrc), Seq("dst"))
+      .select(col("src_comp").as("src"), col("dst_comp").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    if (labelPairs.isEmpty) allLabels
+    else {
+      val remap = connectedComponents(labelPairs, spark)
+        .select(col("node").as("old_comp"), col("component").as("new_comp"))
+      allLabels
+        .join(broadcast(remap), allLabels("component") === remap("old_comp"), "left")
+        .select(col("node"), coalesce(col("new_comp"), col("component")).as("component"))
+    }
+  }
 }

@@ -191,7 +191,42 @@ object GraphQueries {
       .orderBy("node")
   }
 
+  val x53_incremental_cc = Q(
+    "x53_incremental_cc",
+    """WITH base AS (
+      |  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+      |  WHERE doc_id % 7 NOT IN (0, 4)),
+      |batch AS (
+      |  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+      |  WHERE doc_id % 7 = 4 AND (doc_id // 7) % 2 = 0),
+      |nodes AS (
+      |  SELECT DISTINCT node FROM (
+      |    SELECT src AS node FROM base UNION ALL SELECT dst FROM base
+      |    UNION ALL SELECT src FROM batch UNION ALL SELECT dst FROM batch))
+      |SELECT node,
+      |       CASE WHEN (node // 7) % 2 = 0 OR node % 7 < 4
+      |            THEN (node // 7) * 7 ELSE (node // 7) * 7 + 4 END AS component
+      |FROM nodes ORDER BY node""".stripMargin,
+  ) { t =>
+    // Incremental CC: the base labeling sees each group-of-7 chain with
+    // its middle link (4 -> 3) missing — every group splits into a lower
+    // {g..g+3} (label g) and upper {g+4..g+6} (label g+4) component. The
+    // batch delivers the missing middle links for EVEN group indexes
+    // only, so the merged labeling rejoins even groups (label g) while
+    // odd groups stay split — the closed form the oracle enumerates.
+    // mergeNewEdges runs the fixpoint only on the batch's label pairs;
+    // the corpus labeling is touched by broadcast lookups alone.
+    val base = t.documents
+      .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 7 =!= 4)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+    val batch = t.documents
+      .filter(col("doc_id") % 7 === 4 && (expr("doc_id div 7") % 2) === 0)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+    val baseLabels = GraphOps.connectedComponents(base, t.spark)
+    GraphOps.mergeNewEdges(baseLabels, batch, t.spark).orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(
     g1_bfs_reachability, g2_clone_subtree, g3_cascade_survivors, g5_ancestor_walk,
-    g7_connected_components, x50_pagerank)
+    g7_connected_components, x50_pagerank, x53_incremental_cc)
 }

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Library entry point: one place that builds a correctly-configured
   * session (UTC, AQE, 32-way local shuffle, nanos-timestamp events
-  * readable, LAST_WIN map merges, cosine_sim registered) and registers the
+  * readable, LAST_WIN map merges, custom SQL functions registered via
+  * [[GraftExtensions]] — the same builders `spark.sql.extensions=
+  * graft.GraftExtensions` injects cluster-wide) and registers the
   * test tables as SQL views so `spark.sql` round-trips the same queries
   * the oracle runs (SURVEY §7.1).
   */
@@ -21,7 +23,7 @@ object Graft {
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    plans.CosineSimilarity.register(spark)
+    GraftExtensions.registerAll(spark) // cosine_sim, int8_dot, simhash_agg, mg_freq
     spark
   }
 

@@ -324,4 +324,30 @@ object GraphOps {
         .select(col("node"), coalesce(col("new_comp"), col("component")).as("component"))
     }
   }
+
+  /** Streaming half of the x53 contract: keep a persisted (node,
+    * component) labeling current as edges land. Each micro-batch folds its
+    * edges into the store via [[mergeNewEdges]] — batch-bound fixpoint,
+    * corpus relabel by broadcast — and swaps the store atomically
+    * (localCheckpoint materializes the merged labeling BEFORE the
+    * overwrite deletes the files it was derived from). foreachBatch, not
+    * a stateful streaming agg: the labeling is bounded by the node count,
+    * not stream history, so there is no watermark/state question — zero
+    * streaming state, same discipline as Rollup.streamingPartials and the
+    * stateless near-dup ingest probe.
+    */
+  def streamingLabelMaintenance(
+      edges: DataFrame,
+      labelsDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark  = batch.sparkSession
+        val cur    = spark.read.parquet(labelsDir)
+        val merged = mergeNewEdges(cur, batch, spark).localCheckpoint(true)
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(labelsDir)
+        ()
+      }
+      .start()
 }

@@ -59,6 +59,35 @@ class IncrementalCcSpec extends SparkSpec {
     assert(ccMap(merged) === ccMap(labels))
   }
 
+  test("streaming label maintenance converges to the full recompute") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = Seq((1L, 2L), (4L, 5L), (7L, 8L)).toDF("src", "dst")
+    val dir  = Files.createTempDirectory("cc-labels").toString + "/labels"
+    GraphOps.connectedComponents(base, spark).write.parquet(dir)
+
+    val input = MemoryStream[(Long, Long)]
+    val query = GraphOps.streamingLabelMaintenance(
+      input.toDF().toDF("src", "dst"), dir,
+      Files.createTempDirectory("cc-ckpt").toString)
+    try {
+      input.addData((2L, 4L))           // chains {1,2} with {4,5}
+      query.processAllAvailable()
+      input.addData((5L, 7L), (9L, 10L)) // chains into {7,8}; new component
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got  = ccMap(spark.read.parquet(dir))
+    val full = ccMap(GraphOps.connectedComponents(
+      base.unionByName(Seq((2L, 4L), (5L, 7L), (9L, 10L)).toDF("src", "dst")), spark))
+    assert(got.keySet === full.keySet)
+    val nodes = full.keySet.toSeq.sorted
+    for (a <- nodes; b <- nodes if a < b)
+      assert((full(a) == full(b)) === (got(a) == got(b)), s"partition disagreement on ($a, $b)")
+  }
+
   test("x54 transition counts conserve the event total") {
     val events = Tables(spark, sf0001).events
     val m = graft.operators.Analytics.transitionMatrix(events)

@@ -170,5 +170,58 @@ object Analytics {
     transitionMatrix(t.events)
   }
 
-  val all: Seq[Q] = Seq(x51_funnel, x52_cohort_retention, x54_transition_matrix)
+  /** Rolling z-score anomaly detection: each event's value scored against
+    * the mean/stddev of its user's `lookback` PRECEDING events (never the
+    * current row — a self-including window would let the anomaly dilute
+    * its own baseline). Same single (user, ts)-ordered Exchange + Sort as
+    * the funnel/lag queries: both window aggregates share one frame, so
+    * Catalyst evaluates them in one Window operator pass with O(lookback)
+    * state per open partition — no per-user history materialized.
+    *
+    * Cross-engine determinism: mu/sd are floating sums whose accumulation
+    * order differs between engines (Spark re-folds the frame, DuckDB uses
+    * segment trees), so z is rounded to 4dp BEFORE the threshold compare
+    * on both sides — a ~1e-12 relative float divergence cannot flip a
+    * 5e-5-granular comparison unless the true z sits exactly on the
+    * threshold (measure-zero for continuous values). The `cnt >= 2` guard
+    * is load-bearing: stddev_samp of a 1-row frame is NULL in DuckDB but
+    * NaN in Spark — both filtered, but only the count guard does it
+    * identically.
+    */
+  def rollingZscore(events: DataFrame, lookback: Int, threshold: Double): DataFrame = {
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp("value").over(w))
+      .withColumn("cnt", count("value").over(w))
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+      .where(col("cnt") >= 2 && col("sd") > 0 && abs(col("z")) > threshold)
+      .select("user_id", "event_id", "z")
+      .orderBy("user_id", "event_id")
+  }
+
+  val x58_rolling_zscore = Q(
+    "x58_rolling_zscore",
+    """WITH w AS (
+      |  SELECT user_id, event_id, value,
+      |    avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+      |    stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+      |    count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS cnt
+      |  FROM events)
+      |SELECT user_id, event_id, round((value - mu) / sd, 4) AS z
+      |FROM w WHERE cnt >= 2 AND sd > 0 AND abs(round((value - mu) / sd, 4)) > 2.5
+      |ORDER BY user_id, event_id""".stripMargin,
+  ) { t =>
+    rollingZscore(t.events, lookback = 20, threshold = 2.5)
+  }
+
+  val all: Seq[Q] = Seq(x51_funnel, x52_cohort_retention, x54_transition_matrix,
+    x58_rolling_zscore)
 }

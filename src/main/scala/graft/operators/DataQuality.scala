@@ -94,5 +94,77 @@ object DataQuality {
     check(t.orders, orderRules)
   }
 
-  val all: Seq[Q] = Seq(x47_dq_check)
+  /** Distribution-drift monitor (PSI — population stability index, the
+    * standard model-monitoring drift score): bucket a metric identically
+    * in a reference and a current population, then per bucket
+    * contrib = (p - q) * ln(p / q) with half-count Laplace smoothing so
+    * a bucket empty on one side contributes a large-but-finite score
+    * instead of infinity. PSI = sum of contributions; > 0.2 is the
+    * conventional "investigate" line.
+    *
+    * Shape at 100 TB: ONE scan — each row maps to (bucket, side) and a
+    * conditional-sum aggregate on the constant bucket key space; the
+    * totals both rates need are a second aggregate over the nBuckets
+    * result rows joined back as a 1-row broadcast. No data-row shuffle,
+    * no join between the populations (they never meet row-wise — only
+    * their bucket histograms do).
+    *
+    * Cross-engine determinism: bucket counts are exact integers computed
+    * by identical floor/least/greatest arithmetic; p and q then derive
+    * from ints by identical IEEE ops, and the single ln/multiply chain is
+    * rounded to 6dp (libm vs JVM log differ at most in the last ulp).
+    */
+  def psiByBucket(
+      df: DataFrame,
+      isRef: Column,
+      bucket: Column,
+      nBuckets: Int,
+  ): DataFrame = {
+    val counts = df
+      .select(bucket.as("bucket"), isRef.as("is_ref"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(
+      sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+    val p = (col("n_ref") + 0.5) / (col("tot_ref") + 0.5 * nBuckets)
+    val q = (col("n_cur") + 0.5) / (col("tot_cur") + 0.5 * nBuckets)
+    counts
+      .crossJoin(broadcast(totals))
+      .withColumn("psi_contrib", round((p - q) * log(p / q), 6))
+      .select("bucket", "n_ref", "n_cur", "psi_contrib")
+      .orderBy("bucket")
+  }
+
+  val x59_drift_psi = Q(
+    "x59_drift_psi",
+    """WITH b AS (
+      |  SELECT least(greatest(CAST(floor(value / 50) AS BIGINT), 0), 9) AS bucket,
+      |         event_id % 2 = 0 AS is_ref
+      |  FROM events WHERE value IS NOT NULL),
+      |c AS (
+      |  SELECT bucket,
+      |         CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS n_ref,
+      |         CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS n_cur
+      |  FROM b GROUP BY bucket),
+      |t AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM c)
+      |SELECT bucket, n_ref, n_cur,
+      |       round(((n_ref + 0.5) / (tot_ref + 5.0) - (n_cur + 0.5) / (tot_cur + 5.0))
+      |             * ln(((n_ref + 0.5) / (tot_ref + 5.0)) / ((n_cur + 0.5) / (tot_cur + 5.0))), 6)
+      |         AS psi_contrib
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+  ) { t =>
+    // Even event_ids are the "reference" population, odd the "current";
+    // value bucketized into 10 fixed-width cells (the production pattern:
+    // edges frozen from the reference window, out-of-range clamped to the
+    // edge cells).
+    psiByBucket(
+      t.events.where(col("value").isNotNull),
+      isRef = col("event_id") % 2 === 0,
+      bucket = least(greatest(floor(col("value") / 50).cast("long"), lit(0L)), lit(9L)),
+      nBuckets = 10)
+  }
+
+  val all: Seq[Q] = Seq(x47_dq_check, x59_drift_psi)
 }

@@ -167,6 +167,40 @@ object GraphOps {
       .join(ids, col(parentCol) === col("pid"), "left_anti")
   }
 
+  /** Triangle enumeration per apex (smallest vertex) — the clustering /
+    * spam-density primitive. Input edges may be directed, duplicated,
+    * either orientation; canonicalized to a < b and deduped first, so a
+    * triangle {a,b,c} (a<b<c) is counted exactly once, at apex a.
+    *
+    * Shape: two equi-joins over the oriented edge table — wedge build
+    * (e1.b = e2.a, producing a<b<c paths) then wedge close (does edge
+    * (a, c) exist?). Each is a keyed shuffle join; the orientation is the
+    * scale guard: every vertex's out-edges go only to HIGHER ids, so a
+    * hub of degree d contributes wedges from its higher-id out-degree
+    * only — the classic compact-forward bound (sum of C(out_deg, 2)
+    * ~ m^1.5 worst case, vs C(d, 2) per hub unoriented). For power-law
+    * graphs, orient by (degree, id) instead of raw id to push hub
+    * out-degrees toward the minimum; id-orientation is exact and
+    * sufficient for the near-uniform-degree graphs here.
+    */
+  def trianglesPerApex(edges: DataFrame): DataFrame = {
+    val oriented = edges
+      .select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val wedges = oriented
+      .join(
+        oriented.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    wedges
+      .join(oriented.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .groupBy("a")
+      .agg(count(lit(1)).as("n_triangles"))
+      .select(col("a").as("apex"), col("n_triangles"))
+      .orderBy("apex")
+  }
+
   /** Connected components over undirected edges via alternating min-label
     * propagation — the scalable "group near-duplicates into clusters" step
     * after Dedup's pair generation. Converges in O(diameter) rounds.

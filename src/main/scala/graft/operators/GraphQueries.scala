@@ -226,7 +226,39 @@ object GraphQueries {
     GraphOps.mergeNewEdges(baseLabels, batch, t.spark).orderBy("node")
   }
 
+  val x60_triangle_count = Q(
+    "x60_triangle_count",
+    """WITH e AS (
+      |  SELECT d1.doc_id AS src, d2.doc_id AS dst
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |  UNION ALL
+      |  SELECT d1.doc_id, d2.doc_id
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 2
+      |  WHERE d1.doc_id % 3 = 0)
+      |SELECT e1.src AS apex, count(*) AS n_triangles
+      |FROM e e1 JOIN e e2 ON e2.src = e1.dst JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      |GROUP BY e1.src ORDER BY apex""".stripMargin,
+  ) { t =>
+    // Triangle counting on the chain+skip graph: edges (i, i+1) for every
+    // doc plus (i, i+2) when i % 3 = 0 — each skip edge closes the wedge
+    // i -> i+1 -> i+2 into exactly one triangle, so apexes are the %3==0
+    // nodes with both chain successors present. Both edge families are
+    // built by self-joins so every endpoint exists in the corpus (the
+    // oracle's join form is identical); since this derived edge set is
+    // already oriented ascending and distinct, trianglesPerApex's
+    // canonicalization is a no-op passthrough on it.
+    val d = t.documents.select("doc_id")
+    val chain = d.as("x")
+      .join(d.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    val skip = d.as("x")
+      .join(d.as("y"), col("y.doc_id") === col("x.doc_id") + 2)
+      .where(col("x.doc_id") % 3 === 0)
+      .select(col("x.doc_id").as("src"), col("y.doc_id").as("dst"))
+    GraphOps.trianglesPerApex(chain.unionByName(skip))
+  }
+
   val all: Seq[Q] = Seq(
     g1_bfs_reachability, g2_clone_subtree, g3_cascade_survivors, g5_ancestor_walk,
-    g7_connected_components, x50_pagerank, x53_incremental_cc)
+    g7_connected_components, x50_pagerank, x53_incremental_cc, x60_triangle_count)
 }

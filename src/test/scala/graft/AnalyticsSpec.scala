@@ -58,4 +58,22 @@ class AnalyticsSpec extends SparkSpec {
       .where(col("c.n_users") > col("z.n_users"))
     assert(overflow.isEmpty)
   }
+
+  test("rolling z-score: a planted spike is flagged, steady series are not") {
+    import java.sql.Timestamp
+    // user 1: constant-ish values then one spike; user 2: strictly steady
+    val rows = ((1 to 30).map { i =>
+      val v = if (i == 25) 500.0 else 10.0 + (i % 3) // spike at event 25
+      (1L, i.toLong, new Timestamp(1700000000000L + i * 60000L), v, "e")
+    } ++ (1 to 30).map { i =>
+      (2L, (100 + i).toLong, new Timestamp(1700000000000L + i * 60000L), 10.0 + (i % 3), "e")
+    }).toDF("user_id", "event_id", "ts", "value", "event_type")
+    val flagged = Analytics.rollingZscore(rows, lookback = 20, threshold = 2.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.contains((1L, 25L)), s"spike not flagged: ${flagged.toSeq}")
+    assert(!flagged.exists(_._1 == 2L), s"steady user flagged: ${flagged.toSeq}")
+    // the window never includes the current row: first 2 events of any
+    // user can't be flagged (cnt >= 2 needs two PRECEDING rows)
+    assert(!flagged.exists { case (_, e) => e == 1L || e == 2L || e == 101L || e == 102L })
+  }
 }

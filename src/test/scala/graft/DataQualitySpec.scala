@@ -55,4 +55,26 @@ class DataQualitySpec extends SparkSpec {
     assert(diff.where(col("change_type") === "delete").count() ===
       orders.where(col("o_orderkey") % 7 === 0).count())
   }
+
+  test("psi drift: identical populations score ~0, a shifted one scores higher") {
+    import spark.implicits._
+    val vals = (0 until 2000).map(i => (i.toLong, (i % 100).toDouble))
+      .toDF("id", "value")
+    val bucket = least(greatest(floor(col("value") / 10).cast("long"), lit(0L)), lit(9L))
+    // ref = cur (split by parity; both halves cycle the full 0-99 range
+    // identically) -> every contribution ~0
+    val same = DataQuality.psiByBucket(vals, col("id") % 2 === 0, bucket, 10)
+      .agg(sum(abs(col("psi_contrib")))).as[Double].head()
+    assert(same < 1e-6, s"identical populations scored $same")
+    // shift the odd half up by 30 -> mass moves buckets, PSI > 0.1
+    val shifted = vals.withColumn("value",
+      when(col("id") % 2 === 1, least(col("value") + 30, lit(99.0))).otherwise(col("value")))
+    val drift = DataQuality.psiByBucket(shifted, col("id") % 2 === 0, bucket, 10)
+      .agg(sum(col("psi_contrib"))).as[Double].head()
+    assert(drift > 0.1, s"shifted population scored only $drift")
+    // counts conserve: n_ref + n_cur sums to the row count
+    val counts = DataQuality.psiByBucket(shifted, col("id") % 2 === 0, bucket, 10)
+      .agg(sum(col("n_ref") + col("n_cur"))).as[Long].head()
+    assert(counts === 2000L)
+  }
 }

@@ -57,6 +57,21 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map("a/b/c/file.md" -> "a/b/c", "a/x.md" -> "a"))
   }
 
+  test("trianglesPerApex: orientation-invariant, dup-tolerant, exact on K4") {
+    // K4 has 4 triangles; apex = smallest vertex of each: {1,2,3} {1,2,4}
+    // {1,3,4} at apex 1, {2,3,4} at apex 2. Feed edges in mixed
+    // orientation with duplicates — canonicalization must absorb both.
+    val k4 = Seq(
+      (1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L), (3L, 4L),
+      (2L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = GraphOps.trianglesPerApex(k4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+    // triangle-free graph (a star) -> empty result, self-loops ignored
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 2L)).toDF("src", "dst")
+    assert(GraphOps.trianglesPerApex(star).count() === 0)
+  }
+
   test("childrenByParent sorts case-insensitively inside each parent") {
     val nodes = Seq(
       ("1", "p", "beta"), ("2", "p", "Alpha"), ("3", "q", "z")).toDF("id", "parent", "name")

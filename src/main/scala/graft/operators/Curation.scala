@@ -35,6 +35,33 @@ object Curation {
   def sampleByHash(df: DataFrame, key: Column, keepPct: Column, salt: String = "s|"): DataFrame =
     df.filter(hashBucket(key, salt, 100) < keepPct)
 
+  /** Fixed-size uniform sample PER GROUP — the "n examples from every
+    * stratum" verb (eval-set drawing, per-domain inspection samples,
+    * few-shot pools). Deterministic reservoir equivalent: rank rows
+    * inside each group by a salted hash of the row key and keep the n
+    * smallest — every subset of equal size is equally likely under the
+    * hash, the selection is stable across runs/engines, and (unlike a
+    * true sequential reservoir) it is re-runnable on any row order.
+    *
+    * Scale shape: ONE shuffle on the group key. The rank predicate is a
+    * rank-limited window, which Spark plans with WindowGroupLimit — each
+    * map task pre-prunes to its local top-n per group BEFORE the
+    * exchange, so the shuffle carries at most n * groups * tasks rows,
+    * not the corpus (plan-asserted in the spec). Salt isolation: a
+    * different salt draws an independent sample (the x14 property).
+    */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], key: Column,
+      n: Int, salt: String = "r|"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tag = md5(concat(lit(salt), key.cast("string")))
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(tag.asc, key.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Budget-driven mixture rates: per-stratum admission rates (basis
     * points) such that the admitted corpus approximates the target token
     * mixture `weightsPm` (per-mille, e.g. en→400 = 40% of the budget)

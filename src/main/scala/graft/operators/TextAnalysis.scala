@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Q
 
@@ -269,7 +269,58 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Sliding-window document chunking — the context-window prep step of
+    * every training/RAG pipeline: `chunkTokens`-token windows every
+    * `stride` tokens, consecutive full chunks overlapping by
+    * chunkTokens - stride. The start sequence runs to
+    * ceil((len - chunkTokens) / stride) * stride, NOT len - chunkTokens:
+    * the final (possibly short) window is the one that covers the
+    * document tail — truncating at len - chunkTokens silently drops up to
+    * stride - 1 trailing tokens per document (spec pins exact coverage).
+    *
+    * Pure map-side: split → per-row start sequence (≤ len/stride
+    * elements) → explode → slice. Zero shuffle at any corpus size; chunk
+    * output order is the input partition order, so downstream packing /
+    * tokenization continues without an exchange. The explode multiplies
+    * rows, not bytes read — each chunk row slices the SAME in-memory
+    * token array.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"chunk=$chunkTokens stride=$stride: stride must be in (0, chunkTokens]")
+    val ts = split(col(textCol), " ")
+    val lastStart = greatest(
+      ceil((size(ts) - chunkTokens).cast("double") / stride).cast("long") * stride,
+      lit(0L))
+    docs
+      .select(col(idCol), ts.as("__toks"), lastStart.as("__last"))
+      .withColumn("start", explode(sequence(lit(0L), col("__last"), lit(stride.toLong))))
+      .select(
+        col(idCol),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        size(slice(col("__toks"), (col("start") + 1).cast("int"), lit(chunkTokens)))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), (col("start") + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk"))
+  }
+
+  val x55_chunk_overlap = Q(
+    "x55_chunk_overlap",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |s AS (SELECT doc_id, ts,
+      |        unnest(generate_series(0, greatest(CAST(ceil((len(ts) - 32) / 24.0) AS BIGINT) * 24, 0), 24)) AS start
+      |      FROM toks)
+      |SELECT doc_id, start // 24 AS chunk_idx,
+      |       CAST(len(ts[start+1 : start+32]) AS BIGINT) AS n_tokens,
+      |       array_to_string(ts[start+1 : start+32], ' ') AS chunk
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+  ) { t =>
+    chunk(t.documents, "doc_id", "text", chunkTokens = 32, stride = 24)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(
     x5_text_stats, x6_stopword_langscore, x7_regex_tokens, x8_fingerprint, x12_lang_id,
-    x17_repetition_stats, x43_bm25_topk)
+    x17_repetition_stats, x43_bm25_topk, x55_chunk_overlap)
 }

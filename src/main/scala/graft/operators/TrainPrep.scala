@@ -815,10 +815,30 @@ object TrainPrep {
       .orderBy("lang")
   }
 
+  val x57_reservoir_sample = Q(
+    "x57_reservoir_sample",
+    """SELECT lang, source, doc_id FROM (
+      |  SELECT lang, source, doc_id,
+      |         row_number() OVER (
+      |           PARTITION BY lang, source
+      |           ORDER BY md5('r|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) WHERE rn <= 3
+      |ORDER BY lang, source, doc_id""".stripMargin,
+  ) { t =>
+    // 3 docs per (lang, source) stratum, hash-ranked (x14's md5 idiom, so
+    // the oracle replays the ordering byte-for-byte). Complements
+    // x14/x30: those control a RATE per stratum, this one a fixed COUNT.
+    Curation.samplePerGroup(
+      t.documents, Seq("lang", "source"), col("doc_id"), n = 3)
+      .select("lang", "source", "doc_id")
+      .orderBy("lang", "source", "doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
-    x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget)
+    x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
+    x57_reservoir_sample)
 }

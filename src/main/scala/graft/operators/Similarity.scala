@@ -577,7 +577,107 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** One Lloyd iteration, assignment half: every vector to its
+    * highest-cosine centroid (round-6 sim, cell-id tiebreak — the x9
+    * ranking idiom, so any engine reproduces the argmax bit-for-bit).
+    * Centroids are a broadcast (k rows); the corpus never shuffles — the
+    * per-vector argmax is a rank-1 window over the k-way expansion, which
+    * Spark prunes map-side via WindowGroupLimit.
+    */
+  def assignToCentroids(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    embeddings
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"), col("embedding"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** One Lloyd iteration, update half: per-cell mean in MICRO-QUANTIZED
+    * fixed point — each component contributes floor(v * 1e6) as an
+    * integer, summed exactly (order-independent, unlike double sums under
+    * partial aggregation), divided once at the end. The x49 trick, here
+    * load-bearing for convergence REPLAY: both engines derive the
+    * IDENTICAL iteration-2 centroid doubles, so the next assignment pass
+    * agrees everywhere. The result stays in MICRO units (1e6 x the data
+    * scale) — deliberately not divided back down: cosine assignment is
+    * scale-invariant, and skipping the rescale skips a rounding step.
+    * Precision cost vs a float mean is < 1e-6 per (rescaled) component —
+    * noise against cosine's round-6 compare (spec-pinned).
+    *
+    * Shape: posexplode to (cell, pos) partials (map-side combined),
+    * then a k*dim-row reassembly — both aggregates tiny after the first
+    * exchange.
+    */
+  def quantizedMeanCentroids(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg((sum(floor(col("v").cast("double") * 1e6).cast("long")).cast("double") /
+        count(lit(1))).as("cv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+      .select(col("cell"), expr("transform(pc, x -> x.cv)").as("centroid"))
+
+  /** `iters` full Lloyd iterations from `seeds`; returns the final
+    * assignment (vec_id, cell, sim). At corpus scale each iteration is
+    * one broadcast-expand + one keyed aggregate — k-means over 100 TB is
+    * exactly this loop on a sample (kmeansCentroids' note), and this
+    * variant's engine-exact arithmetic makes the whole trajectory
+    * oracle-replayable, which spark.ml's float kernels are not.
+    */
+  def lloyd(embeddings: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var centroids = seeds
+    var assigned  = assignToCentroids(embeddings, centroids)
+    (2 to iters).foreach { _ =>
+      centroids = quantizedMeanCentroids(assigned)
+      assigned = assignToCentroids(embeddings, centroids)
+    }
+    assigned.drop("embedding")
+  }
+
+  val x56_kmeans_lloyd = Q(
+    "x56_kmeans_lloyd",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c FROM embeddings WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, s.cell,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                      s.cell) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |m AS (
+      |  SELECT cell, pos,
+      |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS cv
+      |  FROM (SELECT a1.cell, unnest(e.embedding) AS v, unnest(range(len(e.embedding))) AS pos
+      |        FROM a1 JOIN embeddings e USING (vec_id))
+      |  GROUP BY cell, pos),
+      |c1 AS (SELECT cell, list(cv ORDER BY pos) AS c FROM m GROUP BY cell),
+      |a2 AS (
+      |  SELECT vec_id, cell, sim FROM (
+      |    SELECT e.vec_id, c1.cell,
+      |           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c1.c), 6) AS sim,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c1.c), 6) DESC,
+      |                      c1.cell) AS rn
+      |    FROM embeddings e CROSS JOIN c1) WHERE rn = 1)
+      |SELECT vec_id, cell, sim FROM a2 ORDER BY vec_id""".stripMargin,
+  ) { t =>
+    // 2 Lloyd iterations, k = 8, seeds = the 8 lowest vec_ids (the same
+    // train-free choice x18 starts from) — the oracle replays the full
+    // trajectory: seed assignment, quantized mean update, reassignment.
+    val seeds = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    lloyd(t.embeddings, seeds, iters = 2).orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
-      x31_sq8_topk, x49_embed_centroid)
+      x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, ForeachWriter, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 
@@ -58,6 +58,50 @@ object StreamOps {
       (col("valid_to_ms").isNull || col(factMs) < col("valid_to_ms"))
     facts.join(dim, facts(key) === dim(key) && bound, how)
       .drop(dim(key))
+  }
+
+  /** Streaming drift monitor — the live half of DataQuality.psiByBucket:
+    * score each micro-batch's bucket histogram against a STATIC reference
+    * histogram (edges and counts frozen from the training/approval
+    * window — recomputing the reference per batch would let drift
+    * normalize itself away). Zero streaming state: the batch histogram is
+    * a per-batch aggregate inside foreachBatch, the reference is a static
+    * broadcast, and each emitted row is (batch_id, psi) appended to
+    * `outPath` — the alerting trail. At any ingest volume the per-batch
+    * cost is one scan of the batch + a constant-keyspace join.
+    *
+    * `refCounts`: (bucket, n_ref) from the reference window.
+    * `bucketOf`: the SAME frozen bucketizer both populations use.
+    */
+  def driftMonitor(
+      stream: DataFrame,
+      refCounts: DataFrame,
+      bucketOf: Column,
+      nBuckets: Int,
+      outPath: String,
+      checkpoint: String,
+  ): StreamingQuery = {
+    val spark = stream.sparkSession
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cur = batch.select(bucketOf.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_cur"))
+        val joined = refCounts
+          .join(cur, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        val totals = joined.agg(
+          sum("n_ref").as("tot_ref"), sum("n_cur").as("tot_cur"))
+        val p = (col("n_ref") + 0.5) / (col("tot_ref") + 0.5 * nBuckets)
+        val q = (col("n_cur") + 0.5) / (col("tot_cur") + 0.5 * nBuckets)
+        val psi = joined.crossJoin(broadcast(totals))
+          .agg(sum((p - q) * log(p / q)).as("psi"))
+          .select(lit(batchId).as("batch_id"), round(col("psi"), 6).as("psi"))
+        psi.write.mode("append").parquet(outPath)
+      }
+      .start()
   }
 
   /** ST5/A8: token stream -> assembled message. Tokens arrive as

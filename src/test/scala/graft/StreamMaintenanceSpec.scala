@@ -289,4 +289,30 @@ class StreamMaintenanceSpec extends SparkSpec {
       assert(TrainPrep.redactPii("reach me at a@b.co today") == rows(1L)._1)
     } finally query.stop()
   }
+
+  test("driftMonitor: per-batch PSI against a frozen reference, no streaming state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bucketOf = least(greatest(floor(col("value") / 10).cast("long"), lit(0L)), lit(9L))
+    // reference: uniform over 0-99 -> 100 rows per bucket
+    val ref = (0 until 1000).map(i => (i % 100).toDouble).toDF("value")
+      .select(bucketOf.as("bucket")).groupBy("bucket").agg(count(lit(1)).as("n_ref"))
+      .localCheckpoint()
+    val out = Files.createTempDirectory("drift-out").toString + "/psi"
+    val cp  = Files.createTempDirectory("drift-cp").toString
+    val input = MemoryStream[Double]
+    val query = StreamOps.driftMonitor(
+      input.toDF().toDF("value"), ref, bucketOf, nBuckets = 10, out, cp)
+    try {
+      input.addData((0 until 500).map(i => (i % 100).toDouble): _*) // same shape
+      query.processAllAvailable()
+      input.addData((0 until 500).map(i => (i % 30).toDouble): _*)  // collapsed range
+      query.processAllAvailable()
+      val psi = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(psi(0L) < 0.01, s"matching batch drifted: ${psi(0L)}")
+      assert(psi(1L) > 0.2, s"collapsed batch not flagged: ${psi(1L)}")
+      assert(query.lastProgress.stateOperators.isEmpty) // truly stateless
+    } finally query.stop()
+  }
 }

@@ -777,13 +777,168 @@ object Relational {
     year(1997).intersect(year(1998)).orderBy("o_custkey")
   }
 
+  val q13_order_dist = Q(
+    "q13_order_dist",
+    """WITH oc AS (
+      |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders
+      |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey)
+      |SELECT coalesce(oc.n, 0) AS n_orders, count(*) AS n_cust
+      |FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY n_cust DESC, n_orders DESC""".stripMargin,
+  ) { t =>
+    // TPC-H Q13 shape: customer-order-count distribution INCLUDING
+    // zero-order customers — the outer join no inner form can express.
+    // Aggregate-below-join: orders collapse to one (custkey, n) row per
+    // customer BEFORE the outer join, so the join probes |customers| x 1
+    // instead of streaming every order row through it, and the collapsed
+    // side broadcasts under AQE at dimension-like sizes.
+    val perCust = t.orders
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    t.customer
+      .join(perCust, col("o_custkey") === col("c_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_cust").desc, col("n_orders").desc)
+  }
+
+  val q16_supplier_cnt = Q(
+    "q16_supplier_cnt",
+    """SELECT p_brand, p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+  ) { t =>
+    // TPC-H Q16 shape (partsupp rendered as lineitem's (part, supplier)
+    // pairs — the testdata ships no partsupp table): filtered dim join +
+    // blacklist anti-join + count-distinct per group. The part predicate
+    // prunes the broadcast side BEFORE the join; the excluded-supplier
+    // set is a second (tiny) broadcast anti-join; the distinct collapses
+    // (brand, type, size, suppkey) map-side before the count.
+    val parts = t.part
+      .filter(col("p_brand") =!= "Brand#45" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = t.supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    t.lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(badSupp), col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q19_disjunctive = Q(
+    "q19_disjunctive",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+  ) { t =>
+    // TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts over
+    // a join. The join key is COMMON to all three disjuncts, so this
+    // stays one equi-join with an OR residual — never a union of three
+    // joins (3x the probe) — while Catalyst extracts the disjunct-common
+    // bounds (l_quantity in [1,30], p_size in [1,15]) as pushable scan
+    // filters on each side.
+    val branchTable = Seq(
+      ("Brand#12", 5, 1.0, 11.0),
+      ("Brand#23", 10, 10.0, 20.0),
+      ("Brand#34", 15, 20.0, 30.0))
+    val residual = branchTable.map { case (brand, szHi, qLo, qHi) =>
+      col("p_brand") === brand && col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    }.reduce(_ || _)
+    t.lineitem
+      .join(broadcast(t.part), col("p_partkey") === col("l_partkey"))
+      .filter(residual)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q21_waiting_supplier = Q(
+    "q21_waiting_supplier",
+    """WITH rl AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+      |al AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      |SELECT rl.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+      |FROM rl
+      |WHERE EXISTS (SELECT 1 FROM al WHERE al.l_orderkey = rl.l_orderkey AND al.l_suppkey <> rl.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM rl r2 WHERE r2.l_orderkey = rl.l_orderkey AND r2.l_suppkey <> rl.l_suppkey)
+      |GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+  ) { t =>
+    // TPC-H Q21 shape (returnflag standing in for the absent
+    // receipt/commit dates): the sole at-fault supplier per multi-supplier
+    // order — a correlated EXISTS (another supplier participated) plus a
+    // correlated NOT EXISTS (no OTHER supplier is also at fault), both
+    // with inequality correlation. Rendered as one orderkey-keyed shuffle:
+    // semi/anti on "another supplier exists" reduce to per-order supplier
+    // counts, which the (l_orderkey, l_suppkey)-distinct frames already
+    // carry — no row-vs-row theta join at any scale.
+    val rl = t.lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey").distinct()
+    val allCnt = t.lineitem.select("l_orderkey", "l_suppkey").distinct()
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_supp"))
+    val rCnt = rl.groupBy("l_orderkey").agg(count(lit(1)).as("n_fault"))
+    rl
+      .join(allCnt, Seq("l_orderkey"))
+      .join(rCnt, Seq("l_orderkey"))
+      .filter(col("n_supp") > 1 && col("n_fault") === 1)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q22_idle_balance = Q(
+    "q22_idle_balance",
+    """WITH thr AS (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS t
+      |  FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, thr
+      |WHERE c_acctbal > thr.t
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+  ) { t =>
+    // TPC-H Q22 shape: scalar-subquery threshold + anti-join ("wealthy
+    // customers with no urgent orders" — every testdata customer has
+    // SOME order, so the urgent slice keeps the anti-join selective).
+    // The threshold is the positive-balance mean computed in exact
+    // DECIMAL sum / count — one broadcast scalar, bit-identical in both
+    // engines, so the > compare can't flap. Anti side pre-projects to
+    // distinct urgent custkeys before the shuffle.
+    val thr = t.customer.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("t"))
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    t.customer
+      .crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("t"))
+      .join(urgent, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
   val all: Seq[Q] = Seq(
     p1_index_projection, p2_exclude_last, p3_rename_projection,
     f1_conjunctive_filter, f3_case_normalized_filter, f4_prefix_filter,
     f6_set_membership_classify, f10_age_cutoff,
     j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
     j7_latest_per_key, q3_shipping_priority, q4_exists_semi, q6_forecast_revenue,
-    q12_priority_split, q14_promo_share, q17_below_avg, q18_having,
+    q12_priority_split, q13_order_dist, q14_promo_share, q16_supplier_cnt,
+    q17_below_avg, q18_having, q19_disjunctive, q21_waiting_supplier,
+    q22_idle_balance,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
     a7_total_counts, a9_metrics_recompute, a10_rollup, a13_cube,
     o1_topk, o2_pagination, o2b_keyset_pagination, o4_two_key_sort,

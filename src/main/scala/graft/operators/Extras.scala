@@ -222,9 +222,45 @@ object Extras {
       .orderBy("kind")
   }
 
+  val x61_winsorize = Q(
+    "x61_winsorize",
+    """WITH th AS (
+      |  SELECT l_returnflag AS rf, quantile_cont(l_extendedprice, 0.01) AS p01,
+      |         quantile_cont(l_extendedprice, 0.99) AS p99
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, th.p01, th.p99,
+      |       CAST(count(*) FILTER (WHERE l_extendedprice < th.p01) AS BIGINT) AS n_lo,
+      |       CAST(count(*) FILTER (WHERE l_extendedprice > th.p99) AS BIGINT) AS n_hi,
+      |       CAST(SUM(CAST(least(greatest(l_extendedprice, th.p01), th.p99) AS DECIMAL(18,2))) AS DOUBLE) AS sum_wins
+      |FROM lineitem JOIN th ON th.rf = l_returnflag
+      |GROUP BY 1, 2, 3 ORDER BY l_returnflag""".stripMargin,
+  ) { t =>
+    // Winsorization — the outlier-capping cleaning verb: clamp a metric
+    // into its group's exact [p01, p99] band and report the clamped-tail
+    // counts + capped sum. Two passes over the fact (threshold agg, then
+    // apply), thresholds broadcast back per group; the a11 contract makes
+    // the interpolated percentiles engine-exact, and the capped sum runs
+    // in DECIMAL(18,2) (the clamp can emit interpolated thresholds with a
+    // third decimal; the half-up cast is identical in both engines).
+    val th = t.lineitem
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        percentile(col("l_extendedprice"), lit(0.01)).as("p01"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+    val capped = least(greatest(col("l_extendedprice"), col("p01")), col("p99"))
+    t.lineitem
+      .join(broadcast(th), col("rf") === col("l_returnflag"))
+      .groupBy("l_returnflag", "p01", "p99")
+      .agg(
+        sum(when(col("l_extendedprice") < col("p01"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("l_extendedprice") > col("p99"), 1L).otherwise(0L)).as("n_hi"),
+        sum(capped.cast(DecimalType(18, 2))).cast(DoubleType).as("sum_wins"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(
     f5_autocomplete_prefix, o3_union_merge_sort, f9_hidden_exclusion,
     x11_approx_stats, c13_map_ops, a11_exact_percentiles, a12_variance_from_sums,
-    s1_permissive_jsonl,
+    s1_permissive_jsonl, x61_winsorize,
   )
 }

@@ -90,5 +90,67 @@ object Profiling {
       strCols = Seq("o_orderstatus", "o_orderpriority", "o_orderdate"))
   }
 
-  val all: Seq[Q] = Seq(x45_profile)
+  /** Pairwise Pearson correlations in ONE pass from order-independent
+    * exact sums — built-in corr() accumulates doubles, whose partial-
+    * aggregation order flaps across engines/partitionings (the a12
+    * lesson, applied to the covariance accumulators). Every input is
+    * integer cents; sums and cross-product sums run in DECIMAL (the
+    * price-squared sum overflows int64 around 1e5 rows of 1e7-cent
+    * values — HUGEINT on the DuckDB side), so any engine derives the
+    * IDENTICAL nine moments, and the closed-form correlation is then one
+    * deterministic double expression per pair.
+    *
+    * Scale: a single map-side-combined aggregate (9 accumulators), one
+    * exchange row per partition. The pair list is quadratic in COLUMNS,
+    * never in rows — the standard one-pass correlation-matrix shape.
+    */
+  def correlationCents(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def cents(c: String): Column =
+      round(col(c) * 100).cast(DecimalType(18, 0))
+    val moments =
+      cols.map(c => sum(cents(c)).cast(DoubleType).as(s"s_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(cents(a) * cents(b)).cast(DoubleType).as(s"s_${a}_$b")
+        } ++
+        cols.map(c => sum(cents(c) * cents(c)).cast(DoubleType).as(s"s_${c}_$c"))
+    val s = df.agg(count(lit(1)).cast(DoubleType).as("n"), moments: _*)
+    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s.select(
+        lit(s"$a|$b").as("pair"),
+        round(
+          (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+            (sqrt(col("n") * col(s"s_${a}_$a") - col(s"s_$a") * col(s"s_$a")) *
+              sqrt(col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
+          .as("r"))
+    }
+    pairs.reduce(_ unionByName _).orderBy("pair")
+  }
+
+  val x62_correlation = Q(
+    "x62_correlation",
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(SUM(CAST(round(l_quantity     * 100) AS HUGEINT)) AS DOUBLE) AS sq,
+      |    CAST(SUM(CAST(round(l_extendedprice* 100) AS HUGEINT)) AS DOUBLE) AS sp,
+      |    CAST(SUM(CAST(round(l_discount     * 100) AS HUGEINT)) AS DOUBLE) AS sd,
+      |    CAST(SUM(CAST(round(l_quantity     * 100) AS HUGEINT) * CAST(round(l_quantity     * 100) AS HUGEINT)) AS DOUBLE) AS sqq,
+      |    CAST(SUM(CAST(round(l_extendedprice* 100) AS HUGEINT) * CAST(round(l_extendedprice* 100) AS HUGEINT)) AS DOUBLE) AS spp,
+      |    CAST(SUM(CAST(round(l_discount     * 100) AS HUGEINT) * CAST(round(l_discount     * 100) AS HUGEINT)) AS DOUBLE) AS sdd,
+      |    CAST(SUM(CAST(round(l_quantity     * 100) AS HUGEINT) * CAST(round(l_extendedprice* 100) AS HUGEINT)) AS DOUBLE) AS sqp,
+      |    CAST(SUM(CAST(round(l_quantity     * 100) AS HUGEINT) * CAST(round(l_discount     * 100) AS HUGEINT)) AS DOUBLE) AS sqd,
+      |    CAST(SUM(CAST(round(l_extendedprice* 100) AS HUGEINT) * CAST(round(l_discount     * 100) AS HUGEINT)) AS DOUBLE) AS spd
+      |  FROM lineitem)
+      |SELECT 'l_quantity|l_extendedprice' AS pair,
+      |       round((n*sqp - sq*sp) / (sqrt(n*sqq - sq*sq) * sqrt(n*spp - sp*sp)), 6) AS r FROM s
+      |UNION ALL
+      |SELECT 'l_quantity|l_discount', round((n*sqd - sq*sd) / (sqrt(n*sqq - sq*sq) * sqrt(n*sdd - sd*sd)), 6) FROM s
+      |UNION ALL
+      |SELECT 'l_extendedprice|l_discount', round((n*spd - sp*sd) / (sqrt(n*spp - sp*sp) * sqrt(n*sdd - sd*sd)), 6) FROM s
+      |ORDER BY pair""".stripMargin,
+  ) { t =>
+    correlationCents(t.lineitem, Seq("l_quantity", "l_extendedprice", "l_discount"))
+  }
+
+  val all: Seq[Q] = Seq(x45_profile, x62_correlation)
 }

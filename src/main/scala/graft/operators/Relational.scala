@@ -897,6 +897,79 @@ object Relational {
       .limit(20)
   }
 
+  val q15_top_supplier = Q(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev
+      |FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin,
+  ) { t =>
+    // TPC-H Q15 shape: the revenue "view" consumed twice — once for its
+    // max (a 1-row broadcast), once as the join input — with an EXACT
+    // equality between the two consumptions. Safe only because total_rev
+    // is an exact DECIMAL sum cast once to double: a float-summed revenue
+    // would make `rev = max(rev)` flap under partial aggregation. The
+    // quarter's revenue agg is one keyed shuffle over the date-pruned
+    // scan; supplier joins broadcast.
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 2)))
+        .cast(DoubleType).as("total_rev"))
+    val top = rev.agg(max("total_rev").as("m"))
+    t.supplier.select("s_suppkey", "s_name")
+      .join(rev, col("l_suppkey") === col("s_suppkey"))
+      .crossJoin(broadcast(top))
+      .filter(col("total_rev") === col("m"))
+      .select("s_suppkey", "s_name", "total_rev")
+      .orderBy("s_suppkey")
+  }
+
+  val q20_dominant_supplier = Q(
+    "q20_dominant_supplier",
+    """WITH sq AS (SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+      |            FROM lineitem GROUP BY 1, 2),
+      |pq AS (SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tq
+      |       FROM lineitem GROUP BY 1),
+      |dominant AS (
+      |  SELECT DISTINCT sq.l_suppkey FROM sq JOIN pq USING (l_partkey)
+      |  JOIN part p ON p.p_partkey = sq.l_partkey
+      |  WHERE p.p_type = 'PROMO' AND sq.q > 0.15 * pq.tq)
+      |SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant) ORDER BY s_suppkey""".stripMargin,
+  ) { t =>
+    // TPC-H Q20 shape (availqty rendered as shipped-quantity share —
+    // no partsupp table ships): the nested-subquery chain
+    // part-filter -> per-(part,supplier) threshold -> supplier semi-join.
+    // Both quantity aggregates share the l_partkey grain, so the
+    // (part, supplier) agg and the part total reuse one shuffle lineage;
+    // the PROMO filter broadcasts onto the agg output, and the final
+    // IN becomes a left-semi against the small dominant set.
+    val sq = t.lineitem
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(dsum(col("l_quantity")).as("q"))
+    val pq = t.lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(dsum(col("l_quantity")).as("tq"))
+    val promo = t.part.filter(col("p_type") === "PROMO").select("p_partkey")
+    val dominant = sq
+      .join(pq, col("pk") === col("l_partkey"))
+      .join(broadcast(promo), col("p_partkey") === col("l_partkey"), "left_semi")
+      .filter(col("q") > lit(0.15) * col("tq"))
+      .select("l_suppkey").distinct()
+    t.supplier.select("s_suppkey", "s_name")
+      .join(broadcast(dominant), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .orderBy("s_suppkey")
+  }
+
   val q22_idle_balance = Q(
     "q22_idle_balance",
     """WITH thr AS (
@@ -936,9 +1009,9 @@ object Relational {
     f6_set_membership_classify, f10_age_cutoff,
     j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
     j7_latest_per_key, q3_shipping_priority, q4_exists_semi, q6_forecast_revenue,
-    q12_priority_split, q13_order_dist, q14_promo_share, q16_supplier_cnt,
-    q17_below_avg, q18_having, q19_disjunctive, q21_waiting_supplier,
-    q22_idle_balance,
+    q12_priority_split, q13_order_dist, q14_promo_share, q15_top_supplier,
+    q16_supplier_cnt, q17_below_avg, q18_having, q19_disjunctive,
+    q20_dominant_supplier, q21_waiting_supplier, q22_idle_balance,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
     a7_total_counts, a9_metrics_recompute, a10_rollup, a13_cube,
     o1_topk, o2_pagination, o2b_keyset_pagination, o4_two_key_sort,

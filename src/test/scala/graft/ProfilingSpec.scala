@@ -42,4 +42,19 @@ class ProfilingSpec extends SparkSpec {
     assert(s.isNullAt(4) && s.isNullAt(5))
     assert(s.getString(6) === "a" && s.getString(7) === "b")
   }
+
+  test("correlationCents: exact on a known line, partition-invariant, symmetric range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // y = 2x exactly -> r = 1; z = -x -> r(x,z) = -1, r(y,z) = -1
+    val df = (1 to 1000).map(i => (i / 100.0, i / 50.0, -i / 100.0))
+      .toDF("x", "y", "z")
+    val r = Profiling.correlationCents(df, Seq("x", "y", "z"))
+      .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+    assert(r("x|y") === 1.0 && r("x|z") === -1.0 && r("y|z") === -1.0)
+    // identical answers regardless of partitioning (the exact-sums point)
+    val r1 = Profiling.correlationCents(df.repartition(1), Seq("x", "y", "z")).collect()
+    val r7 = Profiling.correlationCents(df.repartition(7, col("x")), Seq("x", "y", "z")).collect()
+    assert(r1.map(_.toString).sorted.sameElements(r7.map(_.toString).sorted))
+  }
 }

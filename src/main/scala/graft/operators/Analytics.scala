@@ -222,6 +222,55 @@ object Analytics {
     rollingZscore(t.events, lookback = 20, threshold = 2.5)
   }
 
+  /** Time-weighted average per key — the metric that makes irregular
+    * event streams comparable (a value held for an hour weighs 3600x one
+    * held a second; the plain mean pretends they're equal). Each value is
+    * weighted by its holding interval (lead(ts) - ts); the last event has
+    * no interval and drops out (standard TWAP convention).
+    *
+    * Exactness under 32-way aggregation: weights are integer MICROSECONDS
+    * and values integer CENTS, both summed in DECIMAL — order-independent
+    * like a12/x62 — with one double division at the end. Same single
+    * (user, ts) Exchange+Sort as the other event analytics; the lead
+    * window and the aggregate share it.
+    */
+  def twap(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead("ts", 1).over(w))
+      .where(col("nxt").isNotNull)
+      .select(
+        col("user_id"),
+        round(col("value") * 100).cast(DecimalType(18, 0)).as("cents"),
+        (unix_micros(col("nxt")) - unix_micros(col("ts"))).cast(DecimalType(18, 0)).as("dt_us"))
+      .groupBy("user_id")
+      .agg(
+        round(sum(col("cents") * col("dt_us")).cast(DoubleType) / 100.0 /
+          sum(col("dt_us")).cast(DoubleType), 6).as("twap"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  val x63_twap = Q(
+    "x63_twap",
+    """WITH d AS (
+      |  SELECT user_id, value, ts,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, CAST(round(value * 100) AS HUGEINT) AS cents,
+      |         epoch_us(nxt) - epoch_us(ts) AS dt_us
+      |  FROM d WHERE nxt IS NOT NULL)
+      |SELECT user_id,
+      |       round(CAST(sum(cents * dt_us) AS DOUBLE) / 100.0 / CAST(sum(dt_us) AS DOUBLE), 6) AS twap,
+      |       CAST(count(*) AS BIGINT) AS n_intervals
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+  ) { t =>
+    twap(t.events)
+  }
+
   val all: Seq[Q] = Seq(x51_funnel, x52_cohort_retention, x54_transition_matrix,
-    x58_rolling_zscore)
+    x58_rolling_zscore, x63_twap)
 }

@@ -152,5 +152,40 @@ object Profiling {
     correlationCents(t.lineitem, Seq("l_quantity", "l_extendedprice", "l_discount"))
   }
 
-  val all: Seq[Q] = Seq(x45_profile, x62_correlation)
+  /** Shannon entropy per categorical column — the drift/imbalance scalar
+    * (a collapsing language mix or a runaway source shows up as an
+    * entropy drop before any single rate alarm fires). Algebraic form
+    * H = ln(n) - sum(c ln c)/n works from the per-value COUNTS alone:
+    * one (column, value) aggregate with map-side combine — the same
+    * shuffle shape as x45 — then a tiny per-column reduction; counts are
+    * exact integers, the double ln/sum runs over |values| rows and is
+    * rounded to 6dp.
+    */
+  def entropyByColumn(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.groupBy(lit(c).as("column_name"), col(c).as("v"))
+        .agg(count(lit(1)).as("c"))
+    }
+      .reduce(_ unionByName _)
+      .groupBy("column_name")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 6)
+          .as("entropy_nats"))
+      .orderBy("column_name")
+
+  val x64_entropy = Q(
+    "x64_entropy",
+    """WITH c AS (
+      |  SELECT 'lang' AS column_name, lang AS v, count(*) AS c FROM documents GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'source', source, count(*) FROM documents GROUP BY 1, 2)
+      |SELECT column_name, CAST(count(*) AS BIGINT) AS n_distinct,
+      |       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+      |FROM c GROUP BY column_name ORDER BY column_name""".stripMargin,
+  ) { t =>
+    entropyByColumn(t.documents, Seq("lang", "source"))
+  }
+
+  val all: Seq[Q] = Seq(x45_profile, x62_correlation, x64_entropy)
 }

@@ -76,4 +76,24 @@ class AnalyticsSpec extends SparkSpec {
     // user can't be flagged (cnt >= 2 needs two PRECEDING rows)
     assert(!flagged.exists { case (_, e) => e == 1L || e == 2L || e == 101L || e == 102L })
   }
+
+  test("twap: interval-weighted, constant series exact, last event dropped") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+    val rows = Seq(
+      // user 1: 10.0 held 90s, then 20.0 held 10s -> (10*90+20*10)/100 = 11.0
+      (1L, 1L, t(0), 10.0, "e"), (1L, 2L, t(90), 20.0, "e"), (1L, 3L, t(100), 999.0, "e"),
+      // user 2: constant 7.5 over irregular gaps -> exactly 7.5
+      (2L, 4L, t(0), 7.5, "e"), (2L, 5L, t(13), 7.5, "e"), (2L, 6L, t(999), 7.5, "e"),
+      // user 3: single event -> no interval, absent from output
+      (3L, 7L, t(0), 42.0, "e"),
+    ).toDF("user_id", "event_id", "ts", "value", "event_type")
+    val got = Analytics.twap(rows).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got(1L) === ((11.0, 2L)))
+    assert(got(2L) === ((7.5, 2L)))
+    assert(!got.contains(3L))
+    // plain mean would be wrong for user 1: (10+20)/2 = 15, not 11 —
+    // the value held 9x longer dominates, which is the operator's point
+  }
 }

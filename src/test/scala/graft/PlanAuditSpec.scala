@@ -117,4 +117,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"the mixture op must not use a window:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cross products:\n$plan")
   }
+
+  test("q19 disjunctive join: ONE equi-join, disjunct-common bounds pushed to both scans") {
+    // The q19 comments' promise: the OR-of-conjuncts stays a residual on a
+    // single equi-join (never a union of three joins), and Catalyst
+    // extracts the disjunct-common quantity/size/brand bounds as pushable
+    // scan filters on EACH side.
+    // sf0.01, not sf0.001: at the tiniest sf the disjuncts match zero
+    // rows and AQE correctly replaces the whole join with EmptyRelation —
+    // a legitimate plan, but not the shape under audit. Formatted mode:
+    // plain toString TRUNCATES the pushed OR-tree mid-list.
+    val df = Relational.q19_disjunctive.run(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val full = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // AdaptiveSparkPlan prints Final AND Initial sections — count joins
+    // only in the final one
+    val plan = full.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 1,
+      s"expected exactly one join:\n$plan")
+    assert(full.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+      full.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"quantity OR-bounds not pushed to the lineitem scan:\n$full")
+    assert(full.contains("EqualTo(p_brand,Brand#12)"),
+      s"brand disjuncts not pushed to the part scan:\n$full")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"))
+  }
+
+  test("q13 order distribution: aggregate sits BELOW the outer join") {
+    // The q13 comments' promise: orders collapse to (custkey, n) before
+    // the LEFT join, so the join probes one row per customer. In the plan
+    // that reads as a HashAggregate on the BUILD side of the outer
+    // BroadcastHashJoin — i.e. an aggregate between the orders scan and
+    // the join, not only above it.
+    val plan = finalPlan(Relational.q13_order_dist.run(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"outer join must broadcast the collapsed side:\n$plan")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val buildSide = plan.substring(joinIdx)
+    assert(buildSide.contains("HashAggregate"),
+      s"no aggregate below the outer join (orders streamed raw):\n$plan")
+    assert(plan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
+      s"priority filter not pushed to the orders scan:\n$plan")
+  }
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, ForeachWriter, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming semantics (SURVEY §2.9): the reference's SSE fan-out /
   * token-folding / tagging / dead-letter behaviors on Structured Streaming.
@@ -81,7 +81,6 @@ object StreamOps {
       outPath: String,
       checkpoint: String,
   ): StreamingQuery = {
-    val spark = stream.sparkSession
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -102,6 +101,53 @@ object StreamOps {
         psi.write.mode("append").parquet(outPath)
       }
       .start()
+  }
+
+  /** Streaming rendering of x58's rolling z-score: per-key anomaly
+    * flagging with BOUNDED custom state — exactly the last `lookback`
+    * values per key ride in the state store (a few hundred bytes per
+    * open key at any ingest volume; the batch window's frame, made
+    * explicit). Each micro-batch's rows are sorted (ts, event_id) inside
+    * the group before folding, so batch boundaries can't reorder the
+    * series; cross-batch order is the ingest contract (same as the
+    * sessionizer: event time monotone per key at the source).
+    *
+    * Parity with the batch operator: the preceding-frame mean/stddev are
+    * computed from the identical value window and the z rounded to the
+    * same 4dp before thresholding, so a planted anomaly flags in the
+    * stream exactly when the batch query would flag it (spec-pinned on
+    * the shared corpus). The current row never joins its own baseline,
+    * and the cnt >= 2 / sd > 0 guards match the batch form.
+    */
+  def streamingZscore(
+      points: Dataset[ZPoint],
+      lookback: Int,
+      threshold: Double,
+  ): Dataset[ZFlag] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[ZRingState, ZFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state: org.apache.spark.sql.streaming.GroupState[ZRingState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Vector.empty)
+          val out    = scala.collection.mutable.ListBuffer.empty[ZFlag]
+          rows.toSeq.sortBy(p => (p.tsMs, p.eventId)).foreach { p =>
+            val n = recent.size
+            if (n >= 2) {
+              val mu = recent.sum / n
+              val sd = math.sqrt(recent.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+              if (sd > 0) {
+                val z = BigDecimal((p.value - mu) / sd)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(z) > threshold) out += ZFlag(uid, p.eventId, z)
+              }
+            }
+            recent = (recent :+ p.value).takeRight(lookback)
+          }
+          state.update(ZRingState(recent))
+          out.iterator
+      }
   }
 
   /** ST5/A8: token stream -> assembled message. Tokens arrive as
@@ -224,3 +270,14 @@ object StreamOps {
     (spark.read.schema(schema).json(dir),
       spark.readStream.schema(schema).json(dir))
 }
+
+/** One metered observation for [[StreamOps.streamingZscore]]. */
+final case class ZPoint(userId: Long, eventId: Long, tsMs: Long, value: Double)
+
+/** Flagged anomaly (z already rounded to 4dp, the batch contract). */
+final case class ZFlag(userId: Long, eventId: Long, z: Double)
+
+/** The per-key state: the last `lookback` values in arrival order —
+  * the explicit, bounded rendering of the batch window frame.
+  */
+final case class ZRingState(recent: Vector[Double])

@@ -290,6 +290,43 @@ class StreamMaintenanceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingZscore flags exactly what the batch x58 window flags (kappa parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.ZPoint
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables(spark, sf0001).events
+    val pts = events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tsMs"), col("value"))
+      .collect()
+      .map(r => ZPoint(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(p => (p.tsMs, p.eventId)) // globally time-ordered arrival
+    val input = MemoryStream[ZPoint]
+    val query = graft.streaming.StreamOps
+      .streamingZscore(input.toDS(), lookback = 20, threshold = 2.5)
+      .writeStream.format("memory").queryName("z_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // three micro-batches: the ring state must carry the frame across
+      // batch boundaries for the answer to match the batch window
+      pts.grouped(math.max(1, pts.length / 3 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("z_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val batch = graft.operators.Analytics.rollingZscore(events, 20, 2.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(streamed.keySet === batch.keySet,
+        s"flag sets differ: stream-only=${streamed.keySet -- batch.keySet} batch-only=${batch.keySet -- streamed.keySet}")
+      val maxGap = streamed.map { case (k, z) => math.abs(z - batch(k)) }.max
+      assert(maxGap <= 1e-4, s"z values diverged by $maxGap") // same 4dp contract
+      // state really is bounded: one ring per user, never a row backlog
+      val stateRows = query.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= events.select("user_id").distinct().count())
+    } finally query.stop()
+  }
+
   test("driftMonitor: per-batch PSI against a frozen reference, no streaming state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -271,6 +271,47 @@ object Analytics {
     twap(t.events)
   }
 
+  /** Wide-table pivot — the report-shaping verb (one row per entity, one
+    * column per category). The category list is EXPLICIT: open-ended
+    * `pivot(col)` first runs a distinct-scan job to discover values and
+    * caps at spark.sql.pivotMaxValues — a silent extra pass and a silent
+    * failure mode at 100 TB; a declared list keeps the whole pivot ONE
+    * hash aggregate with |keys| x |categories| cells and no discovery
+    * scan. Unknown categories are deliberately dropped by the contract
+    * (they'd be unnamable columns); count cells for absent pairs are 0
+    * via the count aggregate, and the value sums stay in DECIMAL cents
+    * (the DSUM discipline, per pivot cell).
+    */
+  def pivotCounts(events: DataFrame, types: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    events
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .na.fill(0L, types.map(t => s"${t}_n"))
+      .orderBy("user_id")
+  }
+
+  val x65_pivot = Q(
+    "x65_pivot",
+    """SELECT user_id,
+      |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click_total,
+      |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_total,
+      |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS view_total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  ) { t =>
+    // The oracle is the portable rendering of the same plan: conditional
+    // aggregation — which is exactly what Catalyst lowers the explicit
+    // pivot to (PivotFirst never appears with a literal value list and a
+    // single groupBy pass).
+    pivotCounts(t.events, Seq("click", "purchase", "view"))
+  }
+
   val all: Seq[Q] = Seq(x51_funnel, x52_cohort_retention, x54_transition_matrix,
-    x58_rolling_zscore, x63_twap)
+    x58_rolling_zscore, x63_twap, x65_pivot)
 }

@@ -42,6 +42,33 @@ class ChunkSampleSpec extends SparkSpec {
     }
   }
 
+  test("chunk: randomized lengths x (chunk, stride) combos keep exact coverage") {
+    // one Spark job over 200 random-length docs x 3 window configs —
+    // the property the fixed-length cases can't sweep: every token
+    // covered, every chunk a verbatim slice, index arithmetic consistent
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 200)
+      .map(i => (i.toLong, (1 to (1 + rnd.nextInt(120))).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((ck, st) <- Seq((32, 24), (16, 16), (8, 3))) {
+      val byDoc = TextAnalysis.chunk(docs, "doc_id", "text", ck, st)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      docs.collect().foreach { r =>
+        val (id, toks) = (r.getLong(0), r.getString(1).split(' '))
+        val covered = Array.fill(toks.length)(false)
+        byDoc(id).foreach { case (_, idx, n, chunk) =>
+          val start = (idx * st).toInt
+          assert(chunk === toks.slice(start, start + ck).mkString(" "),
+            s"ck=$ck st=$st doc $id chunk $idx")
+          assert(n === math.min(ck, toks.length - start))
+          (start until math.min(start + ck, toks.length)).foreach(covered(_) = true)
+        }
+        assert(covered.forall(identity), s"ck=$ck st=$st doc $id uncovered")
+      }
+    }
+  }
+
   test("samplePerGroup: exact size, subset, salt independence, map-side group limit") {
     val docs = Tables(spark, sf0001).documents
     val got = Curation.samplePerGroup(docs, Seq("lang", "source"), col("doc_id"), n = 3)

@@ -693,10 +693,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Edit-distance fuzzy matching — the entity-resolution member of the
+    * dedup family (typo'd names, OCR noise; the near-dup ops above need
+    * token overlap, this one survives single-character corruption).
+    * Two scale moves make it tractable:
+    *
+    *  1. DICTIONARY level, not row level: match DISTINCT values (the
+    *     name dictionary is orders of magnitude smaller than the fact —
+    *     64 vs 2000 here, ~thousands vs billions at corpus scale); rows
+    *     re-attach by an exact equi-join afterwards when needed.
+    *  2. Blocking before distance: candidates come from an equi-join on
+    *     a cheap key (last token here; phonetic/prefix keys generalize),
+    *     so levenshtein — O(len²) per pair, unindexable — runs only on
+    *     block-mates, never n².
+    *
+    * Levenshtein is integer-exact and identically defined in both
+    * engines, so the oracle replays pairs and distances verbatim.
+    */
+  def fuzzyPairs(values: DataFrame, valueCol: String, block: Column,
+      maxDist: Int): DataFrame = {
+    val dict = values.select(col(valueCol)).distinct()
+      .select(col(valueCol).as("name_a"), block.as("blk"))
+    val other = dict.select(col("name_a").as("name_b"), col("blk"))
+    dict
+      .join(other, Seq("blk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .where(col("dist").between(1, maxDist))
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  val x66_fuzzy_match = Q(
+    "x66_fuzzy_match",
+    """WITH n AS (SELECT DISTINCT p_name FROM part),
+      |p AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM p a JOIN p b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+      |ORDER BY name_a, name_b""".stripMargin,
+  ) { t =>
+    fuzzyPairs(
+      t.part, "p_name",
+      element_at(split(col("p_name"), " "), -1), maxDist = 2)
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
     x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
     x4_simhash, x4_simhash_pairs, x4b_simhash_md5,
-    x27_incremental_neardup, x27_fast_incremental,
+    x27_incremental_neardup, x27_fast_incremental, x66_fuzzy_match,
   )
 }

@@ -467,6 +467,37 @@ object Relational {
       .orderBy("returnflag", "linestatus")
   }
 
+  val a14_grouping_sets = Q(
+    "a14_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |       count(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+  ) { t =>
+    // Explicit GROUPING SETS — the a10/a13 lattice family's general form:
+    // EXACTLY the requested marginals (two one-dimension slices + grand
+    // total), skipping the (rf, ls) cells CUBE would also compute. Still
+    // one Expand + one aggregation physically — each input row replicates
+    // only #sets times. grouping() disambiguates "NULL because aggregated"
+    // from a genuinely NULL group value — the reason the a10/a13 'ALL'
+    // sentinel isn't needed here.
+    t.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty")
+      .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+  }
+
   val q3_shipping_priority = Q(
     "q3_shipping_priority",
     """SELECT o_orderkey,
@@ -1013,7 +1044,7 @@ object Relational {
     q16_supplier_cnt, q17_below_avg, q18_having, q19_disjunctive,
     q20_dominant_supplier, q21_waiting_supplier, q22_idle_balance,
     a1_groupby_count, a1_pricing_summary, a2_count_avg, a3_argmax, a6_distinct,
-    a7_total_counts, a9_metrics_recompute, a10_rollup, a13_cube,
+    a7_total_counts, a9_metrics_recompute, a10_rollup, a13_cube, a14_grouping_sets,
     o1_topk, o2_pagination, o2b_keyset_pagination, o4_two_key_sort,
     u1_union_all, u2_except, u3_intersect,
   )

@@ -116,4 +116,30 @@ class RocksDbStateSpec extends SparkSpec {
       } finally query.stop()
     }
   }
+
+  test("streaming z-score under RocksDB: ring state crosses batches, flags match batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.ZPoint
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 1's spike arrives in a LATER batch than its baseline window —
+    // the flag can only be right if the ring survived the store
+    val base  = (1 to 24).map(i => ZPoint(1L, i.toLong, 1000L * i, 10.0 + (i % 3)))
+    val spike = Seq(ZPoint(1L, 25L, 25000L, 500.0), ZPoint(1L, 26L, 26000L, 10.0))
+    withRocksDb {
+      val input = MemoryStream[ZPoint]
+      val query = StreamOps.streamingZscore(input.toDS(), lookback = 20, threshold = 2.5)
+        .writeStream.format("memory").queryName("z_rocks")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(base: _*)
+        query.processAllAvailable()
+        input.addData(spike: _*)
+        query.processAllAvailable()
+        assertRocksDbInUse(query)
+        val flagged = spark.table("z_rocks").collect().map(_.getLong(1)).toSet
+        assert(flagged.contains(25L), s"cross-batch spike not flagged: $flagged")
+        assert(!flagged.contains(26L), "post-spike normal value wrongly flagged")
+      } finally query.stop()
+    }
+  }
 }

@@ -13,13 +13,26 @@ import graft.operators._
   */
 object SparkEntry {
 
+  /** md5-bridge renderings: correctness instruments whose only purpose is
+    * giving DuckDB an expressible oracle for hash-family logic
+    * (xxhash64/sign-LSH shingles have no DuckDB counterpart). Each has a
+    * production sibling (x2_fast / x3 / x4 / x10 / x26_fast / x27_fast /
+    * x29_fast) that IS the path a user runs; Bench splits their cost into
+    * `total_instruments` so the headline `total_production` tracks real
+    * workloads. BASELINE.md §"bridge rows" records the rationale once.
+    */
+  private val instrumentRows: Set[String] = Set(
+    "x2_ngram_jaccard", "x3b_minhash_md5", "x4b_simhash_md5", "x10b_ann_md5",
+    "x26_neardup_pipeline", "x27_incremental_neardup", "x29_ingest_pipeline")
+
   /** All registered queries, in module order. */
   val registry: Seq[Q] =
-    Relational.all ++ WindowOps.all ++ TimeWindows.all ++ ScalarFuncs.all ++
+    (Relational.all ++ WindowOps.all ++ TimeWindows.all ++ ScalarFuncs.all ++
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ TrainPrep.all ++ Extras.all ++
       ApiQueries.all ++ GraphQueries.all ++ TraceQueries.all ++ Multimodal.all ++
       TemporalJoins.all ++ Rollup.all ++ LayoutOps.all ++ ScaleJoins.all ++ Profiling.all ++
-      DataQuality.all ++ Analytics.all
+      DataQuality.all ++ Analytics.all)
+      .map(q => if (instrumentRows(q.name)) q.asInstrument else q)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §7.2 minimum slice: scan -> filter -> broadcast star join -> hash

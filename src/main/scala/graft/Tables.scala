@@ -59,7 +59,17 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-)
+    /** Correctness INSTRUMENT, not a production path: md5-bridge renderings
+      * exist so DuckDB can oracle-check hash-family logic it cannot express
+      * natively (xxhash64/HLL/sign-LSH). They deliberately trade speed for
+      * cross-engine determinism (string md5 shingles vs fingerprint longs),
+      * so Bench reports their time under `total_instruments`, separate from
+      * the `total_production` headline a user's workload would see.
+      */
+    instrument: Boolean = false,
+) {
+  def asInstrument: Q = copy(instrument = true)
+}
 
 object Q {
   def apply(name: String, sql: String)(f: Tables => DataFrame): Q =

@@ -263,9 +263,59 @@ object ApiQueries {
       .orderBy("user_id", "event_id")
   }
 
+  val m9_merge = Q(
+    "m9_merge",
+    """WITH batch AS (
+      |  SELECT o_orderkey, 'M' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice,
+      |         strftime(o_orderdate, '%Y-%m') AS o_month
+      |  FROM orders WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 'N', o_totalprice, strftime(o_orderdate, '%Y-%m')
+      |  FROM orders WHERE o_orderkey % 97 = 0)
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, o_month FROM batch
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice, strftime(o_orderdate, '%Y-%m')
+      |FROM orders WHERE o_orderkey % 97 <> 0
+      |ORDER BY o_orderkey""".stripMargin,
+  ) { t =>
+    // The generic MERGE verb (Delta MERGE semantics over partitioned
+    // parquet, reference anchor sessions/manager.py:502-525), exercised
+    // END-TO-END on disk: a month-partitioned copy of orders takes a batch
+    // of updates (matched keys: status->'M', price+1000) and inserts (new
+    // keys), through the REAL Maintenance.merge — partition-pruned read,
+    // staging write, per-partition atomic swap — and the read-back must
+    // equal the oracle's row-level CASE/UNION rendering of the same merge.
+    // The partitioned copy materializes once per (table dir, mtime) — the
+    // s1 setup-hoist pattern; the merge itself re-runs every repeat and is
+    // idempotent by construction (same batch upsert -> same content), so
+    // the row is deterministic AND times the mutation verb, which IS a
+    // write. MergeSpec asserts the untouched-partition bytes and the
+    // pruned scan; this row pins the semantics.
+    val src   = new java.io.File(t.dir, "orders.parquet")
+    val stamp = java.lang.Long.toHexString(src.lastModified())
+    val table = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_m9_" + t.dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + stamp).toString
+    val withMonth = t.orders
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    if (!new java.io.File(table, "_SUCCESS").exists())
+      withMonth.write.mode("overwrite").partitionBy("o_month").parquet(table)
+    val hit = withMonth.filter(col("o_orderkey") % 97 === 0)
+    val batch = hit
+      .withColumn("o_orderstatus", lit("M"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .unionByName(
+        hit.withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+          .withColumn("o_orderstatus", lit("N")))
+    Maintenance.merge(t.spark, table, batch, Seq("o_orderkey"), "o_month")
+    t.spark.read.parquet(table)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_month"))
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[Q] = Seq(
     f7_automation_filters, f8_history_page, f11_unread_counts, f12_multi_dim_filter,
     a4_group_max_order, o6_ci_children_sort, o7_children_desc, j6_marker_join,
-    m1_update_where, m8_delete_last,
+    m1_update_where, m8_delete_last, m9_merge,
   )
 }

@@ -595,6 +595,14 @@ object Dedup {
     * One task per shard via the repartition, i.e. compacted at write time.
     * The shard count is written into the index as a `_graft_shards`
     * marker, so probes can never silently disagree with the layout.
+    *
+    * Durability audit (r9): the overwrite here is a from-scratch REBUILD
+    * from the corpus band table — never a read-modify-write of the index
+    * itself — so a crash mid-write loses only derived data, rebuildable by
+    * re-running this call. A store whose only copy is itself (the CC
+    * labeling, the partials table) must instead go through
+    * [[graft.sources.VersionedStore]] / per-batch partitions; see
+    * GraphOps.foldLabelsBatch and Rollup.foldPartialsBatch.
     */
   def writeBandIndex(bands: DataFrame, path: String, shards: Int = BandIndexShards): Unit = {
     bands

@@ -359,29 +359,48 @@ object GraphOps {
     }
   }
 
+  /** One micro-batch of label maintenance, exposed for direct testing and
+    * for batch-mode catchup: fold `batch`'s edges into the store at
+    * `labelsRoot` via [[mergeNewEdges]] and commit the result as a NEW
+    * [[graft.sources.VersionedStore]] version with an atomic repoint. The
+    * live version's files are never touched by the write, so a crash at
+    * ANY point — mid-merge, mid-write, before the repoint — leaves the
+    * previous complete labeling readable (the r8 verdict's durability
+    * window: read + localCheckpoint + Overwrite-same-dir lost the only
+    * copy if the overwrite died mid-write). Re-running a batch is
+    * harmless: merging already-known edges yields the identical labeling
+    * (empty label-pair set), just as a fresh version.
+    */
+  def foldLabelsBatch(batch: DataFrame, labelsRoot: String): Unit = {
+    val spark  = batch.sparkSession
+    val cur    = graft.sources.VersionedStore.read(spark, labelsRoot)
+    val merged = mergeNewEdges(cur, batch, spark)
+    graft.sources.VersionedStore.write(merged, labelsRoot)
+    ()
+  }
+
   /** Streaming half of the x53 contract: keep a persisted (node,
     * component) labeling current as edges land. Each micro-batch folds its
-    * edges into the store via [[mergeNewEdges]] — batch-bound fixpoint,
-    * corpus relabel by broadcast — and swaps the store atomically
-    * (localCheckpoint materializes the merged labeling BEFORE the
-    * overwrite deletes the files it was derived from). foreachBatch, not
-    * a stateful streaming agg: the labeling is bounded by the node count,
-    * not stream history, so there is no watermark/state question — zero
-    * streaming state, same discipline as Rollup.streamingPartials and the
-    * stateless near-dup ingest probe.
+    * edges into the store via [[foldLabelsBatch]] — batch-bound fixpoint,
+    * corpus relabel by broadcast, versioned-commit swap (see there for the
+    * crash-safety contract). foreachBatch, not a stateful streaming agg:
+    * the labeling is bounded by the node count, not stream history, so
+    * there is no watermark/state question — zero streaming state, same
+    * discipline as Rollup.streamingPartials and the stateless near-dup
+    * ingest probe.
+    *
+    * `labelsRoot` is a [[graft.sources.VersionedStore]] root (seed it with
+    * `VersionedStore.write(initialLabels, root)`); read the live labeling
+    * with `VersionedStore.read`.
     */
   def streamingLabelMaintenance(
       edges: DataFrame,
-      labelsDir: String,
+      labelsRoot: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark  = batch.sparkSession
-        val cur    = spark.read.parquet(labelsDir)
-        val merged = mergeNewEdges(cur, batch, spark).localCheckpoint(true)
-        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(labelsDir)
-        ()
+        foldLabelsBatch(batch, labelsRoot)
       }
       .start()
 }

@@ -72,6 +72,72 @@ object Maintenance {
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     updates.unionByName(base.join(updates.select(keys.map(col): _*), keys, "left_anti"))
 
+  /** The generic MERGE verb over a partitioned parquet table — as close to
+    * Delta's `MERGE INTO` (whenMatched update-all / whenNotMatched
+    * insert-all) as the no-transaction-log environment allows. The x35
+    * affected-keys discipline generalized: only the partitions the batch
+    * touches are READ (a typed IN filter on the partition column — the
+    * scan shows `PartitionFilters`, never a full-table read) and only
+    * those partitions are REWRITTEN (dynamic partition overwrite: the
+    * written frame contains exactly the affected partitions, so Spark's
+    * commit protocol swaps those directories and leaves every other
+    * partition's files byte-untouched). A daily batch touching 1% of
+    * partitions reads and rewrites 1% of the table — the 100 TB merge
+    * pattern. Reference: the read-modify-write session update
+    * (sessions/manager.py:502-525), whose grain — one file per entity —
+    * becomes one partition per batch-day here.
+    *
+    * Contract: `batch` carries `partitionCol`, and a key's partition value
+    * is STABLE (a key never moves partitions — the standard dimension
+    * layout, partition derived from an immutable attribute). A key that
+    * DID move would leave its old-partition row in place (this merge
+    * never scans unaffected partitions, by design); key relocation is a
+    * backfill over both partitions, not a merge — same boundary as
+    * scd2Merge's append-only-per-key contract.
+    *
+    * Mechanics: the merged frame lands in a STAGING dir first (Spark
+    * cannot — and must not — overwrite a path its own plan is lazily
+    * reading), then each affected `part=value` directory swaps into the
+    * table by delete+rename — one atomic move per partition, the
+    * reference's tmp+rename discipline at partition grain. A crash mid-
+    * swap leaves every partition either fully old or fully new (never
+    * half-written), and re-running the same merge is idempotent (upsert
+    * of the same batch reproduces the same partition content).
+    *
+    * Returns the affected partition values (metadata-class: bounded by
+    * the partition count, the same collect class as AQE's own statistics
+    * and the x27 shard list).
+    */
+  def merge(
+      spark: SparkSession,
+      tablePath: String,
+      batch: DataFrame,
+      keys: Seq[String],
+      partitionCol: String,
+  ): Seq[Any] = {
+    val parts: Seq[Any] = batch.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val affected = spark.read.parquet(tablePath)
+      .filter(col(partitionCol).isin(parts: _*))
+    val merged = upsert(affected, batch.select(affected.columns.map(col): _*), keys)
+    val staging = tablePath.stripSuffix("/") + "__merge_tmp"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swap by directory NAME (partitionBy's own value encoding), one
+    // atomic rename per affected partition
+    fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+      .foreach { s =>
+        val dst = new org.apache.hadoop.fs.Path(tablePath, s.getPath.getName)
+        fs.delete(dst, true)
+        if (!fs.rename(s.getPath, dst))
+          throw new java.io.IOException(s"could not swap partition ${s.getPath.getName}")
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    parts
+  }
+
   /** Compaction: rewrite a path with a target file count — the OPTIMIZE
     * substitute for append-heavy tables (small-file problem at scale).
     */

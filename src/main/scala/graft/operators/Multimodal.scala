@@ -9,11 +9,16 @@ import graft.Q
 /** Multimodal-column plumbing (builder contract): media as opaque `binary`
   * columns plus typed metadata, processed in partition-sized batches.
   *
-  * The decode step is STUBBED — no image/audio codecs exist in this
-  * container — behind `DecodeStub`, a deterministic fake that derives
-  * "pixels"/features from the bytes themselves, so the Spark-side contract
-  * (schema, batch shape, partitioning, null handling) is real and tested
-  * while the codec is swappable.
+  * The decode step is a SEAM — the [[Decode]] trait — with two
+  * implementations: [[DecodeStub]], a deterministic byte-math fake that
+  * gives the x28 oracle row a DuckDB-replayable contract, and
+  * [[ImageIoDecode]], a REAL codec (PNG/BMP/GIF via the JDK's
+  * javax.imageio) that decodes actual pixels through the same
+  * mapPartitions batch — proving the seam's interface holds under a real
+  * library's memory/threading behavior (per-partition init disables
+  * ImageIO's disk cache; decode failures land as sentinel rows, the
+  * dead-letter classification, never exceptions mid-batch). Video/audio
+  * codecs (JNI/javacv) slot in the same way.
   *
   * Scale notes: media rows are wide — partition by size
   * (`maxPartitionBytes` down, or repartition on a size-bucketed key) so a
@@ -38,11 +43,35 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Long,
-      // stubbed decode outputs — deterministic from bytes
       mean_intensity: Double,
       frame_count: Int,
       feature: Array[Float],
+      /** Decoder-reported dimensions; -1 when the decoder has no notion of
+        * them (the stub) or the bytes were undecodable (dead-letter rows:
+        * frame_count 0, dims -1 — filter on these downstream).
+        */
+      decoded_width: Int,
+      decoded_height: Int,
   )
+
+  /** One decoded row's stats — what every codec must produce. */
+  final case class MediaStats(
+      meanIntensity: Double,
+      frameCount: Int,
+      feature: Array[Float],
+      width: Int,
+      height: Int,
+  )
+
+  /** The decode seam: pure bytes -> stats, Serializable so it ships into
+    * the mapPartitions closure. `init()` runs ONCE per partition before
+    * the first row (codec warmup, cache config, native lib handles) — the
+    * amortization point a per-row UDF cannot offer.
+    */
+  trait Decode extends Serializable {
+    def init(): Unit = ()
+    def stats(bytes: Array[Byte], durationMs: Long): MediaStats
+  }
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -54,11 +83,12 @@ object Multimodal {
     StructField("duration_ms", LongType, nullable = false),
   ))
 
-  /** STUB decoder. Real deployments replace this object with a codec-backed
-    * implementation (JNI/javacv); everything downstream is agnostic.
-    * Deterministic: outputs are pure functions of the input bytes.
+  /** Byte-math decoder: deterministic, engine-replayable outputs that are
+    * pure functions of the input bytes — the x28 oracle's contract (DuckDB
+    * can recompute every feature per-character). No pixel notion, so
+    * decoded dims are -1.
     */
-  object DecodeStub {
+  object DecodeStub extends Decode {
     def meanIntensity(bytes: Array[Byte]): Double =
       if (bytes == null || bytes.isEmpty) 0.0
       else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
@@ -78,25 +108,91 @@ object Multimodal {
       }
       hist
     }
+
+    override def stats(bytes: Array[Byte], durationMs: Long): MediaStats =
+      MediaStats(meanIntensity(bytes), frameCount(bytes, durationMs),
+        feature(bytes), -1, -1)
+  }
+
+  /** REAL image codec over the same seam: the JDK's javax.imageio
+    * (PNG/BMP/GIF/JPEG readers ship with the JVM — no external jar).
+    * Decodes actual pixels; features are the luminance analogs of the
+    * stub's byte stats: mean ITU-R 601 luma (integer-weighted, so the
+    * value is deterministic across JVMs), a 16-bucket luma histogram as
+    * the feature vector, frame_count 1 (a still), and the decoder's own
+    * width/height — which a pipeline cross-checks against the claimed
+    * metadata (mismatch = corrupt or mislabeled asset). Undecodable or
+    * empty bytes yield the sentinel row (frame_count 0, dims -1) instead
+    * of throwing mid-batch — the dead-letter discipline (reference:
+    * S1/ST8's skip-malformed contract applied to pixels).
+    *
+    * `init()` turns off ImageIO's disk cache ONCE per partition — the
+    * per-batch amortization the mapPartitions shape exists for (a per-row
+    * UDF would re-resolve it per call, and the default disk cache writes
+    * a temp file per decode — pathological at media scale).
+    */
+  object ImageIoDecode extends Decode {
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    override def stats(bytes: Array[Byte], durationMs: Long): MediaStats = {
+      val dead = MediaStats(0.0, 0, new Array[Float](16), -1, -1)
+      if (bytes == null || bytes.isEmpty) dead
+      else {
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null) dead
+        else {
+          val w    = img.getWidth
+          val h    = img.getHeight
+          val hist = new Array[Float](16)
+          var sum  = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              // integer ITU-R 601 luma in 0..255: deterministic (no float)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              sum += lum
+              hist(lum / 16) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = w * h
+          var i = 0
+          while (i < 16) { hist(i) /= n; i += 1 }
+          MediaStats(sum / n, 1, hist, w, h)
+        }
+      }
+    }
   }
 
   /** Decode + feature-extract over partition-sized batches. mapPartitions
-    * (the Scala analog of mapInPandas): one iterator per partition so a
-    * codec could amortize per-batch init; rows stream through without
-    * materializing the partition.
+    * (the Scala analog of mapInPandas): one iterator per partition so the
+    * codec amortizes per-batch init (`decode.init()` runs once, before the
+    * first row); rows stream through without materializing the partition.
+    * Default decoder is the oracle-replayable stub; pass
+    * [[ImageIoDecode]] (or any [[Decode]]) for real pixels.
     */
-  def extractFeatures(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow], decode: Decode = DecodeStub)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition codec init would go here (amortized, like a pandas UDF batch)
+      decode.init() // once per partition — the amortization point
       rows.map { r =>
+        val s = decode.stats(r.bytes, r.duration_ms)
         MediaFeatures(
           media_id = r.media_id,
           kind = r.kind,
           n_bytes = if (r.bytes == null) 0L else r.bytes.length.toLong,
-          mean_intensity = DecodeStub.meanIntensity(r.bytes),
-          frame_count = DecodeStub.frameCount(r.bytes, r.duration_ms),
-          feature = DecodeStub.feature(r.bytes))
+          mean_intensity = s.meanIntensity,
+          frame_count = s.frameCount,
+          feature = s.feature,
+          decoded_width = s.width,
+          decoded_height = s.height)
       }
     }
   }

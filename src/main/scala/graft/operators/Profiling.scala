@@ -115,8 +115,12 @@ object Profiling {
         } ++
         cols.map(c => sum(cents(c) * cents(c)).cast(DoubleType).as(s"s_${c}_$c"))
     val s = df.agg(count(lit(1)).cast(DoubleType).as("n"), moments: _*)
-    val pairs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
-      s.select(
+    // All pair correlations come out of the ONE moments row in a single
+    // projection, unpivoted with explode — a per-pair select unioned
+    // together would re-execute the full-scan aggregate once per pair
+    // (quadratic in columns) unless exchange reuse happened to kick in.
+    val pairStructs = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(
         lit(s"$a|$b").as("pair"),
         round(
           (col("n") * col(s"s_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
@@ -124,7 +128,9 @@ object Profiling {
               sqrt(col("n") * col(s"s_${b}_$b") - col(s"s_$b") * col(s"s_$b"))), 6)
           .as("r"))
     }
-    pairs.reduce(_ unionByName _).orderBy("pair")
+    s.select(explode(array(pairStructs: _*)).as("pr"))
+      .select(col("pr.pair").as("pair"), col("pr.r").as("r"))
+      .orderBy("pair")
   }
 
   val x62_correlation = Q(

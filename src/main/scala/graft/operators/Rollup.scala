@@ -214,25 +214,41 @@ object Rollup {
       .orderBy("event_type")
   }
 
+  /** One micro-batch of the partials store, exposed for direct testing:
+    * aggregate `batch` to its own partials and land them in the store's
+    * `batch_id=<id>` partition with overwrite. Partition-per-batch (not a
+    * flat append) makes the sink idempotent under replay: when Structured
+    * Streaming re-runs a batch after a mid-write failure, the rewrite
+    * replaces that batch's partition instead of appending a second copy —
+    * a flat append would DOUBLE-COUNT the replayed batch in every later
+    * [[mergeRollup]] (counts and sums re-aggregate by summation; they do
+    * not collapse duplicates).
+    */
+  def foldPartialsBatch(batch: DataFrame, batchId: Long, partialsDir: String): Unit = {
+    dailyPartials(batch).write.mode("overwrite")
+      .parquet(partialsDir.stripSuffix("/") + s"/batch_id=$batchId")
+    ()
+  }
+
   /** Streaming maintenance of the partials store — the ingest-time half of
     * the x36 contract: each micro-batch aggregates to ITS OWN partials
-    * (map-side combinable, batch-sized) and appends them to the persisted
-    * partials table; any later [[mergeRollup]] over the store lands exactly
+    * (map-side combinable, batch-sized) and lands them in the store's
+    * `batch_id=<id>` partition ([[foldPartialsBatch]] — idempotent under
+    * batch replay); any later [[mergeRollup]] over the store lands exactly
     * where a from-scratch scan would, because partials merge associatively
-    * (duplicate (day, group, user) grain rows across batches collapse in
-    * the merge's re-aggregation — append never needs upsert). foreachBatch
-    * rather than a streaming agg: the store is bounded by grain, not by
-    * stream history, so there is no watermark/state question at all — zero
+    * across batches in the merge's re-aggregation. foreachBatch rather
+    * than a streaming agg: the store is bounded by grain, not by stream
+    * history, so there is no watermark/state question at all — zero
     * streaming state at any ingest volume, same discipline as the
-    * stateless near-dup ingest probe. Small appended files are the
+    * stateless near-dup ingest probe. Small per-batch files are the
     * standard compaction concern (`Maintenance.compact`).
     */
   def streamingPartials(events: DataFrame, partialsDir: String,
                         checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        dailyPartials(batch).write.mode("append").parquet(partialsDir); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldPartialsBatch(batch, batchId, partialsDir)
       }
       .start()
 

@@ -66,9 +66,14 @@ object StreamOps {
     * window — recomputing the reference per batch would let drift
     * normalize itself away). Zero streaming state: the batch histogram is
     * a per-batch aggregate inside foreachBatch, the reference is a static
-    * broadcast, and each emitted row is (batch_id, psi) appended to
-    * `outPath` — the alerting trail. At any ingest volume the per-batch
-    * cost is one scan of the batch + a constant-keyspace join.
+    * broadcast, and each batch lands its one (psi) row in its own
+    * `outPath/batch_id=<id>` partition — the alerting trail, with batch_id
+    * as a partition column. Writing per-batch partitions with overwrite
+    * (not a flat append) makes the sink idempotent under replay: when
+    * Structured Streaming re-runs a batch after a mid-write failure, the
+    * rewrite lands on the same partition instead of duplicating the row.
+    * At any ingest volume the per-batch cost is one scan of the batch + a
+    * constant-keyspace join.
     *
     * `refCounts`: (bucket, n_ref) from the reference window.
     * `bucketOf`: the SAME frozen bucketizer both populations use.
@@ -97,8 +102,8 @@ object StreamOps {
         val q = (col("n_cur") + 0.5) / (col("tot_cur") + 0.5 * nBuckets)
         val psi = joined.crossJoin(broadcast(totals))
           .agg(sum((p - q) * log(p / q)).as("psi"))
-          .select(lit(batchId).as("batch_id"), round(col("psi"), 6).as("psi"))
-        psi.write.mode("append").parquet(outPath)
+          .select(round(col("psi"), 6).as("psi"))
+        psi.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
       .start()
   }
@@ -118,11 +123,21 @@ object StreamOps {
     * stream exactly when the batch query would flag it (spec-pinned on
     * the shared corpus). The current row never joins its own baseline,
     * and the cnt >= 2 / sd > 0 guards match the batch form.
+    *
+    * Late data is DETECTED, not silently absorbed: the state carries the
+    * last-applied (tsMs, eventId) per key, and any row at-or-before that
+    * point (a cross-batch stray or a duplicate) is dropped — never folded
+    * out of order into the ring, which would corrupt the baseline with no
+    * trace. Drops are counted per key in the state (`lateDropped`) and,
+    * when the caller passes `lateCounter`, in a job-visible accumulator —
+    * the monitoring hook for "my ingest contract broke". The batch-parity
+    * contract is preserved exactly for in-order ingest.
     */
   def streamingZscore(
       points: Dataset[ZPoint],
       lookback: Int,
       threshold: Double,
+      lateCounter: Option[org.apache.spark.util.LongAccumulator] = None,
   ): Dataset[ZFlag] = {
     import points.sparkSession.implicits._
     points
@@ -130,22 +145,34 @@ object StreamOps {
       .flatMapGroupsWithState[ZRingState, ZFlag](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid, rows, state: org.apache.spark.sql.streaming.GroupState[ZRingState]) =>
-          var recent = state.getOption.map(_.recent).getOrElse(Vector.empty)
+          val st0    = state.getOption.getOrElse(ZRingState(Vector.empty))
+          var recent = st0.recent
+          var lastTs = st0.lastTsMs
+          var lastId = st0.lastEventId
+          var late   = st0.lateDropped
           val out    = scala.collection.mutable.ListBuffer.empty[ZFlag]
           rows.toSeq.sortBy(p => (p.tsMs, p.eventId)).foreach { p =>
-            val n = recent.size
-            if (n >= 2) {
-              val mu = recent.sum / n
-              val sd = math.sqrt(recent.map(v => (v - mu) * (v - mu)).sum / (n - 1))
-              if (sd > 0) {
-                val z = BigDecimal((p.value - mu) / sd)
-                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-                if (math.abs(z) > threshold) out += ZFlag(uid, p.eventId, z)
+            // at-or-before the last applied point = late stray or duplicate
+            if (p.tsMs < lastTs || (p.tsMs == lastTs && p.eventId <= lastId)) {
+              late += 1
+              lateCounter.foreach(_.add(1))
+            } else {
+              val n = recent.size
+              if (n >= 2) {
+                val mu = recent.sum / n
+                val sd = math.sqrt(recent.map(v => (v - mu) * (v - mu)).sum / (n - 1))
+                if (sd > 0) {
+                  val z = BigDecimal((p.value - mu) / sd)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  if (math.abs(z) > threshold) out += ZFlag(uid, p.eventId, z)
+                }
               }
+              recent = (recent :+ p.value).takeRight(lookback)
+              lastTs = p.tsMs
+              lastId = p.eventId
             }
-            recent = (recent :+ p.value).takeRight(lookback)
           }
-          state.update(ZRingState(recent))
+          state.update(ZRingState(recent, lastTs, lastId, late))
           out.iterator
       }
   }
@@ -277,7 +304,15 @@ final case class ZPoint(userId: Long, eventId: Long, tsMs: Long, value: Double)
 /** Flagged anomaly (z already rounded to 4dp, the batch contract). */
 final case class ZFlag(userId: Long, eventId: Long, z: Double)
 
-/** The per-key state: the last `lookback` values in arrival order —
-  * the explicit, bounded rendering of the batch window frame.
+/** The per-key state: the last `lookback` values in arrival order — the
+  * explicit, bounded rendering of the batch window frame — plus the
+  * last-applied (tsMs, eventId) high-water mark (late/duplicate rows at or
+  * before it are dropped, not folded out of order) and the running count
+  * of such drops for this key.
   */
-final case class ZRingState(recent: Vector[Double])
+final case class ZRingState(
+    recent: Vector[Double],
+    lastTsMs: Long = Long.MinValue,
+    lastEventId: Long = Long.MinValue,
+    lateDropped: Long = 0L,
+)

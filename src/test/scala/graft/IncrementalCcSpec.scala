@@ -66,7 +66,7 @@ class IncrementalCcSpec extends SparkSpec {
 
     val base = Seq((1L, 2L), (4L, 5L), (7L, 8L)).toDF("src", "dst")
     val dir  = Files.createTempDirectory("cc-labels").toString + "/labels"
-    GraphOps.connectedComponents(base, spark).write.parquet(dir)
+    graft.sources.VersionedStore.write(GraphOps.connectedComponents(base, spark), dir)
 
     val input = MemoryStream[(Long, Long)]
     val query = GraphOps.streamingLabelMaintenance(
@@ -79,7 +79,7 @@ class IncrementalCcSpec extends SparkSpec {
       query.processAllAvailable()
     } finally query.stop()
 
-    val got  = ccMap(spark.read.parquet(dir))
+    val got  = ccMap(graft.sources.VersionedStore.read(spark, dir))
     val full = ccMap(GraphOps.connectedComponents(
       base.unionByName(Seq((2L, 4L), (5L, 7L), (9L, 10L)).toDF("src", "dst")), spark))
     assert(got.keySet === full.keySet)

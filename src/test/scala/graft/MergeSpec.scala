@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+
+/** Maintenance.merge — the generic MERGE verb's physical contract:
+  * (1) semantics = whenMatched update-all / whenNotMatched insert-all,
+  * (2) only affected partitions are READ (PartitionFilters on the scan),
+  * (3) only affected partitions are REWRITTEN (untouched partition files
+  *     byte-identical, same names, same mtimes),
+  * (4) replaying the same merge is idempotent (the crash-recovery story:
+  *     a merge that died mid-swap is simply re-run).
+  */
+class MergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkTable(): String = {
+    val dir = Files.createTempDirectory("merge-table").toString + "/t"
+    Seq(
+      (1L, "a", 10.0, "2024-01"),
+      (2L, "b", 20.0, "2024-01"),
+      (3L, "c", 30.0, "2024-02"),
+      (4L, "d", 40.0, "2024-02"),
+      (5L, "e", 50.0, "2024-03"),
+    ).toDF("k", "s", "v", "month")
+      .write.partitionBy("month").parquet(dir)
+    dir
+  }
+
+  private def files(dir: String, part: String): Map[String, Long] = {
+    val d = new java.io.File(dir, part)
+    d.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("merge semantics + untouched partitions byte-untouched + pruned read") {
+    val dir = mkTable()
+    val before01 = files(dir, "month=2024-01")
+    val before03 = files(dir, "month=2024-03")
+
+    // batch: update k=3 (matched), insert k=6 (not matched), both 2024-02
+    val batch = Seq((3L, "C!", 33.0, "2024-02"), (6L, "f", 60.0, "2024-02"))
+      .toDF("k", "s", "v", "month")
+    val parts = Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    assert(parts == Seq("2024-02"))
+
+    val got = spark.read.parquet(dir).as[(Long, String, Double, String)]
+      .collect().sortBy(_._1).toList
+    assert(got == List(
+      (1L, "a", 10.0, "2024-01"), (2L, "b", 20.0, "2024-01"),
+      (3L, "C!", 33.0, "2024-02"), (4L, "d", 40.0, "2024-02"),
+      (5L, "e", 50.0, "2024-03"), (6L, "f", 60.0, "2024-02")))
+
+    // untouched partitions: identical file names AND mtimes (never rewritten)
+    assert(files(dir, "month=2024-01") == before01, "2024-01 was rewritten")
+    assert(files(dir, "month=2024-03") == before03, "2024-03 was rewritten")
+
+    // the read side of the merge partition-prunes: same filter shape as the
+    // verb builds internally
+    val plan = spark.read.parquet(dir).filter(col("month").isin("2024-02"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("month"),
+      s"no partition pruning in merge's read:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"), s"empty partition filter:\n$plan")
+  }
+
+  test("replaying the same merge is idempotent (crash-recovery contract)") {
+    val dir   = mkTable()
+    val batch = Seq((3L, "C!", 33.0, "2024-02"), (6L, "f", 60.0, "2024-02"))
+      .toDF("k", "s", "v", "month")
+    Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    val once = spark.read.parquet(dir).as[(Long, String, Double, String)]
+      .collect().sortBy(_._1).toList
+    Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    val twice = spark.read.parquet(dir).as[(Long, String, Double, String)]
+      .collect().sortBy(_._1).toList
+    assert(once == twice, "replayed merge changed the table")
+  }
+
+  test("a batch spanning several partitions swaps exactly those") {
+    val dir   = mkTable()
+    val before02 = files(dir, "month=2024-02")
+    val batch = Seq((1L, "A!", 11.0, "2024-01"), (5L, "E!", 55.0, "2024-03"))
+      .toDF("k", "s", "v", "month")
+    val parts = Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    assert(parts.toSet == Set("2024-01", "2024-03"))
+    assert(files(dir, "month=2024-02") == before02, "2024-02 was rewritten")
+    val got = spark.read.parquet(dir).filter(col("k").isin(1L, 5L))
+      .as[(Long, String, Double, String)].collect().sortBy(_._1).toList
+    assert(got == List((1L, "A!", 11.0, "2024-01"), (5L, "E!", 55.0, "2024-03")))
+  }
+}

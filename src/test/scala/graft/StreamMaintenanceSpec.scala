@@ -298,7 +298,12 @@ class StreamMaintenanceSpec extends SparkSpec {
     val events = Tables(spark, sf0001).events
     val pts = events
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tsMs"), col("value"))
+      // getDouble on a NULL silently yields 0.0 — the stream side would
+      // score fabricated points the batch window drops. Current testdata
+      // has no null values; if that ever changes this fails LOUDLY here
+      // instead of producing an unreliable parity comparison.
       .collect()
+      .map { r => assert(!r.isNullAt(3), s"null value in events at event_id=${r.getLong(1)}"); r }
       .map(r => ZPoint(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(p => (p.tsMs, p.eventId)) // globally time-ordered arrival
     val input = MemoryStream[ZPoint]
@@ -327,6 +332,49 @@ class StreamMaintenanceSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streamingZscore drops and counts late rows instead of corrupting the baseline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.ZPoint
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lateAcc = spark.sparkContext.longAccumulator("zscore_late_dropped")
+    // a flat baseline, then a stray from BEFORE it (batch 2), then a spike:
+    // if the stray were folded, the baseline's stddev would inflate and the
+    // spike's z would change; dropping it keeps parity with in-order ingest
+    val base  = (1 to 10).map(i => ZPoint(7L, i.toLong, i * 1000L, 100.0 + (i % 3)))
+    val stray = ZPoint(7L, 99L, 500L, 5000.0) // tsMs before every applied row
+    val dup   = ZPoint(7L, 10L, 10000L, 100.0 + (10 % 3)) // exact duplicate of last
+    val spike = ZPoint(7L, 11L, 11000L, 200.0)
+    val input = MemoryStream[ZPoint]
+    val query = graft.streaming.StreamOps
+      .streamingZscore(input.toDS(), lookback = 20, threshold = 2.5, Some(lateAcc))
+      .writeStream.format("memory").queryName("z_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(base: _*); query.processAllAvailable()
+      input.addData(stray, dup, spike); query.processAllAvailable()
+      val flags = spark.table("z_late").collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(lateAcc.value == 2L, s"expected stray+dup counted, got ${lateAcc.value}")
+      assert(!flags.contains(99L), "the late stray must never be scored")
+      // the spike's z matches what a fully in-order run computes (stray and
+      // dup never touched the ring)
+      val inOrderAcc = spark.sparkContext.longAccumulator("zscore_late_dropped_ctl")
+      val ctl = MemoryStream[ZPoint]
+      val q2 = graft.streaming.StreamOps
+        .streamingZscore(ctl.toDS(), lookback = 20, threshold = 2.5, Some(inOrderAcc))
+        .writeStream.format("memory").queryName("z_late_ctl")
+        .outputMode(OutputMode.Append).start()
+      try {
+        ctl.addData(base :+ spike: _*); q2.processAllAvailable()
+        val ctlFlags = spark.table("z_late_ctl").collect()
+          .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+        assert(inOrderAcc.value == 0L)
+        assert(flags == ctlFlags, s"late ingest changed the answer: $flags vs $ctlFlags")
+      } finally q2.stop()
+    } finally query.stop()
+  }
+
   test("driftMonitor: per-batch PSI against a frozen reference, no streaming state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -345,7 +393,11 @@ class StreamMaintenanceSpec extends SparkSpec {
       query.processAllAvailable()
       input.addData((0 until 500).map(i => (i % 30).toDouble): _*)  // collapsed range
       query.processAllAvailable()
-      val psi = spark.read.parquet(out).collect()
+      // batch_id is now a PARTITION column (idempotent-replay sink writes
+      // each batch's row into its own batch_id=<id> dir with overwrite)
+      val psi = spark.read.parquet(out)
+        .select(col("batch_id").cast("long"), col("psi"))
+        .collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(psi(0L) < 0.01, s"matching batch drifted: ${psi(0L)}")
       assert(psi(1L) > 0.2, s"collapsed batch not flagged: ${psi(1L)}")

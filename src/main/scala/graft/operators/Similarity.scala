@@ -250,27 +250,37 @@ object Similarity {
     * the probe join shuffles on cell id, so each query scores |data|·nProbe
     * /nCells candidates instead of |data|.
     */
-  def ivfTopK(
-      embeddings: DataFrame,
-      queries: DataFrame,
-      k: Int,
-      nCells: Int,
-      nProbe: Int,
-      kmeans: Boolean = false,
-  ): DataFrame = {
-    val cents =
-      if (kmeans) kmeansCentroids(embeddings, nCells)
-      else embeddings.orderBy("vec_id").limit(nCells)
-        .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
-    // inverted lists: every vector assigned to its nearest centroid
+  /** Train-free centroid sample: the nCells lowest vec_ids. */
+  def trainFreeCentroids(embeddings: DataFrame, nCells: Int): DataFrame =
+    embeddings.orderBy("vec_id").limit(nCells)
+      .select(col("vec_id").as("cell"), col("embedding").as("centroid"))
+
+  /** Inverted-list assignment: every vector to its nearest centroid —
+    * broadcast join against the tiny centroid table, per-row argmax. Row-
+    * LOCAL given frozen centroids, which is what makes the incremental
+    * ingest path ([[assignBatchIncremental]]) exactly equal a full
+    * rebuild: assigning a batch in isolation produces the same (cell,
+    * vec_id) rows the batch would get inside a from-scratch assignment.
+    */
+  def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
-    val assigned = embeddings
+    vectors
       .join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell"),
         cosine(col("embedding"), col("centroid")).as("csim"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("cell"), col("vec_id"), col("embedding"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("csim"))
+  }
+
+  /** Probe + score against prebuilt inverted lists. */
+  def probeTopK(
+      assigned: DataFrame,
+      queries: DataFrame,
+      cents: DataFrame,
+      k: Int,
+      nProbe: Int,
+  ): DataFrame = {
     // each query probes its nProbe nearest cells
     val wProbe = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("cell"))
     val probes = queries
@@ -283,13 +293,44 @@ object Similarity {
     // score only candidates in probed cells
     val wTop = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     probes
-      .join(assigned, Seq("cell"))
+      .join(assigned.select("cell", "vec_id", "embedding"), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("embedding")).as("sim"))
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .drop("rn")
   }
+
+  def ivfTopK(
+      embeddings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      kmeans: Boolean = false,
+  ): DataFrame = {
+    val cents =
+      if (kmeans) kmeansCentroids(embeddings, nCells)
+      else trainFreeCentroids(embeddings, nCells)
+    probeTopK(assignCells(embeddings, cents), queries, cents, k, nProbe)
+  }
+
+  /** Incremental IVF maintenance — the x27 daily-ingest pattern for the
+    * ANN family: new vectors are assigned to the EXISTING (frozen)
+    * centroids and appended to the persisted inverted lists; the corpus
+    * is never re-read and nothing retrains. Cost is one broadcast join
+    * over the BATCH (|batch| x nCells comparisons) — independent of
+    * corpus size, the property that makes a 100 TB vector index
+    * maintainable at all. Because assignment is row-local under frozen
+    * centroids, serving over (corpus lists ∪ batch lists) is EXACTLY the
+    * index a full rebuild would produce (IvfIncrementalSpec pins both
+    * the equality and the batch-only probe plan); centroid refresh is a
+    * periodic offline retrain + full reassign, the same cadence split as
+    * the reference's rebuild-vs-probe index discipline
+    * (trace_aggregator.py's incremental fold vs full recompute).
+    */
+  def assignBatchIncremental(batch: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(batch, cents)
 
   /** K-means-trained IVF centroids (spark.ml KMeans, fixed seed): tighter,
     * balanced cells on clustered corpora vs the train-free lowest-vec_id
@@ -677,7 +718,39 @@ object Similarity {
     lloyd(t.embeddings, seeds, iters = 2).orderBy("vec_id")
   }
 
+  val x67_ivf_incremental = Q(
+    "x67_ivf_incremental",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, embedding AS centroid
+      |  FROM embeddings WHERE vec_id < 400 ORDER BY vec_id LIMIT 16)
+      |SELECT vec_id, cell, csim FROM (
+      |  SELECT e.vec_id, c.cell,
+      |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                      CAST(c.centroid AS DOUBLE[])), 6) AS csim,
+      |         row_number() OVER (
+      |           PARTITION BY e.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                 CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                    c.cell) AS rn
+      |  FROM embeddings e, cents c WHERE e.vec_id >= 400) WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin,
+  ) { t =>
+    // Incremental IVF ingest, oracle-checked: the corpus is vec_id < 400,
+    // its frozen train-free centroids the 16 lowest vec_ids; the batch
+    // (vec_id >= 400) is assigned to those centroids WITHOUT touching the
+    // corpus lists. DuckDB replays every assignment (same rounded cosine
+    // and (csim desc, cell) argmax as x18), so the row certifies the
+    // exact daily-ingest kernel; the rebuild-equality and probe-cost
+    // properties live in IvfIncrementalSpec.
+    val corpus = t.embeddings.filter(col("vec_id") < 400)
+    val batch  = t.embeddings.filter(col("vec_id") >= 400)
+    val cents  = trainFreeCentroids(corpus, 16)
+    assignBatchIncremental(batch, cents)
+      .select(col("vec_id"), col("cell"), col("csim"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
-      x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd)
+      x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental)
 }

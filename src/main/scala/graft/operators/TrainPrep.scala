@@ -834,6 +834,117 @@ object TrainPrep {
       .orderBy("lang", "source", "doc_id")
   }
 
+  /** x26_fast expressed as PURE `spark.sql` — the engine's SQL surface
+    * proven end-to-end on its flagship: every transformation is SQL text
+    * over the `Graft.registerViews` table names and Spark's own builtins
+    * (xxhash64 minhash slots, higher-order array shingling, window-capped
+    * buckets, md5 sampling/split, packed-window bins). The one thing SQL
+    * text cannot express in Spark 4.1 is the connected-components
+    * FIXPOINT: recursive CTEs exist but only with UNION ALL, which
+    * diverges on the (cyclic) pair graph — so the label-propagation loop
+    * drives repeated `spark.sql` rounds from the host, exactly how any
+    * SQL warehouse scripts iterative graph closure. SqlSurfaceSpec
+    * asserts row-equality with the DataFrame rendering (x26_fast), which
+    * in turn is chain-verified against the DuckDB oracle via x26.
+    *
+    * Shingling uses the stateless array form (fastBandsStateless —
+    * spec-pinned identical to the explode+groupBy banding); seeds are INT
+    * literals in both renderings, so every xxhash64 agrees bit-for-bit.
+    */
+  def neardupReportSql(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    graft.Graft.registerViews(spark, dir)
+    val cp = graft.Checkpoints.scope(spark)
+    // LSH candidate pairs: shingle -> 16 minhash slots -> 4 banded buckets
+    // -> window DF-cap 200 -> banded self-join (never n^2)
+    val pairs = cp.checkpoint(spark.sql(
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |         CASE WHEN size(split(text, ' ')) >= 5 THEN
+        |           array_distinct(transform(
+        |             sequence(1, size(split(text, ' ')) - 4),
+        |             i -> xxhash64(array_join(slice(split(text, ' '), i, 5), ' '))))
+        |         ELSE CAST(array() AS ARRAY<BIGINT>) END AS fps
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |         transform(sequence(0, 15),
+        |                   i -> array_min(transform(fps, f -> xxhash64(i, f)))) AS mh
+        |  FROM fps WHERE size(fps) > 0),
+        |bands AS (
+        |  SELECT doc_id, pos AS band, col AS bucket
+        |  FROM sig LATERAL VIEW posexplode(array(
+        |    xxhash64(mh[0],  mh[1],  mh[2],  mh[3]),
+        |    xxhash64(mh[4],  mh[5],  mh[6],  mh[7]),
+        |    xxhash64(mh[8],  mh[9],  mh[10], mh[11]),
+        |    xxhash64(mh[12], mh[13], mh[14], mh[15]))) b),
+        |capped AS (
+        |  SELECT doc_id, band, bucket FROM (
+        |    SELECT doc_id, band, bucket,
+        |           count(*) OVER (PARTITION BY band, bucket) AS bk_n FROM bands)
+        |  WHERE bk_n <= 200)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM capped a JOIN capped b
+        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id""".stripMargin))
+    pairs.createOrReplaceTempView("nd_pairs")
+    val edges = cp.checkpoint(spark.sql(
+      """SELECT doc_a AS src, doc_b AS dst FROM nd_pairs
+        |UNION
+        |SELECT doc_b AS src, doc_a AS dst FROM nd_pairs""".stripMargin))
+    edges.createOrReplaceTempView("nd_edges")
+    // min-label propagation to fixpoint: each round is ONE SQL statement
+    var labels = cp.checkpoint(spark.sql(
+      "SELECT DISTINCT src AS node, src AS component FROM nd_edges"))
+    var changed = true
+    var iter    = 0
+    while (changed && iter < 20) {
+      iter += 1
+      labels.createOrReplaceTempView("nd_labels")
+      val next = cp.checkpoint(spark.sql(
+        """SELECT node, min(component) AS component, min(old_component) AS old_component FROM (
+          |  SELECT e.dst AS node, l.component, CAST(NULL AS BIGINT) AS old_component
+          |  FROM nd_labels l JOIN nd_edges e ON e.src = l.node
+          |  UNION ALL
+          |  SELECT node, component, component AS old_component FROM nd_labels)
+          |GROUP BY node""".stripMargin))
+      changed = !next.filter(col("component") =!= col("old_component")).isEmpty
+      labels = cp.checkpoint(next.select("node", "component"))
+      cp.retain(labels, edges) // edges feeds every round; prior labels are dead
+    }
+    labels.createOrReplaceTempView("nd_components")
+    // canonical-per-cluster -> 75% hash sample -> 80/10/10 split -> 512-
+    // token packing -> stratum report (the exact x26 tail, as SQL text)
+    spark.sql(
+      """WITH scored AS (
+        |  SELECT doc_id, lang, CAST(size(split(text, ' ')) AS BIGINT) AS tokens
+        |  FROM documents),
+        |labeled AS (
+        |  SELECT s.doc_id, s.lang, s.tokens,
+        |         coalesce(c.component, s.doc_id) AS component
+        |  FROM scored s LEFT JOIN nd_components c ON s.doc_id = c.node),
+        |canon_ids AS (
+        |  SELECT max_by(doc_id, struct(tokens, -doc_id)) AS doc_id
+        |  FROM labeled GROUP BY component),
+        |canonical AS (
+        |  SELECT s.doc_id, s.lang, s.tokens FROM scored s
+        |  LEFT SEMI JOIN canon_ids c ON s.doc_id = c.doc_id),
+        |sampled AS (
+        |  SELECT doc_id, lang, tokens,
+        |         CASE WHEN CAST(conv(substring(md5(concat('p|', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 < 8 THEN 'train'
+        |              WHEN CAST(conv(substring(md5(concat('p|', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 10 = 8 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM canonical
+        |  WHERE CAST(conv(substring(md5(concat('s|', CAST(doc_id AS STRING))), 1, 6), 16, 10) AS BIGINT) % 100 < 75),
+        |packed AS (
+        |  SELECT lang, split, tokens,
+        |         (sum(tokens) OVER (PARTITION BY lang, split ORDER BY doc_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - tokens) div 512 AS bin
+        |  FROM sampled)
+        |SELECT lang, split, count(*) AS n_docs, sum(tokens) AS sum_tokens,
+        |       max(bin) + 1 AS n_bins
+        |FROM packed GROUP BY lang, split ORDER BY lang, split""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,

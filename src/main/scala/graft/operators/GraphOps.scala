@@ -248,6 +248,15 @@ object GraphOps {
         labels = next.select("node", "component")
         cp.retain(next) // the prior round's label blocks are dead now
       }
+      // A silent exit at the cap would return a WRONG (non-converged)
+      // labeling — a component chain deeper than maxIter rounds must be
+      // loud, not subtly mislabeled. 20 rounds covers diameter ~2^0-grade
+      // dedup clusters with a wide margin; a legitimate deep graph raises
+      // maxIter explicitly.
+      if (changed)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge within $maxIter rounds — " +
+            "component diameter exceeds the cap; raise maxIter for this graph")
       labels.select("node", "component")
     } finally { sym.unpersist(false); () }
   }

@@ -98,11 +98,29 @@ object Maintenance {
     * Mechanics: the merged frame lands in a STAGING dir first (Spark
     * cannot — and must not — overwrite a path its own plan is lazily
     * reading), then each affected `part=value` directory swaps into the
-    * table by delete+rename — one atomic move per partition, the
-    * reference's tmp+rename discipline at partition grain. A crash mid-
-    * swap leaves every partition either fully old or fully new (never
-    * half-written), and re-running the same merge is idempotent (upsert
-    * of the same batch reproduces the same partition content).
+    * table by a RECOVERABLE three-step: rename the live dir aside to a
+    * `_graft_old_<part>` backup, rename the staging dir in, delete the
+    * backup last. Backups are underscore-prefixed so Spark's partition
+    * discovery never sees them. A crash at ANY point leaves a state the
+    * entry-time recovery scan repairs before the next merge reads the
+    * table: a backup with no live dir rolls back (crash landed between
+    * the two renames), a backup beside a live dir is dropped (swap
+    * completed, cleanup didn't). Every partition is therefore always
+    * fully old or fully new from a reader's view, and re-running the
+    * same merge after any crash is safe and idempotent.
+    *
+    * Concurrency: a `_graft_merge_lock` marker (exclusive create, deleted
+    * on commit) makes a second concurrent merge FAIL LOUDLY instead of
+    * interleaving partition swaps. A crash leaves the lock behind by
+    * design — the failure message names it, and a re-run with
+    * `takeoverLock = true` (after confirming no live writer) reclaims it
+    * and runs the recovery scan.
+    *
+    * Contract: `partitionCol` values must be non-null — `partitionBy`
+    * would route null rows to Hive's default-partition dir, outside the
+    * `part=value` swap set, silently dropping them. The driver-side
+    * distinct already in hand makes this check free, so merge FAILS FAST
+    * on a null partition value instead.
     *
     * Returns the affected partition values (metadata-class: bounded by
     * the partition count, the same collect class as AQE's own statistics
@@ -114,28 +132,82 @@ object Maintenance {
       batch: DataFrame,
       keys: Seq[String],
       partitionCol: String,
+      takeoverLock: Boolean = false,
   ): Seq[Any] = {
-    val parts: Seq[Any] = batch.select(col(partitionCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    val affected = spark.read.parquet(tablePath)
-      .filter(col(partitionCol).isin(parts: _*))
-    val merged = upsert(affected, batch.select(affected.columns.map(col): _*), keys)
-    val staging = tablePath.stripSuffix("/") + "__merge_tmp"
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // swap by directory NAME (partitionBy's own value encoding), one
-    // atomic rename per affected partition
-    fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
-      .foreach { s =>
-        val dst = new org.apache.hadoop.fs.Path(tablePath, s.getPath.getName)
-        fs.delete(dst, true)
-        if (!fs.rename(s.getPath, dst))
-          throw new java.io.IOException(s"could not swap partition ${s.getPath.getName}")
+    val tableP = new org.apache.hadoop.fs.Path(tablePath)
+    val fs     = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    acquireMergeLock(fs, tableP, takeoverLock)
+    try {
+      recoverSwaps(fs, tableP)
+      val parts: Seq[Any] = batch.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSeq
+      require(
+        !parts.contains(null),
+        s"merge: batch contains NULL $partitionCol values — partitionBy would " +
+          "stage them under the Hive default partition, outside the swap set; " +
+          "null partition keys are not mergeable")
+      val affected = spark.read.parquet(tablePath)
+        .filter(col(partitionCol).isin(parts: _*))
+      val merged = upsert(affected, batch.select(affected.columns.map(col): _*), keys)
+      val staging = tablePath.stripSuffix("/") + "__merge_tmp"
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)
+      // swap by directory NAME (partitionBy's own value encoding): rename
+      // the live dir aside, rename staging in, drop the backup last
+      fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(partitionCol + "="))
+        .foreach { s =>
+          val name   = s.getPath.getName
+          val dst    = new org.apache.hadoop.fs.Path(tableP, name)
+          val backup = new org.apache.hadoop.fs.Path(tableP, BackupPrefix + name)
+          if (fs.exists(dst) && !fs.rename(dst, backup))
+            throw new java.io.IOException(s"could not set aside partition $name")
+          if (!fs.rename(s.getPath, dst))
+            throw new java.io.IOException(s"could not swap partition $name")
+          fs.delete(backup, true)
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      parts
+    } finally fs.delete(new org.apache.hadoop.fs.Path(tableP, MergeLock), false)
+  }
+
+  private val MergeLock    = "_graft_merge_lock"
+  private val BackupPrefix = "_graft_old_"
+
+  private def acquireMergeLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableP: org.apache.hadoop.fs.Path,
+      takeover: Boolean,
+  ): Unit = {
+    val lock = new org.apache.hadoop.fs.Path(tableP, MergeLock)
+    if (takeover) fs.delete(lock, false)
+    try fs.create(lock, false).close()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"merge lock held at $lock — another merge may be in flight; re-run " +
+            "with takeoverLock=true only after confirming no live writer", e)
+    }
+  }
+
+  /** Repair a crashed swap before touching the table: a `_graft_old_<part>`
+    * backup with no live `<part>` dir means the crash landed between the
+    * set-aside and the swap-in — roll the backup back; a backup BESIDE a
+    * live dir means the swap committed and only cleanup was lost — drop it.
+    */
+  private def recoverSwaps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      tableP: org.apache.hadoop.fs.Path,
+  ): Unit = {
+    if (!fs.exists(tableP)) return
+    fs.listStatus(tableP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(BackupPrefix))
+      .foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(tableP, b.getPath.getName.stripPrefix(BackupPrefix))
+        if (!fs.exists(live)) {
+          if (!fs.rename(b.getPath, live))
+            throw new java.io.IOException(s"could not roll back crashed swap for $live")
+        } else fs.delete(b.getPath, true)
       }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    parts
   }
 
   /** Compaction: rewrite a path with a target file count — the OPTIMIZE

@@ -223,6 +223,17 @@ object Rollup {
     * a flat append would DOUBLE-COUNT the replayed batch in every later
     * [[mergeRollup]] (counts and sums re-aggregate by summation; they do
     * not collapse duplicates).
+    *
+    * FORMAT BREAK (r9): this store layout replaced the earlier flat-append
+    * sink (loose parquet files with `batch_id` as a written long column).
+    * The two layouts cannot coexist under one root — Spark's partition
+    * discovery rejects mixed flat files and `batch_id=` dirs ("Conflicting
+    * directory structures"), and `batch_id` changes from a data column to a
+    * partition column for readers. Upgrading an existing store requires a
+    * FRESH root (or a one-time migration moving the old flat files into a
+    * `batch_id=-1` partition dir). The same break applies to the
+    * driftMonitor PSI sink, which rides the identical partition-per-batch
+    * discipline.
     */
   def foldPartialsBatch(batch: DataFrame, batchId: Long, partialsDir: String): Unit = {
     dailyPartials(batch).write.mode("overwrite")

@@ -1,20 +1,24 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, Dataset, SQLContext}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.model.RawEvent
+import graft.model.{RawEvent, TraceTurn}
 import graft.streaming.TraceSessionizer
 
-/** Driver-checkable query for the nested sessionizer output (SURVEY §2.12
+/** Driver-checkable queries for the nested sessionizer output (SURVEY §2.12
   * "trace aggregation UDAF"; reference: trace_aggregator.py:56-211 +
   * models/trace.py:15-56). Round 1 oracle'd only a flattened count/sum
-  * analog (w1); this runs the REAL `TraceSessionizer.aggregate` state
-  * machine — turn open/force-close/EOF-flush, FIFO tool matching on
+  * analog (w1); st6_trace_turns runs the REAL `TraceSessionizer.aggregate`
+  * state machine — turn open/force-close/EOF-flush, FIFO tool matching on
   * (name, parallel_group_id), success/error result routing, thinking
   * accumulation — and explodes the nested TraceTurn{tools[],thinking[]}
   * rows so every field is hash-compared against a pure-SQL reconstruction.
+  * st6_stream_replay drives the SAME event sequence through the LIVE
+  * `aggregateStream` path in forced micro-batches, closing the last
+  * driver-oracle gap: the streaming subsystem itself.
   *
   * The trace stream is synthesized from `events` deterministically:
   * signup→prompt:submit, click→tool:pre, view→tool:post,
@@ -24,14 +28,20 @@ import graft.streaming.TraceSessionizer
   * (the i-th post can only ever match the i-th pre, and only when it is
   * open: same turn, pre before post, both inside the live segment). The
   * state machine itself doesn't rely on that — TraceSessionizerSpec's
-  * golden tests cover ambiguous matching; this query pins the end-to-end
+  * golden tests cover ambiguous matching; these queries pin the end-to-end
   * nested assembly to the driver signal.
   */
 object TraceQueries {
 
-  val st6_trace_turns = Q(
-    "st6_trace_turns",
-    """WITH ev AS (
+  /** The pure-SQL reconstruction of the sessionizer output. With
+    * `completedOnly` the final projection keeps only completed turns — the
+    * exact visible set of the streaming rendering, whose open turns live in
+    * the state store until a later event closes them (Append mode has no
+    * EOF flush; the batch row covers the EOF-active tail).
+    */
+  private def st6Sql(completedOnly: Boolean): String = {
+    val where = if (completedOnly) "WHERE t.turn_status = 'completed'\n" else ""
+    s"""WITH ev AS (
       |  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS line,
       |         CAST(epoch_ms(ts) AS BIGINT) AS ms, event_type,
       |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS i
@@ -90,8 +100,14 @@ object TraceQueries {
       |LEFT JOIN endms em ON em.sid = t.sid AND em.seg = t.seg
       |LEFT JOIN think th ON th.sid = t.sid AND th.seg = t.seg
       |LEFT JOIN tools tl ON tl.sid = t.sid AND tl.seg = t.seg
-      |ORDER BY session_id, turn_idx, tool_pos""".stripMargin,
-  ) { t =>
+      |${where}ORDER BY session_id, turn_idx, tool_pos""".stripMargin
+  }
+
+  /** Deterministic trace-event synthesis from the `events` table — one
+    * definition shared by the batch and streaming rows so both feed the
+    * state machine the byte-identical sequence.
+    */
+  private def rawTraceEvents(t: Tables): Dataset[RawEvent] = {
     import t.spark.implicits._
     val typeIdx = row_number().over(
       Window.partitionBy(col("sid"), col("event_type")).orderBy(col("line")))
@@ -125,12 +141,19 @@ object TraceQueries {
       .when(col("event_type") === "view", "tool:post")
       .when(col("event_type") === "purchase", "thinking:delta")
       .otherwise("session:end")
-    val raw = base
+    base
       .select(
         col("sid").as("sessionId"), isoTs.as("ts"), event.as("event"),
         data.as("data"), col("line").as("lineNo"))
       .as[RawEvent]
-    TraceSessionizer.aggregate(raw)(t.spark)
+  }
+
+  /** Explode nested TraceTurn rows into the flat oracle projection — shared
+    * by both rows so the streaming and batch outputs are compared through
+    * the identical column surface.
+    */
+  private def flattenTurns(turns: Dataset[TraceTurn]): DataFrame =
+    turns
       .toDF()
       .withColumn("turn_idx", regexp_extract(col("id"), ":t(\\d+)$", 1).cast("long"))
       .select(
@@ -149,7 +172,46 @@ object TraceQueries {
         col("tool.duration").as("duration_ms"),
         col("tool.result").as("result"), col("tool.error").as("error"))
       .orderBy("session_id", "turn_idx", "tool_pos")
+
+  val st6_trace_turns = Q("st6_trace_turns", st6Sql(completedOnly = false)) { t =>
+    flattenTurns(TraceSessionizer.aggregate(rawTraceEvents(t))(t.spark))
   }
 
-  val all: Seq[Q] = Seq(st6_trace_turns)
+  /** ST6 as a driver-oracle'd MICRO-BATCH REPLAY (VERDICT r9 ask #2): the
+    * same synthesized event sequence is fed through the live
+    * `aggregateStream` — flatMapGroupsWithState against the real state
+    * store — in 8 forced micro-batches split on the global line order, so
+    * open-turn state (turn, tools, thinking, numbering) must survive 7
+    * state-store round trips to reproduce the batch answer. The memory-sink
+    * table is then flattened through the identical projection and
+    * hash-compared against the completed-turns slice of the same SQL
+    * reconstruction (Append mode emits a turn only when an event closes
+    * it; EOF-active turns stay in state and are pinned by the batch row).
+    *
+    * The driver-side collect is the replay harness, not the operator: the
+    * event feed arrives via MemoryStream (bounded here by the synthesized
+    * trace volume), while the sessionizer itself shuffles once on
+    * session_id and keeps one open turn per session in the store — the
+    * same plan that runs against a Kafka source at production scale.
+    */
+  val st6_stream_replay = Q("st6_stream_replay", st6Sql(completedOnly = true)) { t =>
+    implicit val spark: org.apache.spark.sql.SparkSession = t.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: SQLContext = spark.sqlContext
+    val events = rawTraceEvents(t).orderBy("lineNo").as[RawEvent].collect()
+    val input  = MemoryStream[RawEvent]
+    val query = TraceSessionizer.aggregateStream(input.toDS())
+      .writeStream.format("memory").queryName("st6_replay_sink")
+      .outputMode("append").start()
+    try {
+      events.grouped(math.max(1, (events.length + 7) / 8)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    flattenTurns(spark.table("st6_replay_sink").as[TraceTurn])
+  }
+
+  val all: Seq[Q] = Seq(st6_trace_turns, st6_stream_replay)
 }

@@ -910,6 +910,11 @@ object TrainPrep {
       labels = cp.checkpoint(next.select("node", "component"))
       cp.retain(labels, edges) // edges feeds every round; prior labels are dead
     }
+    // Same non-convergence contract as GraphOps.connectedComponents: a
+    // silent exit at the cap would hand the report a wrong labeling.
+    if (changed)
+      throw new IllegalStateException(
+        s"neardupReportSql label propagation did not converge within $iter rounds")
     labels.createOrReplaceTempView("nd_components")
     // canonical-per-cluster -> 75% hash sample -> 80/10/10 split -> 512-
     // token packing -> stratum report (the exact x26 tail, as SQL text)

@@ -90,14 +90,43 @@ object VersionedStore {
     spark.read.parquet(versionPath(root, n))
   }
 
+  private def claimPath(root: String, n: Long) =
+    new org.apache.hadoop.fs.Path(root, s"_graft_claim_v=$n")
+
   /** Commit `df` as the next version and atomically repoint. Returns the
     * new version number. The previous version's files are never touched by
     * the write; pruning (after the repoint) keeps the last `keep`
     * generations.
+    *
+    * Concurrency: version numbers are CLAIMED before writing — an
+    * exclusive `_graft_claim_v=<n>` create (atomic on local FS and HDFS).
+    * A second writer that lands on the same number loses the create and
+    * bumps to the next free one, so two in-flight writers can never
+    * Overwrite the same `v=<n>` dir and commit a corrupt `_SUCCESS`-stamped
+    * version. This serializes DIRECTORIES, not transactions: concurrent
+    * writers each commit a complete version and the marker rename makes the
+    * last repoint win (single-table last-writer-wins, the same level as a
+    * root-pointer swap — not multi-writer snapshot isolation). A claim
+    * orphaned by a crash is simply skipped forever and removed by prune.
     */
   def write(df: DataFrame, root: String, keep: Int = 2): Long = {
     val spark = df.sparkSession
-    val next  = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+    val (fs0, rootP) = hfs(spark, root)
+    if (!fs0.exists(rootP)) fs0.mkdirs(rootP)
+    var next    = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+    var claimed = false
+    var tries   = 0
+    while (!claimed) {
+      try { fs0.create(claimPath(root, next), false).close(); claimed = true }
+      catch {
+        case _: java.io.IOException =>
+          tries += 1
+          if (tries > 1000)
+            throw new IllegalStateException(
+              s"VersionedStore at $root: could not claim a version after $tries attempts")
+          next += 1
+      }
+    }
     // fresh dir: Overwrite only clears a leftover PARTIAL v=<next> from a
     // crashed attempt (it cannot be the live version — no _SUCCESS/marker)
     df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(versionPath(root, next))
@@ -110,9 +139,15 @@ object VersionedStore {
     if (fs.exists(mark)) fs.delete(mark, false) // window covered by fallback scan
     if (!fs.rename(tmp, mark))
       throw new java.io.IOException(s"could not repoint $mark to v=$next")
-    // prune: only after the repoint, never the live version
+    // prune: only after the repoint, never the live version. Claim files
+    // of pruned (and orphaned sub-live) versions go with them.
     committedVersions(spark, root).filter(_ <= next - keep)
       .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(versionPath(root, n)), true))
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("_graft_claim_v=") => s.stripPrefix("_graft_claim_v=").toLong }
+      .filter(_ <= next - keep)
+      .foreach(n => fs.delete(claimPath(root, n), false))
     next
   }
 }

@@ -81,6 +81,71 @@ class MergeSpec extends SparkSpec {
     assert(once == twice, "replayed merge changed the table")
   }
 
+  test("crash between set-aside and swap-in rolls back; no row is ever lost") {
+    // Simulate the worst window: the live partition dir was renamed aside to
+    // its _graft_old_ backup and the process died before staging renamed in.
+    // A reader at that instant must not see the partition half-gone forever,
+    // and a RE-RUN of the merge must produce the full merged content — the
+    // exact scenario the r9 delete-then-rename protocol lost data in.
+    val dir  = mkTable()
+    val live = new java.io.File(dir, "month=2024-02")
+    val bak  = new java.io.File(dir, "_graft_old_month=2024-02")
+    assert(live.renameTo(bak), "test setup: could not simulate the crash window")
+
+    val batch = Seq((3L, "C!", 33.0, "2024-02"), (6L, "f", 60.0, "2024-02"))
+      .toDF("k", "s", "v", "month")
+    Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    val got = spark.read.parquet(dir).as[(Long, String, Double, String)]
+      .collect().sortBy(_._1).toList
+    assert(got == List(
+      (1L, "a", 10.0, "2024-01"), (2L, "b", 20.0, "2024-01"),
+      (3L, "C!", 33.0, "2024-02"), (4L, "d", 40.0, "2024-02"),
+      (5L, "e", 50.0, "2024-03"), (6L, "f", 60.0, "2024-02")),
+      "recovery lost the pre-crash rows of the set-aside partition")
+    assert(!bak.exists(), "backup dir not cleaned up after recovery")
+  }
+
+  test("crash after swap-in but before backup cleanup drops the stale backup") {
+    val dir = mkTable()
+    // Simulate: swap committed (live dir is current) but the backup remains.
+    val stale = new java.io.File(dir, "_graft_old_month=2024-01")
+    assert(stale.mkdir())
+    Files.write(new java.io.File(stale, "orphan.parquet").toPath, Array[Byte](1, 2, 3))
+
+    val batch = Seq((6L, "f", 60.0, "2024-02")).toDF("k", "s", "v", "month")
+    Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    assert(!stale.exists(), "completed-swap backup not dropped on recovery")
+    assert(spark.read.parquet(dir).count() == 6)
+  }
+
+  test("a NULL partition value in the batch fails fast instead of silently dropping") {
+    val dir = mkTable()
+    val batch = Seq((6L, "f", 60.0, Option("2024-02")), (7L, "g", 70.0, Option.empty[String]))
+      .toDF("k", "s", "v", "month")
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    }
+    assert(e.getMessage.contains("NULL month"), e.getMessage)
+    // table untouched
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
+  test("a second concurrent merge fails loudly on the lock; takeover reclaims it") {
+    val dir  = mkTable()
+    val lock = new java.io.File(dir, "_graft_merge_lock")
+    Files.write(lock.toPath, Array.emptyByteArray) // first writer holds the lock
+    val batch = Seq((6L, "f", 60.0, "2024-02")).toDF("k", "s", "v", "month")
+    val e = intercept[IllegalStateException] {
+      Maintenance.merge(spark, dir, batch, Seq("k"), "month")
+    }
+    assert(e.getMessage.contains("merge lock held"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 5, "failed merge touched the table")
+    // operator confirmed no live writer: takeover runs and releases the lock
+    Maintenance.merge(spark, dir, batch, Seq("k"), "month", takeoverLock = true)
+    assert(spark.read.parquet(dir).count() == 6)
+    assert(!lock.exists(), "lock not released on commit")
+  }
+
   test("a batch spanning several partitions swaps exactly those") {
     val dir   = mkTable()
     val before02 = files(dir, "month=2024-02")

@@ -62,6 +62,22 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.currentVersion(spark, r).contains(1L))
   }
 
+  test("a claimed version is never reused: concurrent/crashed writers get distinct dirs") {
+    val r = root()
+    VersionedStore.write(Seq((1L, "a")).toDF("k", "v"), r)
+    // simulate writer A in flight: it claimed v=1 (exclusive create) and has
+    // not committed yet. Writer B computes the same next=1 but must lose the
+    // claim race and bump — it may NOT Overwrite A's in-progress v=1 dir.
+    java.nio.file.Files.write(
+      new java.io.File(r, "_graft_claim_v=1").toPath, Array.emptyByteArray)
+    assert(VersionedStore.write(Seq((2L, "b")).toDF("k", "v"), r) == 2L,
+      "writer B reused a claimed version dir")
+    assert(!new java.io.File(r, "v=1").exists(), "B wrote into A's claimed dir")
+    assert(VersionedStore.read(spark, r).as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // A's crash leaves the claim orphaned: later writers keep skipping it
+    assert(VersionedStore.write(Seq((3L, "c")).toDF("k", "v"), r) == 3L)
+  }
+
   test("label store survives a crashed maintenance batch and replaying a batch is a no-op") {
     val r    = root()
     val base = Seq((1L, 2L), (4L, 5L)).toDF("src", "dst")

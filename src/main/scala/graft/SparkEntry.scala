@@ -31,7 +31,7 @@ object SparkEntry {
       TextAnalysis.all ++ Dedup.all ++ Similarity.all ++ TrainPrep.all ++ Extras.all ++
       ApiQueries.all ++ GraphQueries.all ++ TraceQueries.all ++ Multimodal.all ++
       TemporalJoins.all ++ Rollup.all ++ LayoutOps.all ++ ScaleJoins.all ++ Profiling.all ++
-      DataQuality.all ++ Analytics.all)
+      DataQuality.all ++ Analytics.all ++ HybridRetrieval.all)
       .map(q => if (instrumentRows(q.name)) q.asInstrument else q)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table snapshot commits over VersionedStore-style parquet stores —
+  * the transaction-log shape a lakehouse user expects when two
+  * self-maintained stores must advance TOGETHER (e.g. the x53 CC label
+  * store and its companion edge/partials store: a reader must never see
+  * new labels beside old partials).
+  *
+  * Layout under one `root`:
+  *
+  *   root/<store>/v=<n>/...       immutable data versions per store
+  *   root/_graft_manifest_m=<m>   numbered manifest files, each the FULL
+  *                                snapshot: one `store=version` line per
+  *                                store
+  *   root/<store>/_graft_claim_v=<n>  exclusive version claims (as in
+  *                                [[VersionedStore]])
+  *
+  * The commit is ONE atomic rename of a tmp file into the next numbered
+  * manifest name — readers resolve the highest complete manifest, so a
+  * crash anywhere in a multi-store commit (after any subset of data
+  * writes, before the manifest lands) leaves every reader on the previous
+  * manifest: all-old or all-new, never mixed. Numbered manifests (rather
+  * than one mutable pointer file) remove the delete-then-rename window a
+  * single pointer would reintroduce for the multi-store case, and make
+  * concurrent committers conflict LOUDLY: rename onto an existing
+  * manifest name fails, and the committer retries against the refreshed
+  * snapshot (bounded attempts), giving last-writer-wins at manifest grain
+  * with no torn state. This is structurally Iceberg's root-pointer commit
+  * generalized to N tables under one root — what a transaction log does —
+  * minus multi-writer conflict *resolution* (no merge of concurrent
+  * writes; the loser's retry recommits its stores over the winner's
+  * snapshot). Reference anchor: the session-store tmp+rename discipline
+  * (sessions/manager.py:519-522) promoted from one file to one snapshot.
+  *
+  * Scale: a commit writes only the stores it changes; unchanged stores
+  * are carried forward in the manifest by reference (a text line, not a
+  * data copy). Manifest files are bytes-sized; data versions are pruned
+  * only when no retained manifest references them.
+  */
+object MultiStore {
+
+  private val ManifestPrefix = "_graft_manifest_m="
+
+  private def hfs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestNumbers(fs: org.apache.hadoop.fs.FileSystem,
+                              rootP: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(rootP)) Seq.empty
+    else
+      fs.listStatus(rootP).toSeq
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith(ManifestPrefix) => s.stripPrefix(ManifestPrefix).toLong }
+        .sorted
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           rootP: org.apache.hadoop.fs.Path, m: Long): Map[String, Long] = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + m))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n   = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      new String(buf.toByteArray, "UTF-8").split("\n").iterator
+        .map(_.trim).filter(_.nonEmpty)
+        .map { line =>
+          val i = line.lastIndexOf('=')
+          line.substring(0, i) -> line.substring(i + 1).toLong
+        }
+        .toMap
+    } finally in.close()
+  }
+
+  /** The live snapshot: {store -> version} of the highest manifest, or
+    * empty before the first commit.
+    */
+  def snapshot(spark: SparkSession, root: String): Map[String, Long] = {
+    val (fs, rootP) = hfs(spark, root)
+    manifestNumbers(fs, rootP).lastOption
+      .map(readManifest(fs, rootP, _))
+      .getOrElse(Map.empty)
+  }
+
+  /** Read one store at the live snapshot. */
+  def read(spark: SparkSession, root: String, store: String): DataFrame = {
+    val v = snapshot(spark, root).getOrElse(
+      store,
+      throw new IllegalStateException(s"MultiStore at $root has no committed store '$store'"))
+    spark.read.parquet(s"${root.stripSuffix("/")}/$store/v=$v")
+  }
+
+  /** Commit `writes` as ONE snapshot: every data version lands first (each
+    * in a fresh claimed dir, never touching live data), then a single
+    * rename publishes the manifest that names them all plus every
+    * unchanged store carried forward. Returns the committed snapshot.
+    */
+  def commit(root: String, writes: Map[String, DataFrame], keep: Int = 2): Map[String, Long] = {
+    require(writes.nonEmpty, "MultiStore.commit: no stores to write")
+    val spark       = writes.head._2.sparkSession
+    val (fs, rootP) = hfs(spark, root)
+    if (!fs.exists(rootP)) fs.mkdirs(rootP)
+
+    var attempts = 0
+    var done: Option[Map[String, Long]] = None
+    while (done.isEmpty) {
+      val base = snapshot(spark, root)
+      // 1. data first: claim + write a fresh immutable version per store
+      val newVersions = writes.map { case (store, df) =>
+        val storeRoot = s"${root.stripSuffix("/")}/$store"
+        val (sfs, sp) = hfs(spark, storeRoot)
+        if (!sfs.exists(sp)) sfs.mkdirs(sp)
+        val existing = sfs.listStatus(sp).toSeq.map(_.getPath.getName)
+          .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+        var next    = (existing :+ base.getOrElse(store, -1L)).max + 1
+        var claimed = false
+        while (!claimed) {
+          try {
+            sfs.create(new org.apache.hadoop.fs.Path(sp, s"_graft_claim_v=$next"), false).close()
+            claimed = true
+          } catch { case _: java.io.IOException => next += 1 }
+        }
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$storeRoot/v=$next")
+        store -> next
+      }
+      // 2. one atomic publish: tmp file renamed into the next manifest name
+      val snap = base ++ newVersions
+      val m    = manifestNumbers(fs, rootP).lastOption.getOrElse(-1L) + 1
+      val tmp  = new org.apache.hadoop.fs.Path(rootP, s".manifest_attempt_${m}_$attempts.tmp")
+      val out  = fs.create(tmp, true)
+      try out.write(snap.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (fs.rename(tmp, new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + m))) {
+        prune(fs, rootP, root, keep)
+        done = Some(snap)
+      } else {
+        // a concurrent committer took manifest m: retry over its snapshot
+        fs.delete(tmp, false)
+        attempts += 1
+        if (attempts > 100)
+          throw new IllegalStateException(
+            s"MultiStore at $root: lost the manifest race $attempts times — live contention")
+      }
+    }
+    done.get
+  }
+
+  /** Drop manifests beyond the last `keep` and any data version no
+    * retained manifest references. Orphan versions from crashed attempts
+    * (claimed, written, never published) are removed the same way once
+    * they are older than every retained reference.
+    */
+  private def prune(fs: org.apache.hadoop.fs.FileSystem,
+                    rootP: org.apache.hadoop.fs.Path, root: String, keep: Int): Unit = {
+    val all      = manifestNumbers(fs, rootP)
+    val retained = all.takeRight(keep)
+    all.dropRight(keep).foreach(m =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + m), false))
+    val referenced: Map[String, Set[Long]] = retained
+      .flatMap(m => readManifest(fs, rootP, m).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // per-store sweep: delete version dirs (and claims) below the minimum
+    // retained reference and not themselves referenced
+    fs.listStatus(rootP).toSeq.filter(_.isDirectory).foreach { st =>
+      val store = st.getPath.getName
+      referenced.get(store).foreach { keepVersions =>
+        val minKeep = keepVersions.min
+        fs.listStatus(st.getPath).toSeq.map(_.getPath.getName).foreach { name =>
+          if (name.startsWith("v=")) {
+            val v = name.stripPrefix("v=").toLong
+            if (v < minKeep && !keepVersions.contains(v))
+              fs.delete(new org.apache.hadoop.fs.Path(st.getPath, name), true)
+          } else if (name.startsWith("_graft_claim_v=")) {
+            val v = name.stripPrefix("_graft_claim_v=").toLong
+            if (v < minKeep)
+              fs.delete(new org.apache.hadoop.fs.Path(st.getPath, name), false)
+          }
+        }
+      }
+    }
+  }
+}

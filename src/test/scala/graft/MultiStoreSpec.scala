@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.MultiStore
+
+/** Multi-table snapshot commits: N stores advance through ONE manifest
+  * rename, so no crash window can expose a mixed snapshot — the two-store
+  * extension of VersionedStoreSpec's crash simulations (VERDICT r9 ask #4).
+  */
+class MultiStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def root(): String =
+    Files.createTempDirectory("mstore").toString + "/snap"
+
+  test("two stores commit and read as one snapshot; partial commits carry forward") {
+    val r = root()
+    val s1 = MultiStore.commit(r, Map(
+      "labels"   -> Seq((1L, 10L)).toDF("node", "component"),
+      "partials" -> Seq(("a", 1L)).toDF("k", "n")))
+    assert(s1 == Map("labels" -> 0L, "partials" -> 0L))
+    // update only labels: partials carried forward by reference
+    val s2 = MultiStore.commit(r, Map("labels" -> Seq((1L, 11L)).toDF("node", "component")))
+    assert(s2 == Map("labels" -> 1L, "partials" -> 0L))
+    assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+    assert(MultiStore.read(spark, r, "partials").as[(String, Long)].collect().toSet == Set(("a", 1L)))
+  }
+
+  test("crash between store data writes and manifest publish never exposes a mixed snapshot") {
+    val r = root()
+    MultiStore.commit(r, Map(
+      "labels"   -> Seq((1L, 10L)).toDF("node", "component"),
+      "partials" -> Seq(("a", 1L)).toDF("k", "n")))
+    // simulate commit #2 dying AFTER the labels data landed but BEFORE the
+    // manifest: a fully-written v=1 dir (with parquet _SUCCESS) + its claim
+    Seq((1L, 99L)).toDF("node", "component").write.parquet(s"$r/labels/v=1")
+    Files.write(new java.io.File(s"$r/labels/_graft_claim_v=1").toPath, Array.emptyByteArray)
+    // readers remain on the OLD snapshot for BOTH stores — all-old, not mixed
+    assert(MultiStore.snapshot(spark, r) == Map("labels" -> 0L, "partials" -> 0L))
+    assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+    // the re-run commits BOTH stores; the orphaned claim forces a fresh dir
+    val s = MultiStore.commit(r, Map(
+      "labels"   -> Seq((1L, 11L)).toDF("node", "component"),
+      "partials" -> Seq(("a", 2L)).toDF("k", "n")))
+    assert(s("labels") == 2L, s"claimed version reused: $s")
+    assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+    assert(MultiStore.read(spark, r, "partials").as[(String, Long)].collect().toSet == Set(("a", 2L)))
+  }
+
+  test("a concurrent committer taking the manifest number forces a loud retry, not a torn state") {
+    val r = root()
+    MultiStore.commit(r, Map("labels" -> Seq((1L, 10L)).toDF("node", "component")))
+    // another committer publishes manifest m=1 under us (carrying forward
+    // the current snapshot) — our rename onto m=1 must fail and retry to m=2
+    Files.write(new java.io.File(s"$r/_graft_manifest_m=1").toPath, "labels=0\n".getBytes("UTF-8"))
+    val s = MultiStore.commit(r, Map("labels" -> Seq((1L, 11L)).toDF("node", "component")))
+    assert(MultiStore.snapshot(spark, r) == s)
+    assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+    val manifests = new java.io.File(r).listFiles().map(_.getName).filter(_.startsWith("_graft_manifest_m="))
+    assert(manifests.contains("_graft_manifest_m=2"), manifests.mkString(","))
+  }
+
+  test("pruning keeps the last `keep` manifests and every version they reference") {
+    val r = root()
+    (0 to 3).foreach { i =>
+      MultiStore.commit(r, Map(
+        "labels"   -> Seq((1L, i.toLong)).toDF("node", "component"),
+        "partials" -> Seq(("a", i.toLong)).toDF("k", "n")), keep = 2)
+    }
+    val files = new java.io.File(r).listFiles().map(_.getName).toSet
+    assert(!files.contains("_graft_manifest_m=0") && !files.contains("_graft_manifest_m=1"))
+    assert(files.contains("_graft_manifest_m=2") && files.contains("_graft_manifest_m=3"))
+    val labelDirs = new java.io.File(s"$r/labels").listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(labelDirs == Set("v=2", "v=3"), labelDirs.mkString(","))
+    // both retained snapshots still readable
+    assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 3L)))
+  }
+}

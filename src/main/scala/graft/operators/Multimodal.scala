@@ -276,5 +276,92 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(x28_media_features)
+  /** Deterministic 24-bit BMP: gray pixel (x, y) of image `d` has value
+    * g = (d*31 + x*7 + y*13) mod 256; width 4 + d%5, height 3 + d%4.
+    * Hand-rolled BITMAPINFOHEADER layout (bottom-up rows, BGR, 4-byte row
+    * padding) so the byte count is a closed formula the oracle replays:
+    * 54 + height * ceil4(width*3). Gray pixels make the integer ITU-R 601
+    * luma EXACTLY g (g*(299+587+114)/1000 = g), so every decoded stat is
+    * a pure function of (doc_id, x, y) — no codec in the oracle at all.
+    */
+  def bmpBytes(d: Long): Array[Byte] = {
+    val w       = (4 + d % 5).toInt
+    val h       = (3 + d % 4).toInt
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val size    = 54 + rowSize * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1 // bottom-up storage: first file row is image row h-1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val g = ((d * 31 + x * 7 + y * 13) % 256).toInt
+        b.put(g.toByte).put(g.toByte).put(g.toByte)
+        x += 1
+      }
+      var p = w * 3
+      while (p < rowSize) { b.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** x28b: the REAL codec, driver-stamped (VERDICT r9 ask #5). Every
+    * document becomes a hand-rolled deterministic BMP (or, for
+    * doc_id % 7 == 3, deliberately undecodable garbage bytes) that flows
+    * through the identical mapPartitions seam with [[ImageIoDecode]] —
+    * actual javax.imageio pixel decoding, per-partition cache init,
+    * dead-letter sentinels. Because the pixels follow a closed integer
+    * rule and gray luma is exact, DuckDB replays the decoded width/
+    * height/mean-luma/histogram-bucket/byte-count WITHOUT any image
+    * library: the oracle checks that the real decoder reproduced the
+    * generation rule, pixel math and dead-letter routing included.
+    */
+  val x28b_imageio_decode: Q = Q(
+    "x28b_imageio_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents),
+      |ix AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i FROM d),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |         (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS g
+      |  FROM ix),
+      |st AS (
+      |  SELECT doc_id, w, h, count(*) AS n, sum(g) AS s,
+      |         sum(CASE WHEN g // 16 = 8 THEN 1 ELSE 0 END) AS nmid
+      |  FROM px GROUP BY doc_id, w, h)
+      |SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 7 = 3
+      |            THEN CAST(7 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+      |            ELSE CAST(54 + h * ((w * 3 + 3) // 4 * 4) AS BIGINT) END AS n_bytes,
+      |       CASE WHEN doc_id % 7 = 3 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE CAST(s AS DOUBLE) / n END AS mean_luma,
+      |       CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END AS frame_count,
+      |       CASE WHEN doc_id % 7 = 3 THEN -1 ELSE CAST(w AS INTEGER) END AS decoded_width,
+      |       CASE WHEN doc_id % 7 = 3 THEN -1 ELSE CAST(h AS INTEGER) END AS decoded_height,
+      |       CASE WHEN doc_id % 7 = 3 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE CAST(CAST(nmid AS REAL) / CAST(n AS REAL) AS DOUBLE) END AS frac_mid
+      |FROM st ORDER BY media_id""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    import spark.implicits._
+    val media = t.documents.select(col("doc_id")).as[Long].map { d =>
+      val bytes =
+        if (d % 7 == 3) s"GARBAGE$d".getBytes("UTF-8") else bmpBytes(d)
+      MediaRow(d, "image", s"synth://bmp/$d", bytes,
+        (4 + d % 5).toInt, (3 + d % 4).toInt, 0L)
+    }
+    extractFeatures(media, ImageIoDecode)
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("mean_intensity").as("mean_luma"),
+        col("frame_count"), col("decoded_width"), col("decoded_height"),
+        element_at(col("feature"), 9).cast(DoubleType).as("frac_mid"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode)
 }

@@ -105,9 +105,15 @@ object Bench {
     // more repeats and report the median of 5 with the middle-3 spread —
     // the stall repeat is rejected instead of polluting the record. The
     // retry budget is bounded and the retry count is reported
-    // (noisy_retries) so a run that needed many is visibly a noisy run.
-    var retryBudget = 24
+    // (noisy_retries) so a run that needed many is visibly a noisy run;
+    // `retry_denied` counts queries whose trigger fired AFTER the budget
+    // ran dry — those medians were never re-measured, which is the one
+    // case retries cannot vouch for (see the clean flag below).
+    // sized to the noisiest observed window (r10 run #4: 44 triggers) so
+    // denial — the condition the clean gate fails on — stays exceptional
+    var retryBudget = 100
     var retried     = 0
+    var denied      = 0
     val results = selected.map { q =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -126,10 +132,12 @@ object Bench {
       // whole retry budget on 0.1 s queries' micro-variance — measured
       // 12/12 slots), while real host excursions are >=0.15 s (a 0.3 s
       // floor let a 0.16 s stall on a 0.13 s query through — measured)
-      if (times(2) - times(0) > math.max(0.5 * times(1), 0.15) && retryBudget >= 2) {
-        retryBudget -= 2
-        retried += 1
-        times = (times ++ (1 to 2).map(_ => rep())).sorted
+      if (times(2) - times(0) > math.max(0.5 * times(1), 0.15)) {
+        if (retryBudget >= 2) {
+          retryBudget -= 2
+          retried += 1
+          times = (times ++ (1 to 2).map(_ => rep())).sorted
+        } else denied += 1
       }
       betweenQueries()
       val median = times(times.size / 2)
@@ -157,19 +165,26 @@ object Bench {
     // landing inside a timed window — the absolute floor keeps sub-0.1 s
     // queries' micro-jitter from tripping it), (b) among queries with a
     // spread big enough to matter (>=0.15 s), none spread past its own
-    // median (rel >= 1.0), and (c) the stall-retry path fired at most 8
-    // times (r8's corrupted record needed 12). When dirty, every offending
-    // row is printed so the re-run decision is mechanical.
+    // median (rel >= 1.0), and (c) every query whose retry trigger fired
+    // actually GOT its retry (retry_denied == 0) — a denied retry is the
+    // one median the record cannot vouch for. The raw retry count stays
+    // reported (noisy_retries — a noisy-window indicator) but no longer
+    // fails the gate by itself: a retry that resolved its query's window
+    // (checked by (a)+(b) against the post-retry middle-3 spread) is the
+    // mitigation WORKING, not a corruption — the r10 revision of r9's
+    // `retried <= 8` proxy, which failed records whose every median was
+    // either stable or successfully re-measured. When dirty, every
+    // offending row is printed so the re-run decision is mechanical.
     val stallRows = results.filter(r => r.spread > r.median && r.spread > 0.5)
     val relRows   = results.filter(r => r.spread >= 0.15 && r.median > 0 && r.spread / r.median >= 1.0)
-    val clean     = stallRows.isEmpty && relRows.isEmpty && retried <= 8
+    val clean     = stallRows.isEmpty && relRows.isEmpty && denied == 0
     if (!clean) {
       val off = (stallRows ++ relRows).distinct.sortBy(-_.spread)
-      System.err.println(s"[bench] NOT CLEAN: noisy_retries=$retried; offending rows:")
+      System.err.println(s"[bench] NOT CLEAN: noisy_retries=$retried retry_denied=$denied; offending rows:")
       off.foreach(r => System.err.println(
         f"[bench]   ${r.name}%-28s median=${r.median}%.3f spread=${r.spread}%.3f"))
       if (off.isEmpty)
-        System.err.println(s"[bench]   (retry budget alone: $retried > 8)")
+        System.err.println(s"[bench]   (denied retries alone: $denied)")
     }
     // Locale-independent: %.3f under a comma-decimal default locale (de_DE)
     // would emit "1,234" and corrupt the JSON.
@@ -193,7 +208,7 @@ object Bench {
     if (only.isEmpty) {
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json")
-        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
+        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"retry_denied":$denied,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
         finally w.close()
       } catch { case _: Throwable => }
     }
@@ -212,7 +227,7 @@ object Bench {
         else full_ = true
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"retry_denied":$denied,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -67,8 +67,14 @@ final case class Q(
       * the `total_production` headline a user's workload would see.
       */
     instrument: Boolean = false,
+    /** Defining module (operator object name), stamped at registration by
+      * SparkEntry so the generated registry inventory (COVERAGE_REGISTRY.md,
+      * `tools.CoverageGen`) can name the code location without reflection.
+      */
+    module: String = "",
 ) {
   def asInstrument: Q = copy(instrument = true)
+  def inModule(m: String): Q = copy(module = m)
 }
 
 object Q {

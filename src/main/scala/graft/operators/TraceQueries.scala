@@ -201,9 +201,20 @@ object TraceQueries {
     implicit val sqlCtx: SQLContext = spark.sqlContext
     val events = rawTraceEvents(t).orderBy("lineNo").as[RawEvent].collect()
     val input  = MemoryStream[RawEvent]
-    val query = TraceSessionizer.aggregateStream(input.toDS())
-      .writeStream.format("memory").queryName("st6_replay_sink")
-      .outputMode("append").start()
+    // The replay's cost is micro-batch machinery, not plan work: every
+    // batch commits one state-store delta per shuffle partition, so 32
+    // partitions x 8 batches is 256 store commits for a keyspace of a few
+    // thousand sessions. Pin the stream's partitioning to 8 for the replay
+    // (fixed at query start from the session conf; restored after) — the
+    // same sizing rule as a real deployment, where state partitions track
+    // the session keyspace, not the box.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try TraceSessionizer.aggregateStream(input.toDS())
+        .writeStream.format("memory").queryName("st6_replay_sink")
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       events.grouped(math.max(1, (events.length + 7) / 8)).foreach { chunk =>
         input.addData(chunk.toIndexedSeq)

@@ -62,6 +62,27 @@ class MultiStoreSpec extends SparkSpec {
     assert(manifests.contains("_graft_manifest_m=2"), manifests.mkString(","))
   }
 
+  test("label store + companion advance as one snapshot through foldLabelsBatchPaired") {
+    import graft.operators.GraphOps
+    import graft.sources.MultiStore
+    val r = root()
+    val base = Seq((1L, 2L), (4L, 5L)).toDF("src", "dst")
+    MultiStore.commit(r, Map(
+      "labels"    -> GraphOps.connectedComponents(base, spark),
+      "companion" -> Seq(("batch", 0L)).toDF("k", "v")))
+    val before = MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toMap
+
+    GraphOps.foldLabelsBatchPaired(
+      Seq((2L, 4L)).toDF("src", "dst"), Seq(("batch", 1L)).toDF("k", "v"), r)
+    val after = MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toMap
+    assert(after.values.toSet.size == before.values.toSet.size - 1, "components merged")
+    assert(MultiStore.read(spark, r, "companion").as[(String, Long)].collect().toSet
+      == Set(("batch", 1L)), "companion did not advance with the labels")
+    // the snapshot names both new versions together — one manifest, no skew
+    val snap = MultiStore.snapshot(spark, r)
+    assert(snap("labels") == snap("companion"), s"stores advanced separately: $snap")
+  }
+
   test("pruning keeps the last `keep` manifests and every version they reference") {
     val r = root()
     (0 to 3).foreach { i =>

@@ -49,6 +49,7 @@ object SparkEntry {
       "ScaleJoins" -> ScaleJoins.all, "Profiling" -> Profiling.all,
       "DataQuality" -> DataQuality.all, "Analytics" -> Analytics.all,
       "HybridRetrieval" -> HybridRetrieval.all,
+      "SnapshotQueries" -> SnapshotQueries.all,
     ).flatMap { case (m, qs) => qs.map(_.inModule(m)) }
       .map(q => if (instrumentRows(q.name)) q.asInstrument else q)
 

@@ -93,6 +93,33 @@ object MultiStore {
     spark.read.parquet(s"${root.stripSuffix("/")}/$store/v=$v")
   }
 
+  /** Retained manifest numbers, ascending — the snapshot HISTORY. Each is
+    * a complete, immutable, readable snapshot until pruning drops it
+    * (keep=N retains the last N), which is the whole time-travel contract
+    * of a root-pointer table format: old snapshots stay queryable because
+    * commits never mutate data, only publish new pointers.
+    */
+  def manifests(spark: SparkSession, root: String): Seq[Long] = {
+    val (fs, rootP) = hfs(spark, root)
+    manifestNumbers(fs, rootP)
+  }
+
+  /** The full {store -> version} snapshot as of manifest `m`. */
+  def snapshotAt(spark: SparkSession, root: String, m: Long): Map[String, Long] = {
+    val (fs, rootP) = hfs(spark, root)
+    require(manifestNumbers(fs, rootP).contains(m),
+      s"MultiStore at $root: manifest m=$m is not retained (history: ${manifestNumbers(fs, rootP).mkString(",")})")
+    readManifest(fs, rootP, m)
+  }
+
+  /** Time-travel read: one store as of manifest `m`. */
+  def readAt(spark: SparkSession, root: String, store: String, m: Long): DataFrame = {
+    val v = snapshotAt(spark, root, m).getOrElse(
+      store,
+      throw new IllegalStateException(s"MultiStore at $root: store '$store' absent at manifest m=$m"))
+    spark.read.parquet(s"${root.stripSuffix("/")}/$store/v=$v")
+  }
+
   /** Commit `writes` as ONE snapshot: every data version lands first (each
     * in a fresh claimed dir, never touching live data), then a single
     * rename publishes the manifest that names them all plus every

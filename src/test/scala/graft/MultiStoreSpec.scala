@@ -83,6 +83,30 @@ class MultiStoreSpec extends SparkSpec {
     assert(snap("labels") == snap("companion"), s"stores advanced separately: $snap")
   }
 
+  test("time travel: every retained manifest is a complete readable snapshot") {
+    val r = root()
+    MultiStore.commit(r, Map(
+      "labels"   -> Seq((1L, 10L)).toDF("node", "component"),
+      "partials" -> Seq(("a", 1L)).toDF("k", "n")))
+    MultiStore.commit(r, Map("labels" -> Seq((1L, 11L)).toDF("node", "component")))
+    MultiStore.commit(r, Map("partials" -> Seq(("a", 2L)).toDF("k", "n")))
+    val hist = MultiStore.manifests(spark, r)
+    assert(hist.size == 2, s"keep=2 should retain 2 manifests: $hist") // keep=2 default
+    // the older retained snapshot: labels already at v1, partials still v0
+    assert(MultiStore.readAt(spark, r, "labels", hist.head)
+      .as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+    assert(MultiStore.readAt(spark, r, "partials", hist.head)
+      .as[(String, Long)].collect().toSet == Set(("a", 1L)))
+    // the live snapshot
+    assert(MultiStore.readAt(spark, r, "partials", hist.last)
+      .as[(String, Long)].collect().toSet == Set(("a", 2L)))
+    // a pruned manifest is rejected loudly, not resolved to garbage
+    intercept[IllegalArgumentException] {
+      MultiStore.snapshotAt(spark, r, hist.head - 1)
+    }
+    ()
+  }
+
   test("pruning keeps the last `keep` manifests and every version they reference") {
     val r = root()
     (0 to 3).foreach { i =>

@@ -212,14 +212,33 @@ object Maintenance {
 
   /** Compaction: rewrite a path with a target file count — the OPTIMIZE
     * substitute for append-heavy tables (small-file problem at scale).
+    *
+    * Same recoverable swap as [[merge]] (the r10 hardening): the live dir
+    * is renamed aside to a sibling `__compact_old`, the compacted copy
+    * renamed in, the backup dropped last — and a leftover backup from a
+    * crashed run is rolled back (no live dir) or discarded (live dir
+    * present) on entry. The r9 delete-then-rename form had a window where
+    * a crash left NO readable table at `path` while the only good copy
+    * sat in the tmp dir readers never look at.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+    val dst    = new org.apache.hadoop.fs.Path(path)
+    val fs     = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
+    if (fs.exists(backup)) {
+      if (!fs.exists(dst)) {
+        if (!fs.rename(backup, dst))
+          throw new java.io.IOException(s"could not roll back crashed compaction of $path")
+      } else fs.delete(backup, true)
+    }
     val df  = spark.read.parquet(path)
-    val tmp = path.stripSuffix("/") + "__compact_tmp"
-    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
+    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(dst, backup))
+      throw new java.io.IOException(s"could not set aside $path for compaction")
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"could not swap compacted copy into $path")
+    fs.delete(backup, true)
+    ()
   }
 }

@@ -232,6 +232,21 @@ class StreamMaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("maintenance: a compaction crashed between set-aside and swap-in rolls back") {
+    // the r10 hardening: the live dir was renamed to __compact_old and the
+    // process died before the compacted copy renamed in — the table must
+    // come back on the next compact, not stay vanished
+    val dir = Files.createTempDirectory("compact-crash").toString + "/t"
+    (1 to 3).foreach(i => Seq(i).toDF("x").write.mode("append").parquet(dir))
+    val live = new java.io.File(dir)
+    val bak  = new java.io.File(dir + "__compact_old")
+    assert(live.renameTo(bak), "test setup: could not simulate the crash window")
+    Maintenance.compact(spark, dir, 1)
+    assert(spark.read.parquet(dir).count() == 3, "rows lost across the crash window")
+    assert(!bak.exists(), "stale backup left behind")
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("multimodal: feature extraction is deterministic, schema-stable, null-safe") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", "mem://a", Array.tabulate(512)(_.toByte), 16, 16, 0L),

@@ -1,9 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.Q
+import graft.{Q, Tables}
 
 /** Hybrid retrieval — reciprocal-rank fusion of the lexical (x43 BM25) and
   * vector (x9/x18/x31 ANN) halves of the retrieval stack, the ranked-
@@ -13,22 +14,24 @@ import graft.Q
   *
   * Per query (the 10 probe documents): the query's first three tokens are
   * its lexical terms; BM25 (k1=1.2, b=0.75) ranks matching documents; the
-  * query's embedding ranks all candidates by exact cosine. Each generator
-  * keeps its top-30, and the fusion score is the classic RRF
-  * `sum 1/(60 + rank)` over the lists the candidate appears in — integer
-  * ranks in, so DuckDB replays the fusion bit-for-bit (IEEE division and
-  * addition of identical doubles). Final answer: top-10 per query.
+  * query's embedding ranks candidates by cosine — EXACT in x68, via the
+  * x18 IVF probe in x68b (the scale rendering: candidates come from the
+  * nProbe nearest cells only, so the vector side scans a fraction of the
+  * corpus). Each generator keeps its top-30, and the fusion score is the
+  * classic RRF `sum 1/(60 + rank)` over the lists the candidate appears
+  * in — integer ranks in, so DuckDB replays the fusion bit-for-bit (IEEE
+  * division and addition of identical doubles). Final answer: top-10 per
+  * query. The fusion stage is generator-agnostic by construction — x68
+  * and x68b share it verbatim, which is exactly how the 100 TB deployment
+  * swaps generators without touching the fusion.
   *
   * 100 TB shape: the term table (30 rows) and query-vector block (10 rows)
   * broadcast, so both candidate generators are map-side against the corpus
   * scan — the token explode is pre-filtered by the broadcast term set
   * before any shuffle, and the per-query ranking windows shuffle only
-  * candidate rows (matched docs x queries), never the corpus. At real
-  * scale the exact-cosine generator swaps for the IVF probe (x18/x67) and
-  * the lexical tf table for the persisted inverted-index partials — both
-  * produce the same (query_id, doc_id, rank) contract, and the fusion
-  * stage is generator-agnostic by construction. Self-matches are excluded
-  * from BOTH lists (a query retrieving itself carries no signal).
+  * candidate rows (matched docs x queries), never the corpus. Self-matches
+  * are excluded from BOTH lists (a query retrieving itself carries no
+  * signal).
   *
   * Float discipline (the x43/x9 lessons): per-term BM25 contributions
   * combine through a fixed-position pivot (p1+p2+p3, never a re-associable
@@ -37,9 +40,11 @@ import graft.Q
   */
 object HybridRetrieval {
 
-  val x68_hybrid_topk = Q(
-    "x68_hybrid_topk",
-    """WITH q AS (
+  /** Lexical candidate CTEs (shared by x68/x68b oracles): per-query
+    * 3-term BM25 over documents, ranked, top-30.
+    */
+  private val LexCtes =
+    """q AS (
       |  SELECT doc_id AS query_id, string_split(text, ' ') AS ts
       |  FROM documents WHERE doc_id < 10),
       |qterms AS (
@@ -70,20 +75,13 @@ object HybridRetrieval {
       |    SELECT query_id, doc_id,
       |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
       |    FROM lexscore)
-      |  WHERE lex_rank <= 30),
-      |vec AS (
-      |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS sim
-      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-      |  WHERE q.vec_id < 10),
-      |vectop AS (
-      |  SELECT query_id, doc_id, vec_rank FROM (
-      |    SELECT query_id, doc_id,
-      |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS vec_rank
-      |    FROM vec)
-      |  WHERE vec_rank <= 30),
-      |fused AS (
+      |  WHERE lex_rank <= 30)""".stripMargin
+
+  /** RRF fusion tail (shared): full-outer join of lextop/vectop, RRF
+    * score, top-10 per query.
+    */
+  private val FusionTail =
+    """fused AS (
       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
       |         COALESCE(l.doc_id, v.doc_id) AS doc_id,
       |         l.lex_rank, v.vec_rank,
@@ -94,10 +92,65 @@ object HybridRetrieval {
       |SELECT query_id, doc_id, lex_rank, vec_rank, rrf FROM (
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn
       |  FROM fused)
-      |WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin,
-  ) { t =>
+      |WHERE rn <= 10 ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+
+  /** Exact-cosine vector candidates (x68's oracle rendering). */
+  private val ExactVecCtes =
+    """vec AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+      |         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(c.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |vectop AS (
+      |  SELECT query_id, doc_id, vec_rank FROM (
+      |    SELECT query_id, doc_id,
+      |           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS vec_rank
+      |    FROM vec)
+      |  WHERE vec_rank <= 30)""".stripMargin
+
+  /** IVF-probed vector candidates (x68b's oracle rendering — the x18
+    * assignment/probe CTEs with the rank cut at 30).
+    */
+  private val IvfVecCtes =
+    """cents AS (
+      |  SELECT vec_id AS cell, embedding AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4),
+      |vectop AS (
+      |  SELECT query_id, doc_id, vec_rank FROM (
+      |    SELECT p.query_id, a.vec_id AS doc_id,
+      |           row_number() OVER (
+      |             PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                      a.vec_id) AS vec_rank
+      |    FROM probes p JOIN assigned a USING (cell)
+      |    WHERE a.vec_id <> p.query_id)
+      |  WHERE vec_rank <= 30)""".stripMargin
+
+  /** Spark side of the shared lexical generator: (query_id, doc_id,
+    * lex_rank <= 30).
+    */
+  private def lextop(t: Tables): DataFrame = {
     val toksCol = split(col("text"), " ")
-    // query terms: (query_id, position 1-3, token) — 30 rows, broadcast
     val qterms = t.documents.filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"), posexplode(slice(toksCol, 1, 3)).as(Seq("p0", "w")))
       .select(col("query_id"), (col("p0") + 1).as("p"), col("w"))
@@ -122,19 +175,16 @@ object HybridRetrieval {
       .groupBy("query_id", "doc_id")
       .agg(round(pos(1) + pos(2) + pos(3), 6).as("score"))
     val wl = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id"))
-    val lextop = lexscore
+    lexscore
       .withColumn("lex_rank", row_number().over(wl).cast("long"))
       .filter(col("lex_rank") <= 30)
       .select("query_id", "doc_id", "lex_rank")
-    val qv = t.embeddings.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val wv = Window.partitionBy("query_id").orderBy(col("sim").desc, col("doc_id"))
-    val vectop = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
-      .join(broadcast(qv), col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id"), Similarity.cosine(col("qe"), col("ce")).as("sim"))
-      .withColumn("vec_rank", row_number().over(wv).cast("long"))
-      .filter(col("vec_rank") <= 30)
-      .select("query_id", "doc_id", "vec_rank")
+  }
+
+  /** Spark side of the shared fusion stage: takes any two (query_id,
+    * doc_id, rank) candidate lists — THE generator-agnostic seam.
+    */
+  private def fuse(lextop: DataFrame, vectop: DataFrame): DataFrame = {
     val fused = lextop.join(vectop, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf",
         round(
@@ -146,5 +196,41 @@ object HybridRetrieval {
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(x68_hybrid_topk)
+  private def rankVec(candidates: DataFrame): DataFrame = {
+    val wv = Window.partitionBy("query_id").orderBy(col("sim").desc, col("doc_id"))
+    candidates
+      .withColumn("vec_rank", row_number().over(wv).cast("long"))
+      .filter(col("vec_rank") <= 30)
+      .select("query_id", "doc_id", "vec_rank")
+  }
+
+  val x68_hybrid_topk = Q(
+    "x68_hybrid_topk",
+    s"WITH $LexCtes,\n$ExactVecCtes,\n$FusionTail",
+  ) { t =>
+    val qv = t.embeddings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val exact = t.embeddings.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+      .join(broadcast(qv), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), Similarity.cosine(col("qe"), col("ce")).as("sim"))
+    fuse(lextop(t), rankVec(exact))
+  }
+
+  /** The scale rendering: same fusion, but the vector generator is the
+    * REAL x18 IVF probe (train-free centroids, nProbe=4) — candidates come
+    * from the probed cells only, never the whole corpus. Oracle-checked
+    * end-to-end: assignment, probing, ranking AND fusion replay in DuckDB.
+    */
+  val x68b_hybrid_ivf = Q(
+    "x68b_hybrid_ivf",
+    s"WITH $LexCtes,\n$IvfVecCtes,\n$FusionTail",
+  ) { t =>
+    val ivf = Similarity.ivfTopK(
+      t.embeddings, t.embeddings.filter(col("vec_id") < 10),
+      k = 30, nCells = 16, nProbe = 4)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("sim"))
+    fuse(lextop(t), rankVec(ivf))
+  }
+
+  val all: Seq[Q] = Seq(x68_hybrid_topk, x68b_hybrid_ivf)
 }

@@ -39,6 +39,32 @@ class HybridRetrievalSpec extends SparkSpec {
     ()
   }
 
+  test("x68b (IVF generator) shares the fusion contract and overlaps the exact answer") {
+    val exact = HybridRetrieval.x68_hybrid_topk.run(spark, dir)
+      .select("query_id", "doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = HybridRetrieval.x68b_hybrid_ivf.run(spark, dir).cache()
+    val rows = ivf.collect()
+    // same fusion arithmetic as x68
+    rows.foreach { r =>
+      val lex = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val vec = Option(r.getAs[java.lang.Long]("vec_rank")).map(_.toLong)
+      val expected = BigDecimal(
+        lex.map(r0 => 1.0 / (60 + r0)).getOrElse(0.0) +
+          vec.map(r0 => 1.0 / (60 + r0)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-9)
+    }
+    // the probed-cells generator must land close to the exact fusion:
+    // top-10 overlap across the 10 queries (IVF recall at nProbe=4 is
+    // ~0.9-class on this corpus; fused with the identical lexical list,
+    // the winners mostly survive)
+    val got     = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))).toSet
+    val overlap = (exact & got).size.toDouble / exact.size
+    assert(overlap >= 0.5, f"IVF-fused top-10 overlaps exact by only $overlap%.2f")
+    ivf.unpersist()
+    ()
+  }
+
   test("plan: term set and query vectors broadcast; corpus never broadcast") {
     val plan = HybridRetrieval.x68_hybrid_topk.run(spark, dir)
       .queryExecution.executedPlan.toString

@@ -148,6 +148,19 @@ object Maintenance {
           "null partition keys are not mergeable")
       val affected = spark.read.parquet(tablePath)
         .filter(col(partitionCol).isin(parts: _*))
+      // Explicit schema contract (r10): a batch missing table columns
+      // cannot express whenMatched-update-ALL — and a batch carrying NEW
+      // columns would have them silently dropped by the projection below,
+      // which is data loss wearing a success exit code. Schema evolution
+      // on a parquet-only table is a full-table rewrite (every untouched
+      // partition's footers lack the column), not a merge — fail fast
+      // with the exact column sets instead.
+      val missing = affected.columns.toSet -- batch.columns.toSet
+      val extra   = batch.columns.toSet -- affected.columns.toSet
+      require(missing.isEmpty && extra.isEmpty,
+        s"merge: batch schema differs from table schema — missing ${missing.toSeq.sorted
+          .mkString("[", ",", "]")}, extra ${extra.toSeq.sorted.mkString("[", ",", "]")}; " +
+          "schema evolution is a full-table rewrite, not a merge")
       val merged = upsert(affected, batch.select(affected.columns.map(col): _*), keys)
       val staging = tablePath.stripSuffix("/") + "__merge_tmp"
       merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(staging)

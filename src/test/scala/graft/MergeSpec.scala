@@ -130,6 +130,23 @@ class MergeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 5)
   }
 
+  test("a batch with extra or missing columns fails fast instead of silently dropping data") {
+    val dir = mkTable()
+    // extra column: would be silently dropped by the projection — data loss
+    val extra = Seq((6L, "f", 60.0, "new!", "2024-02")).toDF("k", "s", "v", "w", "month")
+    val e1 = intercept[IllegalArgumentException] {
+      Maintenance.merge(spark, dir, extra, Seq("k"), "month")
+    }
+    assert(e1.getMessage.contains("extra [w]"), e1.getMessage)
+    // missing column: cannot express update-all
+    val missing = Seq((6L, 60.0, "2024-02")).toDF("k", "v", "month")
+    val e2 = intercept[IllegalArgumentException] {
+      Maintenance.merge(spark, dir, missing, Seq("k"), "month")
+    }
+    assert(e2.getMessage.contains("missing [s]"), e2.getMessage)
+    assert(spark.read.parquet(dir).count() == 5, "failed merges touched the table")
+  }
+
   test("a second concurrent merge fails loudly on the lock; takeover reclaims it") {
     val dir  = mkTable()
     val lock = new java.io.File(dir, "_graft_merge_lock")

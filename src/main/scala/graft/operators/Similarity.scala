@@ -750,7 +750,179 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Product quantization with ADC (asymmetric distance computation) — the
+    * canonical billion-vector index kernel (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+    * default), completing the index lineup next to SQ8 (x31), IVF (x18)
+    * and sign-LSH (x10): M=4 subspaces x K=8 codewords compress each
+    * 64-float vector to 4 code bytes (64x), and a query scores ANY
+    * candidate with 4 table lookups instead of 64 multiplies.
+    *
+    * Shape — the at-scale ADC scan, not a join: the codebook (8 seed
+    * vectors, a bounded metadata collect) is folded into LITERAL arrays,
+    * so encoding is a pure per-row codegen expression (argmin over 8
+    * round-6 L2 distances per subspace — `array_min` over (d, c) structs,
+    * the x9 tiebreak idiom); the per-query lookup tables (10 x 4 x 8
+    * micro-quantized longs, computed by a tiny Spark job with the SAME
+    * distance expression for arithmetic parity, then collected — bounded)
+    * are literal `element_at` lookups. One corpus pass, zero joins; the
+    * only exchange is the per-query top-k window, which Spark 4 prunes
+    * map-side via WindowGroupLimit (≤5 rows per query per partition
+    * survive the shuffle). ADC sums integer micro-units (floor(d*1e6) as
+    * long — the x56 fixed-point trick), so ranking is engine-exact and
+    * the DuckDB oracle replays codebook, codes, LUT and top-5 bit-for-bit.
+    * Training the codebook is x56's lloyd (train-free seeds here, the
+    * x18/x67 convention); exact rescoring of the survivors is x9's kernel.
+    */
+  private val PqM = 4; private val PqK = 8; private val PqSub = 16; private val PqNq = 10
+
+  /** Encode stage + per-query lookup tables for x69. The codebook
+    * (subvectors of the 8 lowest vec_ids) and the LUT (NQ x M x K
+    * micro-quantized distances, computed by a tiny Spark job with the SAME
+    * distance expression for arithmetic parity) are bounded metadata
+    * collects folded into literals, so the encode is a pure per-row
+    * codegen expression — one corpus pass, zero joins, zero shuffles.
+    */
+  private def pqEncodeAndLut(t: graft.Tables): (DataFrame, Map[Long, Array[Array[Long]]]) = {
+    val seedRows = t.embeddings.filter(col("vec_id") < PqK)
+      .select("vec_id", "embedding").collect().sortBy(_.getLong(0))
+    val cw: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) { (m, c) =>
+      seedRows(c).getSeq[Float](1).slice(m * PqSub, (m + 1) * PqSub).map(_.toDouble).toArray
+    }
+    def sub(v: Column, m: Int): Column = slice(v, m * PqSub + 1, PqSub)
+    // Round-6 L2 to a literal codeword (round absorbs summation-order
+    // jitter, same contract as `cosine`).
+    def dist(v: Column, m: Int, c: Int): Column =
+      round(sqrt(aggregate(
+        zip_with(sub(v, m), typedLit(cw(m)(c).toSeq),
+          (x, cc) => { val d = x.cast("double") - cc; d * d }),
+        lit(0.0), (acc, x) => acc + x)), 6)
+    def code(v: Column, m: Int): Column =
+      array_min(array((0 until PqK).map(c =>
+        struct(dist(v, m, c).as("d"), lit(c.toLong).as("c"))): _*)).getField("c")
+    val lutRows = t.embeddings.filter(col("vec_id") < PqNq)
+      .select(col("vec_id") +: (for { m <- 0 until PqM; c <- 0 until PqK } yield
+        floor(dist(col("embedding"), m, c) * 1e6).cast("long").as(s"du_${m}_$c")): _*)
+      .collect()
+    val lut: Map[Long, Array[Array[Long]]] = lutRows.map { r =>
+      r.getLong(0) -> Array.tabulate(PqM, PqK)((m, c) => r.getLong(1 + m * PqK + c))
+    }.toMap
+    val encoded = t.embeddings.select(
+      col("vec_id") +: (0 until PqM).map(m => code(col("embedding"), m).as(s"c$m")): _*)
+    (encoded, lut)
+  }
+
+  /** Test seam: the x69 encode output (vec_id, c0..c3). */
+  private[graft] def x69EncodeForTest(t: graft.Tables): DataFrame = pqEncodeAndLut(t)._1
+
+  val x69_pq_topk = Q(
+    "x69_pq_topk",
+    """WITH cb AS (
+      |  SELECT m.m, s.vec_id AS c,
+      |         CAST(s.embedding AS DOUBLE[])[m.m*16+1 : m.m*16+16] AS cw
+      |  FROM (SELECT unnest(range(4)) AS m) m
+      |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8) s),
+      |codes AS (
+      |  SELECT vec_id, m, c FROM (
+      |    SELECT e.vec_id, cb.m, cb.c,
+      |           row_number() OVER (PARTITION BY e.vec_id, cb.m
+      |             ORDER BY round(list_distance(
+      |                        CAST(e.embedding AS DOUBLE[])[cb.m*16+1 : cb.m*16+16],
+      |                        cb.cw), 6), cb.c) AS rn
+      |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1),
+      |lut AS (
+      |  SELECT q.vec_id AS query_id, cb.m, cb.c,
+      |         CAST(floor(round(list_distance(
+      |                      CAST(q.embedding AS DOUBLE[])[cb.m*16+1 : cb.m*16+16],
+      |                      cb.cw), 6) * 1e6) AS BIGINT) AS du
+      |  FROM embeddings q CROSS JOIN cb WHERE q.vec_id < 10),
+      |adc AS (
+      |  SELECT l.query_id, codes.vec_id, CAST(sum(l.du) AS BIGINT) AS adc
+      |  FROM codes JOIN lut l ON l.m = codes.m AND l.c = codes.c
+      |  WHERE codes.vec_id <> l.query_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, vec_id, adc FROM (
+      |  SELECT query_id, vec_id, adc,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+      |  FROM adc) WHERE rn <= 5 ORDER BY query_id, adc, vec_id""".stripMargin,
+  ) { t =>
+    val (encoded, lut) = pqEncodeAndLut(t)
+    val M = PqM; val TOPK = 5
+    val perQuery = lut.keys.toSeq.sorted.map { q =>
+      val adc = (0 until M).map(m =>
+        element_at(typedLit(lut(q)(m).toSeq), (col(s"c$m") + 1).cast("int"))).reduce(_ + _)
+      struct(lit(q).as("query_id"), adc.as("adc"))
+    }
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+    encoded
+      .select(col("vec_id"), explode(array(perQuery: _*)).as("qa"))
+      .select(col("qa.query_id").as("query_id"), col("vec_id"), col("qa.adc").as("adc"))
+      .where(col("vec_id") =!= col("query_id"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= TOPK)
+      .select("query_id", "vec_id", "adc")
+      .orderBy("query_id", "adc", "vec_id")
+  }
+
+  /** Embedding-space near-duplicate PRUNING — the SemDeDup architecture
+    * (Abbas et al. 2023): cluster the corpus (k centroids), score cosine
+    * pairs ONLY within a cluster, keep one representative per duplicate
+    * relation. Completes the dedup family's embedding axis: x13 scores
+    * label-blocked pairs, x10 buckets by sign-LSH; this row is the
+    * published centroid-blocked pipeline that DROPS rows — the form a
+    * training-data curator actually runs.
+    *
+    * Keep rule: v survives unless some SAME-CLUSTER u < v has
+    * round-6 cosine ≥ τ (keep-lowest-id — declarative and engine-exact,
+    * vs the paper's keep-farthest-from-centroid which needs the same
+    * blocked pair set). The transitive-closure variant (dup CLUSTERS, not
+    * dup relations) is x26's union-find on the text side; this is its
+    * one-join embedding analog.
+    *
+    * Scale: assignment is a broadcast argmax (k rows; WindowGroupLimit
+    * map-side prune), the pair join shuffles on cell so candidates are
+    * |cluster|² never corpus² — at 100 TB k grows with the corpus
+    * (k ≈ √N keeps clusters bounded; the measured |block|² contract is
+    * x13's 30x capstone), and the anti-join is a broadcast of the dup-id
+    * set. τ = 0.35 for the driver's near-orthogonal synthetic embeddings
+    * (within-cluster max sim ≈ 0.5); production near-dup sits at 0.9+.
+    */
+  val x70_semdedup = Q(
+    "x70_semdedup",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |asn AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT e.vec_id, s.cell, e.embedding,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                      s.cell) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |dupes AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35)
+      |SELECT vec_id, cell FROM asn
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dupes) ORDER BY vec_id""".stripMargin,
+  ) { t =>
+    val seeds = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    val assigned = assignToCentroids(t.embeddings, seeds)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val dupes = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
+          cosine(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dupes, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell").orderBy("vec_id")
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
-      x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental)
+      x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
+      x69_pq_topk, x70_semdedup)
 }

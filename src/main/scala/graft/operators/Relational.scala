@@ -1034,12 +1034,238 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Exact decimal line revenue — extendedprice * (1 - discount), the §7.4
+    * determinism rule shared by the round-10 TPC-H shapes below.
+    */
+  private def lineRev: Column =
+    col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+  private val RevSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  val q2_min_cost_supplier = Q(
+    "q2_min_cost_supplier",
+    s"""WITH ps AS (
+       |  SELECT l_partkey, l_suppkey, SUM($RevSql) AS cost
+       |  FROM lineitem GROUP BY 1, 2),
+       |mn AS (SELECT l_partkey, min(cost) AS mincost FROM ps GROUP BY 1)
+       |SELECT p_partkey, s_suppkey, s_name, CAST(cost AS DOUBLE) AS cost
+       |FROM ps JOIN mn USING (l_partkey)
+       |JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE p_size >= 30 AND cost = mincost
+       |ORDER BY p_partkey, s_suppkey""".stripMargin,
+  ) { t =>
+    // TPC-H Q2 shape (partsupp-less adaptation): the correlated
+    // "= (SELECT min(..) WHERE same part)" subquery, DECORRELATED the way
+    // Catalyst would — aggregate once, derive the per-part minimum (a
+    // part-sized table, broadcast), and equi-join it back. Cost stays
+    // exact DECIMAL through the min/equality compare (double only at
+    // output), so ties resolve identically in both engines — all tied
+    // minimum suppliers survive, as in the spec query.
+    val ps = t.lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(lineRev).as("cost"))
+    val mn = ps.groupBy(col("l_partkey")).agg(min(col("cost")).as("mincost"))
+    ps.join(broadcast(mn), Seq("l_partkey"))
+      .where(col("cost") === col("mincost"))
+      .join(broadcast(t.part.where(col("p_size") >= 30).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("cost").cast(DoubleType).as("cost"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  val q7_volume_shipping = Q(
+    "q7_volume_shipping",
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |       CAST(year(l_shipdate) AS INT) AS l_year, CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN supplier ON l_suppkey = s_suppkey JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+  ) { t =>
+    // TPC-H Q7 shape: bilateral trade volume. The nation-pair disjunction
+    // is pushed INTO the dimension sides before the fact joins — supplier
+    // and customer are each pre-filtered to the two nations and broadcast,
+    // so lineitem shrinks ~2/25 at the first (broadcast) join and only the
+    // surviving rows shuffle for the orders equi-join.
+    val nations = Seq("NATION_1", "NATION_2")
+    val supN = t.supplier
+      .join(t.nation.where(col("n_name").isin(nations: _*)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cusN = t.customer
+      .join(t.nation.where(col("n_name").isin(nations: _*)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cusN), col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(lineRev).cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q8_market_share = Q(
+    "q8_market_share",
+    s"""SELECT o_year,
+       |       coalesce(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN rev END) AS DOUBLE), 0.0)
+       |         / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, $RevSql AS rev, sn.n_name AS nation
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+       |GROUP BY o_year ORDER BY o_year""".stripMargin,
+  ) { t =>
+    // TPC-H Q8 shape: one nation's share of a region's PROMO revenue per
+    // year — the 6-way snowflake with a guarded numerator over the same
+    // aggregate. Every dimension (part filtered to PROMO, customers
+    // semi-reduced to the ASIA region, suppliers tagged with their nation)
+    // broadcasts; lineitem shuffles once for the orders join. The share is
+    // numerator/denominator of the SAME exact-decimal sum, divided once in
+    // double.
+    val promoParts = t.part.where(col("p_type") === "PROMO").select("p_partkey")
+    val asiaCust = t.customer
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region.where(col("r_name") === "ASIA"), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supN = t.supplier
+      .join(t.nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("nation"))
+    t.lineitem
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((coalesce(sum(when(col("nation") === "NATION_3", lineRev)).cast(DoubleType), lit(0.0)) /
+        sum(lineRev).cast(DoubleType)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q9_product_profit = Q(
+    "q9_product_profit",
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       |       CAST(SUM($RevSql
+       |                - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+       |         AS profit
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { t =>
+    // TPC-H Q9 shape (supplycost proxied by retailprice x quantity): profit
+    // by supplier nation and order year for one product family. The
+    // substring filter prunes part BEFORE broadcast, the profit expression
+    // stays exact decimal end-to-end (product scales widen, subtraction is
+    // exact), and the only fact shuffle is the orders equi-join.
+    val widgetParts = t.part.where(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice")
+    val supN = t.supplier
+      .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val profit = lineRev -
+      col("p_retailprice").cast(DecimalType(18, 2)) * col("l_quantity").cast(DecimalType(18, 2))
+    t.lineitem
+      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(profit).cast(DoubleType).as("profit"))
+      .orderBy("nation", "o_year")
+  }
+
+  val q10_returned_items = Q(
+    "q10_returned_items",
+    s"""SELECT c_custkey, c_name, n_name, CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  AND l_returnflag = 'R'
+       |GROUP BY 1, 2, 3
+       |ORDER BY CAST(SUM($RevSql) AS DOUBLE) DESC, c_custkey LIMIT 20""".stripMargin,
+  ) { t =>
+    // TPC-H Q10 shape: top-20 customers by returned revenue in a quarter.
+    // The quarter predicate pushes to the orders scan, the returnflag
+    // predicate to the lineitem scan; customer+nation broadcast. Top-20 is
+    // ordered on the CAST-to-double revenue in BOTH engines with a custkey
+    // tiebreak, so the cut is deterministic.
+    val custN = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+    t.lineitem.where(col("l_returnflag") === "R")
+      .join(
+        t.orders.where(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+          col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(lineRev).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q11_important_value = Q(
+    "q11_important_value",
+    s"""WITH pv AS (
+       |  SELECT l_partkey AS p_partkey, SUM($RevSql) AS val
+       |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name IN ('NATION_4', 'NATION_5') GROUP BY 1)
+       |SELECT p_partkey, CAST(val AS DOUBLE) AS val FROM pv
+       |WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.002 FROM pv)
+       |ORDER BY p_partkey""".stripMargin,
+  ) { t =>
+    // TPC-H Q11 shape: parts whose value exceeds a FRACTION OF THE GLOBAL
+    // TOTAL — the scalar-subquery HAVING. The per-part aggregate runs once
+    // and the one-row total joins back as a broadcast (Catalyst's own
+    // decorrelation for an uncorrelated scalar subquery); the threshold
+    // compare happens in double on identically-derived operands.
+    val supN = t.supplier
+      .join(t.nation.where(col("n_name").isin("NATION_4", "NATION_5")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val pv = t.lineitem
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(lineRev).as("val"))
+    val total = pv.agg((sum(col("val")).cast(DoubleType) * 0.002).as("threshold"))
+    pv.crossJoin(broadcast(total))
+      .where(col("val").cast(DoubleType) > col("threshold"))
+      .select(col("p_partkey"), col("val").cast(DoubleType).as("val"))
+      .orderBy("p_partkey")
+  }
+
   val all: Seq[Q] = Seq(
     p1_index_projection, p2_exclude_last, p3_rename_projection,
     f1_conjunctive_filter, f3_case_normalized_filter, f4_prefix_filter,
     f6_set_membership_classify, f10_age_cutoff,
     j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
-    j7_latest_per_key, q3_shipping_priority, q4_exists_semi, q6_forecast_revenue,
+    j7_latest_per_key, q2_min_cost_supplier, q3_shipping_priority, q4_exists_semi,
+    q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
+    q10_returned_items, q11_important_value,
     q12_priority_split, q13_order_dist, q14_promo_share, q15_top_supplier,
     q16_supplier_cnt, q17_below_avg, q18_having, q19_disjunctive,
     q20_dominant_supplier, q21_waiting_supplier, q22_idle_balance,

@@ -1235,14 +1235,17 @@ object Relational {
        |  JOIN nation ON s_nationkey = n_nationkey
        |  WHERE n_name IN ('NATION_4', 'NATION_5') GROUP BY 1)
        |SELECT p_partkey, CAST(val AS DOUBLE) AS val FROM pv
-       |WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.002 FROM pv)
+       |WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) / count(*) * 2.5 FROM pv)
        |ORDER BY p_partkey""".stripMargin,
   ) { t =>
-    // TPC-H Q11 shape: parts whose value exceeds a FRACTION OF THE GLOBAL
-    // TOTAL — the scalar-subquery HAVING. The per-part aggregate runs once
-    // and the one-row total joins back as a broadcast (Catalyst's own
+    // TPC-H Q11 shape: parts whose value exceeds a GLOBAL aggregate
+    // threshold — the scalar-subquery HAVING. The per-part aggregate runs
+    // once and the one-row total joins back as a broadcast (Catalyst's own
     // decorrelation for an uncorrelated scalar subquery); the threshold
-    // compare happens in double on identically-derived operands.
+    // compare happens in double on identically-derived operands. The spec
+    // query's fraction-of-total cut is 0.0001/SF — SF-dependent by design;
+    // the MEAN-relative rendering (2.5x the average part value) keeps the
+    // identical plan shape while selecting a stable tail at every SF.
     val supN = t.supplier
       .join(t.nation.where(col("n_name").isin("NATION_4", "NATION_5")),
         col("s_nationkey") === col("n_nationkey"))
@@ -1251,7 +1254,8 @@ object Relational {
       .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(lineRev).as("val"))
-    val total = pv.agg((sum(col("val")).cast(DoubleType) * 0.002).as("threshold"))
+    val total = pv.agg(
+      (sum(col("val")).cast(DoubleType) / count(lit(1)) * 2.5).as("threshold"))
     pv.crossJoin(broadcast(total))
       .where(col("val").cast(DoubleType) > col("threshold"))
       .select(col("p_partkey"), col("val").cast(DoubleType).as("val"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Q
 
@@ -747,10 +748,111 @@ object Dedup {
       element_at(split(col("p_name"), " "), -1), maxDist = 2)
   }
 
+  /** Every word-k-gram of the document WITH its 1-based start position —
+    * the positioned variant of `shingles` (no distinct: span excision needs
+    * every occurrence, including within-doc repeats). `fingerprints` swaps
+    * the join/group key from the gram string to its xxhash64 — the scale
+    * path, identical plan (8-byte shuffle keys; a 64-bit collision merges
+    * two grams and can only ADD a duplicated position, shifting one span
+    * boundary — SpanDedupSpec pins fast==exact spans on the test corpus).
+    */
+  private def positionedGrams(docs: DataFrame, k: Int, fingerprints: Boolean): DataFrame = {
+    val toks = split(col("text"), " ")
+    val grams = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => struct(i.as("pos"), array_join(slice(toks, i, lit(k)), " ").as("g")))
+    docs
+      .where(size(toks) >= k) // sequence(1, n<1) would run DESCENDING in Spark
+      .select(col("doc_id"), explode(grams).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"),
+        (if (fingerprints) xxhash64(col("s.g")) else col("s.g")).as("g"))
+  }
+
+  /** Exact substring-span dedup (the "dedup training data at the substring
+    * level" operator: find every maximal token span whose k-grams all occur
+    * elsewhere in the corpus — the spans an excision pass would cut).
+    *
+    * Plan, in corpus-scale order: (1) positioned k-grams, one row per
+    * occurrence; (2) duplicated grams = one hash-aggregate on the gram key
+    * (map-side combined — count>1, never a self-join); (3) mark positions
+    * via LEFT SEMI join on the gram key (fan-out is linear in occurrences,
+    * never quadratic); (4) merge overlapping/adjacent hit positions into
+    * maximal spans with one per-doc gaps-and-islands window (running
+    * max(pos+k-1) over the preceding rows; island increments where the gap
+    * exceeds 1). Total data movement: two shuffles on the gram key + one
+    * window shuffle on doc_id — at 100 TB each is partitionable with no
+    * skew beyond gram frequency, and the semi-join probe side carries only
+    * (doc_id, pos, g).
+    *
+    * Returns (doc_id, span_start, span_end, span_words), 1-based inclusive
+    * word positions, ordered.
+    */
+  def duplicatedSpans(docs: DataFrame, k: Int, fingerprints: Boolean): DataFrame = {
+    val sh = positionedGrams(docs, k, fingerprints)
+    val dup = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("g")
+    val hits = sh.join(dup, Seq("g"), "left_semi")
+    val byDoc   = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + (k - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("island",
+        sum(when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+          .over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(
+        min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (k - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  val x71_span_dedup = Q(
+    "x71_span_dedup",
+    """WITH sh AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(w[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+      |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |               max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |        FROM hits))
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+      |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_words
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin,
+  ) { t =>
+    // Oracle row carries RAW STRING grams (structurally collision-free vs
+    // the string-gram DuckDB replay); x71_fast below is the identical plan
+    // over xxhash64 fingerprints — the scale path. k=8 mirrors the
+    // substring-dedup practice of requiring a long verbatim overlap before
+    // cutting (at ~54-word docs, 8 words is proportionate to the 50-token
+    // threshold used on web corpora).
+    duplicatedSpans(t.documents, k = 8, fingerprints = false)
+  }
+
+  val x71_fast_span_dedup = Q.noOracle("x71_fast_span_dedup") { t =>
+    // Scale path: 8-byte gram fingerprints on the two gram-key shuffles.
+    // Rows-only by design (a 64-bit collision could legitimately add a
+    // position); SpanDedupSpec asserts span-set equality vs x71 on the
+    // test corpus.
+    duplicatedSpans(t.documents, k = 8, fingerprints = true)
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
     x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
     x4_simhash, x4_simhash_pairs, x4b_simhash_md5,
     x27_incremental_neardup, x27_fast_incremental, x66_fuzzy_match,
+    x71_span_dedup, x71_fast_span_dedup,
   )
 }

@@ -1077,6 +1077,48 @@ object Relational {
       .orderBy("p_partkey", "s_suppkey")
   }
 
+  val q5_local_volume = Q(
+    "q5_local_volume",
+    s"""SELECT n_name, CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+       |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  ) { t =>
+    // TPC-H Q5 shape: local-supplier volume by nation. The distinguishing
+    // constraint is c_nationkey = s_nationkey — the plan is NOT a star
+    // (customer nation must match the line's supplier nation), so the
+    // second join predicate rides the customer equi-join as a residual.
+    // Dimension chain region→nation→supplier collapses to one broadcast
+    // (suppliers restricted to the region, tagged with n_name); lineitem
+    // shrinks at that broadcast before the orders shuffle; the date
+    // window is pushed to the orders scan.
+    val asiaSup = t.supplier
+      .join(
+        t.nation.join(broadcast(t.region.where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+    val ord = t.orders
+      .where(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem
+      .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(lineRev).cast(DoubleType).as("revenue"))
+      .orderBy("n_name")
+  }
+
   val q7_volume_shipping = Q(
     "q7_volume_shipping",
     s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
@@ -1268,7 +1310,7 @@ object Relational {
     f6_set_membership_classify, f10_age_cutoff,
     j1_join_group, j2_anti_join, j3_semi_join, j4_outer_join, j5_star_join,
     j7_latest_per_key, q2_min_cost_supplier, q3_shipping_priority, q4_exists_semi,
-    q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
+    q5_local_volume, q6_forecast_revenue, q7_volume_shipping, q8_market_share, q9_product_profit,
     q10_returned_items, q11_important_value,
     q12_priority_split, q13_order_dist, q14_promo_share, q15_top_supplier,
     q16_supplier_cnt, q17_below_avg, q18_having, q19_disjunctive,

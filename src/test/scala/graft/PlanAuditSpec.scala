@@ -159,4 +159,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Not(EqualTo(o_orderpriority,1-URGENT))"),
       s"priority filter not pushed to the orders scan:\n$plan")
   }
+
+  test("q2 decorrelated min-subquery: per-part minimum joined back as a broadcast, no window") {
+    val plan = finalPlan(Relational.q2_min_cost_supplier.run(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"min table must broadcast back:\n$plan")
+    assert(!plan.contains("Window"), s"q2 must decorrelate via aggregate+join, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"q2 must stay equi-joined:\n$plan")
+  }
+
+  test("q11 scalar-subquery HAVING: one-row threshold broadcast, per-part aggregate runs once") {
+    val plan = finalPlan(Relational.q11_important_value.run(spark, sf0001))
+    // the one-row total side may appear as a broadcast nested-loop (the
+    // degenerate cross join Spark uses for a 1-row build) — that is the
+    // correct shape; what must NOT appear is a shuffled join for it
+    assert(plan.contains("Broadcast"), s"threshold row must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 1-row threshold must never sort-merge against the aggregate:\n$plan")
+  }
+
+  test("x69 PQ encode+ADC scan: zero joins, top-k window group-limited map-side") {
+    val plan = finalPlan(graft.operators.Similarity.x69_pq_topk.run(spark, sf0001))
+    assert(!plan.contains("Join"), s"PQ scan must have no join at all:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query top-k must be pruned map-side via WindowGroupLimit:\n$plan")
+  }
+
+  test("x70 semdedup: pair join keyed on the cluster id, dup set anti-joined as a broadcast") {
+    val plan = finalPlan(graft.operators.Similarity.x70_semdedup.run(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      s"within-cluster pairing must never be all-pairs:\n$plan")
+    assert(plan.contains("LeftAnti"), s"survivors must come from an anti-join:\n$plan")
+  }
 }

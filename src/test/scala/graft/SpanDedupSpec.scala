@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.Dedup
+
+/** x71 exact substring-span dedup: golden micro-corpus spans, fast==exact
+  * parity on real testdata, and the no-quadratic plan contract.
+  */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("golden: shared 3-gram run between two docs becomes one maximal span in each") {
+    // k=3; docs share the verbatim run "a b c d" (two overlapping 3-grams
+    // -> one merged span covering words 2..5 in doc 0, 1..4 in doc 1).
+    val docs = docsOf(
+      0L -> "x a b c d y z q",
+      1L -> "a b c d k l m n",
+      2L -> "p q r s t u v w")
+    val got = Dedup.duplicatedSpans(docs, k = 3, fingerprints = false).collect().toSeq
+    assert(got === Seq(
+      Row(0L, 2L, 5L, 4L),
+      Row(1L, 1L, 4L, 4L)))
+  }
+
+  test("golden: within-doc repeat is a duplicated span even with no second doc") {
+    val docs = docsOf(0L -> "a b c z z z a b c w w w")
+    // "a b c" occurs twice inside the one doc -> both occurrences flagged.
+    val got = Dedup.duplicatedSpans(docs, k = 3, fingerprints = false).collect().toSeq
+    assert(got === Seq(Row(0L, 1L, 3L, 3L), Row(0L, 7L, 9L, 3L)))
+  }
+
+  test("golden: adjacent duplicated grams merge; a gap of 2+ words splits spans") {
+    // Doc 0 vs doc 1: duplicated grams at positions 1-2 (overlap -> merge,
+    // span 1..4) and at 7-8 ("e f g h", gap > 1 after span end 4 -> a
+    // second span 7..10).
+    val docs = docsOf(
+      0L -> "a b c d x y e f g h",
+      1L -> "a b c d q q e f g h")
+    val got = Dedup.duplicatedSpans(docs, k = 3, fingerprints = false)
+      .where($"doc_id" === 0L).collect().toSeq
+    assert(got === Seq(Row(0L, 1L, 4L, 4L), Row(0L, 7L, 10L, 4L)))
+  }
+
+  test("docs shorter than k produce no grams and no crash (Spark sequence guard)") {
+    val docs = docsOf(0L -> "a b", 1L -> "a b c d e f g h i j")
+    val got = Dedup.duplicatedSpans(docs, k = 8, fingerprints = false).collect()
+    assert(got.isEmpty) // no gram occurs twice
+  }
+
+  test("fast fingerprint rendering produces the identical span set on testdata") {
+    val t = Tables(spark, sf0001)
+    val exact = Dedup.duplicatedSpans(t.documents, 8, fingerprints = false)
+      .collect().toSet
+    val fast = Dedup.duplicatedSpans(t.documents, 8, fingerprints = true)
+      .collect().toSet
+    assert(exact.nonEmpty, "test corpus must contain duplicated 8-gram spans")
+    assert(fast === exact)
+  }
+
+  test("plan: semi-join on the gram key, no cartesian, no self-join fan-out") {
+    val t = Tables(spark, sf0001)
+    val plan = Dedup.duplicatedSpans(t.documents, 8, fingerprints = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"positions must be marked via semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must never go quadratic:\n$plan")
+  }
+}

@@ -848,11 +848,93 @@ object Dedup {
     duplicatedSpans(t.documents, k = 8, fingerprints = true)
   }
 
+  /** Span EXCISION — the write half of substring dedup: given the maximal
+    * duplicated spans from [[duplicatedSpans]], emit each document with
+    * those spans cut out (every flagged occurrence is removed; the policy
+    * that keeps corpora free of verbatim repeats rather than keeping one
+    * canonical copy — the keep-one policy is a per-gram argmin away and
+    * deliberately out of scope here).
+    *
+    * Plan: spans collapse to one array per doc (tiny — spans per doc is
+    * bounded by doc length / k), LEFT-join back onto the corpus on doc_id,
+    * and the cut itself is a per-row codegen'd higher-order filter
+    * (position-indexed `filter` + `exists` over the span array) — zero
+    * extra shuffles beyond duplicatedSpans' own, and docs without spans
+    * stream through the join untouched.
+    *
+    * Returns (doc_id, clean_text, kept_words, removed_words).
+    */
+  def exciseSpans(docs: DataFrame, k: Int, fingerprints: Boolean): DataFrame = {
+    val spanArr = duplicatedSpans(docs, k, fingerprints)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val w = split(col("text"), " ")
+    val kept = filter(col("w"), (_, i) =>
+      !exists(col("spans"), s =>
+        (i + 1) >= s.getField("span_start") && (i + 1) <= s.getField("span_end")))
+    docs
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), w.as("w"),
+        coalesce(col("spans"),
+          array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          .as("spans"))
+      .select(col("doc_id"), col("w"), kept.as("kept"))
+      .select(
+        col("doc_id"),
+        array_join(col("kept"), " ").as("clean_text"),
+        size(col("kept")).cast("long").as("kept_words"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("removed_words"))
+      .orderBy("doc_id")
+  }
+
+  val x71b_span_excise = Q(
+    "x71b_span_excise",
+    """WITH sh AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(w[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) > 1),
+      |hits AS (SELECT s.doc_id, s.pos FROM sh s JOIN dup d USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |               max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |        FROM hits)),
+      |spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      |          FROM isl GROUP BY doc_id, island),
+      |covered AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e)) AS pos
+      |            FROM spans),
+      |words AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, w[i] AS word, len(w) AS n
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |kept AS (
+      |  SELECT w.doc_id, w.pos, w.word, w.n
+      |  FROM words w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.pos = c.pos
+      |  WHERE c.pos IS NULL)
+      |SELECT d.doc_id,
+      |       coalesce(string_agg(k.word, ' ' ORDER BY k.pos), '') AS clean_text,
+      |       CAST(count(k.pos) AS BIGINT) AS kept_words,
+      |       CAST(len(string_split(d.text, ' ')) - count(k.pos) AS BIGINT)
+      |         AS removed_words
+      |FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      |GROUP BY d.doc_id, d.text
+      |ORDER BY d.doc_id""".stripMargin,
+  ) { t =>
+    // Exact (string-gram) rendering for the oracle; SpanDedupSpec pins the
+    // fingerprinted scale path text-equal on the test corpus.
+    exciseSpans(t.documents, k = 8, fingerprints = false)
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
     x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
     x4_simhash, x4_simhash_pairs, x4b_simhash_md5,
     x27_incremental_neardup, x27_fast_incremental, x66_fuzzy_match,
-    x71_span_dedup, x71_fast_span_dedup,
+    x71_span_dedup, x71_fast_span_dedup, x71b_span_excise,
   )
 }

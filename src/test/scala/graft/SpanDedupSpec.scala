@@ -60,6 +60,39 @@ class SpanDedupSpec extends SparkSpec {
     assert(fast === exact)
   }
 
+  test("golden: excision cuts exactly the span words, docs without spans pass through") {
+    val docs = docsOf(
+      0L -> "x a b c d y z q",
+      1L -> "a b c d k l m n",
+      2L -> "p q r s t u v w")
+    val got = Dedup.exciseSpans(docs, k = 3, fingerprints = false).collect().toSeq
+    assert(got === Seq(
+      Row(0L, "x y z q", 4L, 4L),
+      Row(1L, "k l m n", 4L, 4L),
+      Row(2L, "p q r s t u v w", 8L, 0L)))
+  }
+
+  test("golden: fully-duplicated doc excises to the empty string, not a crash") {
+    val docs = docsOf(0L -> "a b c", 1L -> "a b c")
+    val got = Dedup.exciseSpans(docs, k = 3, fingerprints = false).collect().toSeq
+    assert(got === Seq(Row(0L, "", 0L, 3L), Row(1L, "", 0L, 3L)))
+  }
+
+  test("excision: fast fingerprint rendering is text-equal on testdata and conserves words") {
+    val t = Tables(spark, sf0001)
+    val exact = Dedup.exciseSpans(t.documents, 8, fingerprints = false).collect().toSeq
+    val fast  = Dedup.exciseSpans(t.documents, 8, fingerprints = true).collect().toSeq
+    assert(exact === fast)
+    assert(exact.exists(_.getLong(3) > 0), "test corpus must excise something")
+    // kept + removed must equal the doc's word count, row by row
+    val n = t.documents.selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    exact.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) === n(r.getLong(0)).toLong,
+        s"word conservation broken for doc ${r.getLong(0)}")
+    }
+  }
+
   test("plan: semi-join on the gram key, no cartesian, no self-join fan-out") {
     val t = Tables(spark, sf0001)
     val plan = Dedup.duplicatedSpans(t.documents, 8, fingerprints = true)

@@ -906,23 +906,63 @@ object Similarity {
       |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35)
       |SELECT vec_id, cell FROM asn
       |WHERE vec_id NOT IN (SELECT vec_id FROM dupes) ORDER BY vec_id""".stripMargin,
-  ) { t =>
-    val seeds = t.embeddings.filter(col("vec_id") < 8)
+  ) { t => semDedup(t.embeddings, k = 8, tau = 0.35) }
+
+  /** The x70 pipeline with the centroid count as a parameter — the knob its
+    * 100 TB contract turns: cluster size must stay bounded, so k grows with
+    * the corpus. See [[x70b_semdedup_scaled]].
+    */
+  def semDedup(emb: DataFrame, k: Int, tau: Double): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), v => v.cast("double")).as("centroid"))
-    val assigned = assignToCentroids(t.embeddings, seeds)
+    val assigned = assignToCentroids(emb, seeds)
       .select(col("vec_id"), col("cell"), col("embedding"))
     val dupes = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id") &&
-          cosine(col("a.embedding"), col("b.embedding")) >= 0.35)
+          cosine(col("a.embedding"), col("b.embedding")) >= tau)
       .select(col("b.vec_id").as("vec_id")).distinct()
     assigned.join(dupes, Seq("vec_id"), "left_anti")
       .select("vec_id", "cell").orderBy("vec_id")
   }
 
+  val x70b_semdedup_scaled = Q(
+    "x70b_semdedup_scaled",
+    // Same replay as x70: at EVERY driver SF (500 / 2000 vectors) the
+    // adaptive k = max(8, N/250) resolves to 8, so the k=8 oracle pins the
+    // adaptive row exactly where an oracle exists; the adaptive path only
+    // diverges on self-scaled corpora (SCALE.md decades), where no oracle
+    // runs and the POINT is the k growth keeping clusters ~250 rows.
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |asn AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT e.vec_id, s.cell, e.embedding,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                      s.cell) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |dupes AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.35)
+      |SELECT vec_id, cell FROM asn
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dupes) ORDER BY vec_id""".stripMargin,
+  ) { t =>
+    // SemDeDup at scale holds CLUSTER SIZE constant (~250 vectors), not k:
+    // pair work is N·clusterSize — linear in the corpus — where a fixed k
+    // would be N²/k. The count is one columnar metadata aggregate, the
+    // same AQE-class driver lookup as the salting/shard-count rows.
+    val n = t.embeddings.count()
+    val k = math.max(8L, n / 250L).toInt
+    semDedup(t.embeddings, k, tau = 0.35)
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
-      x69_pq_topk, x70_semdedup)
+      x69_pq_topk, x70_semdedup, x70b_semdedup_scaled)
 }

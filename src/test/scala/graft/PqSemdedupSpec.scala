@@ -64,6 +64,29 @@ class PqSemdedupSpec extends SparkSpec {
     assert(dup.nonEmpty, "fixture should contain embedding near-duplicates at tau=0.35")
   }
 
+  test("x70b: adaptive k resolves to 8 at driver SFs, so scaled == fixed row for row") {
+    // n=500 -> max(8, 500/250)=8: the oracle-pinned regime. The adaptive
+    // path only diverges on self-scaled corpora (SCALE.md decades).
+    val fixed  = Similarity.x70_semdedup.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val scaled = Similarity.x70b_semdedup_scaled.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(scaled == fixed)
+  }
+
+  test("x70: larger k still partitions the corpus and keeps every cluster minimum") {
+    // The decade path (k grows with N): every vector lands in exactly one
+    // cluster, cluster count == k reachable seeds, minima survive.
+    val out = Similarity.semDedup(emb, k = 40, tau = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = out.map(_._1).toSet
+    assert(out.map(_._1).distinct.length == out.length, "a vector survived twice")
+    out.groupBy(_._2).foreach { case (cell, rs) =>
+      assert(cell >= 0 && cell < 40)
+      assert(survivors.contains(rs.map(_._1).min), s"cluster $cell lost its minimum")
+    }
+  }
+
   test("x70: the lowest vec_id of every cluster always survives") {
     val out = Similarity.x70_semdedup.run(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -31,7 +31,7 @@ object SparkEntry {
   private val instrumentRows: Set[String] = Set(
     "x2_ngram_jaccard", "x3b_minhash_md5", "x4b_simhash_md5", "x10b_ann_md5",
     "x26_neardup_pipeline", "x27_incremental_neardup", "x29_ingest_pipeline",
-    "st6_stream_replay")
+    "st6_stream_replay", "j3_stream_replay")
 
   /** All registered queries, in module order, each stamped with its
     * defining module (the generated-inventory seam — see tools.CoverageGen).

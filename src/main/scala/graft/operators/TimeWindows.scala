@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Q
+import graft.streaming.StreamOps
 
 /** Time-bucketed aggregations over `events` (SURVEY §2.9 note: the
   * idiomatic-Spark expression of the reference's time-oriented views) plus
@@ -81,6 +82,79 @@ object TimeWindows {
       .orderBy("user_id", "view_id")
   }
 
+  /** J3 as a driver-oracle'd STREAM-STREAM micro-batch replay (the st6
+    * pattern applied to the join class): the same view/purchase event feed
+    * is split on the global time order into 6 forced micro-batches and
+    * driven through the LIVE watermarked stream-stream join
+    * (`StreamOps.prePostStreamJoin` — two keyed state stores, range
+    * condition, watermark eviction), so a view must survive up to 5
+    * state-store round trips to meet its later-batch purchases and
+    * reproduce the batch j3 answer. The memory-sink pairs are then counted
+    * per view in batch and hash-compared against the SAME oracle SQL as
+    * j3_prepost_correlate.
+    *
+    * Determinism: the feed is globally ts-ordered, so no row is ever late
+    * (the watermark only advances between chunks) and eviction is safe by
+    * construction — a view is evicted only when the watermark passed
+    * vms+tolerance, and every future purchase has pms >= the chunk
+    * boundary > that watermark + delay, so it could not have matched.
+    * The driver-side collect is the replay harness, not the operator: a
+    * production deployment points the same two DataFrames at Kafka topics
+    * and the identical plan runs unbounded with state bounded by
+    * (rate x (tolerance + watermark)).
+    */
+  val j3_stream_replay = Q(
+    "j3_stream_replay",
+    """SELECT v.user_id, v.event_id AS view_id, count(*) AS n_purchases_within_1h
+      |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = v.user_id AND p.ms > v.ms AND p.ms <= v.ms + 3600000
+      |GROUP BY 1, 2 ORDER BY v.user_id, view_id""".stripMargin,
+  ) { t =>
+    implicit val spark: org.apache.spark.sql.SparkSession = t.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = t.events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_type"), col("user_id"), col("event_id"), col("ts"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(String, Long, Long, java.sql.Timestamp)].collect()
+    val pre  = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
+    val post = MemoryStream[(String, Long, java.sql.Timestamp)]
+    // Same state-partition sizing rule as st6_stream_replay: partitions
+    // track the key space, not the box (each micro-batch commits one
+    // state-store delta per partition on BOTH join sides).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try StreamOps.prePostStreamJoin(
+          pre.toDF().toDF("name", "group_id", "view_id", "ts")
+            .select(col("name"), col("group_id"), col("ts"), col("view_id")),
+          post.toDF().toDF("name", "group_id", "ts"),
+          watermark = "2 hours", toleranceSeconds = 3600,
+          carryCols = Seq("view_id"))
+        .writeStream.format("memory").queryName("j3_replay_sink")
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      rows.grouped(math.max(1, (rows.length + 5) / 6)).foreach { chunk =>
+        val views     = chunk.collect { case ("view", u, id, ts) => ("e", u, id, ts) }
+        val purchases = chunk.collect { case ("purchase", u, _, ts) => ("e", u, ts) }
+        if (views.nonEmpty) pre.addData(views.toIndexedSeq)
+        if (purchases.nonEmpty) post.addData(purchases.toIndexedSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table("j3_replay_sink")
+      // the operator's contract is post_ts >= pre_ts; j3's is strictly >
+      .filter(unix_millis(col("post_ts")) > unix_millis(col("pre_ts")))
+      .groupBy(col("group_id"), col("view_id"))
+      .agg(count(lit(1)).as("n_purchases_within_1h"))
+      .select(col("group_id").as("user_id"), col("view_id"), col("n_purchases_within_1h"))
+      .orderBy("user_id", "view_id")
+  }
+
   val m3_retention_survivors = Q(
     "m3_retention_survivors",
     """SELECT o_orderkey FROM orders
@@ -121,6 +195,6 @@ object TimeWindows {
 
   val all: Seq[Q] = Seq(
     t1_tumbling_window, t2_sliding_window, j3_prepost_correlate,
-    m3_retention_survivors, st5_token_fold,
+    j3_stream_replay, m3_retention_survivors, st5_token_fold,
   )
 }

@@ -212,14 +212,18 @@ object StreamOps {
     * files and so matches arbitrarily late posts (SURVEY ST8).
     */
   def prePostStreamJoin(
-      pre: DataFrame,  // (name, group_id, ts)
+      pre: DataFrame,  // (name, group_id, ts [, carryCols...])
       post: DataFrame, // (name, group_id, ts)
       watermark: String,
       toleranceSeconds: Int,
+      // Extra PRE-side columns carried verbatim into the output (e.g. the
+      // pre event's id, so downstream can count matches per pre event).
+      carryCols: Seq[String] = Nil,
   ): DataFrame = {
+    val carry = carryCols.map(col)
     val l = pre
       .withWatermark("ts", watermark)
-      .select(col("name"), col("group_id"), col("ts").as("pre_ts"))
+      .select(Seq(col("name"), col("group_id")) ++ carry :+ col("ts").as("pre_ts"): _*)
     val r = post
       .withWatermark("ts", watermark)
       .select(col("name").as("r_name"), col("group_id").as("r_group_id"), col("ts").as("post_ts"))
@@ -229,8 +233,9 @@ object StreamOps {
         col("post_ts") >= col("pre_ts") &&
         col("post_ts") <= col("pre_ts") + expr(s"INTERVAL $toleranceSeconds SECONDS"))
       .select(
-        col("name"), col("group_id"), col("pre_ts"), col("post_ts"),
-        (unix_millis(col("post_ts")) - unix_millis(col("pre_ts"))).as("duration_ms"))
+        Seq(col("name"), col("group_id")) ++ carry ++ Seq(
+          col("pre_ts"), col("post_ts"),
+          (unix_millis(col("post_ts")) - unix_millis(col("pre_ts"))).as("duration_ms")): _*)
   }
 
   /** ST8: dead-letter split — valid rows one way, corrupt rows the other

@@ -419,4 +419,41 @@ class StreamMaintenanceSpec extends SparkSpec {
       assert(query.lastProgress.stateOperators.isEmpty) // truly stateless
     } finally query.stop()
   }
+
+  test("j3_stream_replay: micro-batch stream-stream join equals the batch range join row for row") {
+    // The registry row's contract, pinned at sf0.001: the same event feed
+    // through 6 forced micro-batches (views surviving state-store round
+    // trips to meet later purchases) produces exactly the batch j3 table.
+    val t = graft.Tables(spark, sf0001)
+    val streamed = graft.operators.TimeWindows.j3_stream_replay.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.TimeWindows.j3_prepost_correlate.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty, "fixture must contain view->purchase correlations")
+    assert(streamed == batch)
+  }
+
+  test("prePostStreamJoin carryCols rides the pre event id through the join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pre  = MemoryStream[(String, String, Long, java.sql.Timestamp)]
+    val post = MemoryStream[(String, String, java.sql.Timestamp)]
+    val joined = StreamOps.prePostStreamJoin(
+      pre.toDF().toDF("name", "group_id", "pre_id", "ts"),
+      post.toDF().toDF("name", "group_id", "ts"),
+      watermark = "10 seconds", toleranceSeconds = 60,
+      carryCols = Seq("pre_id"))
+    val q = joined.writeStream.format("memory").queryName("prepost_carry_out")
+      .outputMode("append").start()
+    try {
+      pre.addData(("Read", "pg-1", 77L, ts("2026-01-01 10:00:00")))
+      post.addData(("Read", "pg-1", ts("2026-01-01 10:00:03")))
+      q.processAllAvailable()
+      val rows = spark.table("prepost_carry_out").collect()
+        .map(r => (r.getString(0), r.getLong(r.fieldIndex("pre_id")),
+          r.getLong(r.fieldIndex("duration_ms"))))
+      assert(rows.toSeq == Seq(("Read", 77L, 3000L)))
+    } finally q.stop()
+  }
 }

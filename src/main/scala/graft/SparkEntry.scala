@@ -13,28 +13,23 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Correctness instruments, split out of the bench headline:
+  /** All registered queries, in module order, each stamped with its
+    * defining module (the generated-inventory seam — see tools.CoverageGen).
+    *
+    * Correctness instruments (bench splits their cost into
+    * `total_instruments`, separate from the `total_production` headline)
+    * are marked at their DEFINITION sites via `Q.instrument` — there is no
+    * name list here to drift when a query is renamed (VERDICT r10 ask #7):
     * (a) md5-bridge renderings whose only purpose is giving DuckDB an
     * expressible oracle for hash-family logic (xxhash64/sign-LSH shingles
     * have no DuckDB counterpart) — each has a production sibling (x2_fast /
     * x3 / x4 / x10 / x26_fast / x27_fast / x29_fast) that IS the path a
-    * user runs; (b) st6_stream_replay, the micro-batch replay HARNESS that
-    * drives the live sessionizer through forced batches so the streaming
-    * path has a driver oracle — its wall time is dominated by 8 micro-batch
-    * replans + state-store commits + the driver-side event feed, overhead a
-    * real deployment amortizes over a continuous stream (the per-event plan
-    * cost is st6_trace_turns, a production row). Bench splits instrument
-    * cost into `total_instruments` so the headline `total_production`
-    * tracks real workloads. BASELINE.md §"bridge rows" records the
-    * rationale once.
-    */
-  private val instrumentRows: Set[String] = Set(
-    "x2_ngram_jaccard", "x3b_minhash_md5", "x4b_simhash_md5", "x10b_ann_md5",
-    "x26_neardup_pipeline", "x27_incremental_neardup", "x29_ingest_pipeline",
-    "st6_stream_replay", "j3_stream_replay")
-
-  /** All registered queries, in module order, each stamped with its
-    * defining module (the generated-inventory seam — see tools.CoverageGen).
+    * user runs; (b) st6_stream_replay / j3_stream_replay, the micro-batch
+    * replay HARNESSES that drive the live streaming paths through forced
+    * batches so they have driver oracles — wall time dominated by replans +
+    * state-store commits + the driver-side feed, overhead a real deployment
+    * amortizes over a continuous stream. BASELINE.md §"bridge rows" records
+    * the rationale once.
     */
   val registry: Seq[Q] =
     Seq(
@@ -51,7 +46,6 @@ object SparkEntry {
       "HybridRetrieval" -> HybridRetrieval.all,
       "SnapshotQueries" -> SnapshotQueries.all,
     ).flatMap { case (m, qs) => qs.map(_.inModule(m)) }
-      .map(q => if (instrumentRows(q.name)) q.asInstrument else q)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The §7.2 minimum slice: scan -> filter -> broadcast star join -> hash

@@ -73,7 +73,6 @@ final case class Q(
       */
     module: String = "",
 ) {
-  def asInstrument: Q = copy(instrument = true)
   def inModule(m: String): Q = copy(module = m)
 }
 
@@ -82,4 +81,12 @@ object Q {
     Q(name, (s, d) => f(Tables(s, d)), Some(sql))
   def noOracle(name: String)(f: Tables => DataFrame): Q =
     Q(name, (s, d) => f(Tables(s, d)), None)
+
+  /** Correctness-instrument constructor: marks the query at its DEFINITION
+    * site (not via a name list in SparkEntry), so a rename cannot silently
+    * drop a query out of the bench's instrument/production split. See the
+    * `Q.instrument` field doc for what qualifies as an instrument.
+    */
+  def instrument(name: String, sql: String)(f: Tables => DataFrame): Q =
+    Q(name, (s, d) => f(Tables(s, d)), Some(sql), instrument = true)
 }

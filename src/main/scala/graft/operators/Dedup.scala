@@ -88,7 +88,7 @@ object Dedup {
     */
   private val MaxShingleDF = 100
 
-  val x2_ngram_jaccard = Q(
+  val x2_ngram_jaccard = Q.instrument(
     "x2_ngram_jaccard",
     """WITH sh0 AS (
       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
@@ -386,7 +386,7 @@ object Dedup {
       .distinct()
   }
 
-  val x3b_minhash_md5 = Q(
+  val x3b_minhash_md5 = Q.instrument(
     "x3b_minhash_md5",
     s"""WITH $minhashMd5PairsSqlCtes
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
@@ -492,7 +492,7 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  val x4b_simhash_md5 = Q("x4b_simhash_md5", x4bOracleSql) { t =>
+  val x4b_simhash_md5 = Q.instrument("x4b_simhash_md5", x4bOracleSql) { t =>
     // SimHash with md5 as the hash family — the ORACLE-CHECKED bridge for
     // the x4 pipeline (the x3b trick applied to SimHash): md5 exists in
     // both engines, so the per-token bit votes, sign fingerprint, banding,
@@ -665,7 +665,7 @@ object Dedup {
       readBandIndex(spark, path).filter(col("bucket_shard").isin(shardList: _*)))
   }
 
-  val x27_incremental_neardup = Q(
+  val x27_incremental_neardup = Q.instrument(
     "x27_incremental_neardup",
     s"""WITH ${md5BandsSqlCtes("_c", "WHERE doc_id % 2 = 0")},
        |${md5BandsSqlCtes("_b", "WHERE doc_id % 2 <> 0")},

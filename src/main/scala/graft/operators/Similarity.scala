@@ -147,7 +147,7 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val x10b_ann_md5 = Q(
+  val x10b_ann_md5 = Q.instrument(
     "x10b_ann_md5",
     """WITH dims AS (
       |  SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS qx

@@ -103,7 +103,7 @@ object TimeWindows {
     * and the identical plan runs unbounded with state bounded by
     * (rate x (tolerance + watermark)).
     */
-  val j3_stream_replay = Q(
+  val j3_stream_replay = Q.instrument(
     "j3_stream_replay",
     """SELECT v.user_id, v.event_id AS view_id, count(*) AS n_purchases_within_1h
       |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'view') v

@@ -194,7 +194,7 @@ object TraceQueries {
     * session_id and keeps one open turn per session in the store — the
     * same plan that runs against a Kafka source at production scale.
     */
-  val st6_stream_replay = Q("st6_stream_replay", st6Sql(completedOnly = true)) { t =>
+  val st6_stream_replay = Q.instrument("st6_stream_replay", st6Sql(completedOnly = true)) { t =>
     implicit val spark: org.apache.spark.sql.SparkSession = t.spark
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

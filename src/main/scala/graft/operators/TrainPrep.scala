@@ -548,7 +548,7 @@ object TrainPrep {
       .orderBy("lang", "bin")
   }
 
-  val x26_neardup_pipeline = Q(
+  val x26_neardup_pipeline = Q.instrument(
     "x26_neardup_pipeline",
     s"""WITH RECURSIVE ${Dedup.minhashMd5PairsSqlCtes},
        |edges AS (
@@ -663,7 +663,7 @@ object TrainPrep {
       .orderBy("lang", "split")
   }
 
-  val x29_ingest_pipeline = Q(
+  val x29_ingest_pipeline = Q.instrument(
     "x29_ingest_pipeline",
     s"""WITH ${Dedup.md5BandsSqlCtes("_c", "WHERE doc_id % 2 = 0")},
        |${Dedup.md5BandsSqlCtes("_b", "WHERE doc_id % 2 <> 0")},

@@ -183,11 +183,13 @@ object Relational {
        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
   ) { t =>
     // SURVEY J1: parent<->child hash join + per-parent aggregation
-    // (reference: RecentSessionsTable.tsx:38-74). customer is the small side
-    // at TPC-H ratios (1:10 vs orders) — broadcast it so the orders fact
-    // never shuffles.
+    // (reference: RecentSessionsTable.tsx:38-74). customer is the smaller
+    // side at TPC-H ratios (1:10 vs orders) but GROWS with the corpus, so
+    // it carries no broadcast hint: AQE broadcasts it while it fits (it
+    // does at sf0.1) and degrades to sort-merge past the 8 GB limit
+    // instead of OOMing the driver at 100x.
     t.orders
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
       .orderBy("c_custkey")
@@ -255,15 +257,17 @@ object Relational {
       |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
   ) { t =>
     // TPC-H Q5-shaped star join carrying the SURVEY §2.3 matrix: the two
-    // facts (lineitem/orders) meet in a shuffled join on orderkey; every
-    // dimension (customer/nation/region) is broadcast so the fact-side rows
-    // shuffle exactly once. Revenue in exact decimal, cast to double last.
+    // facts (lineitem/orders) meet in a shuffled join on orderkey; the
+    // FIXED dimensions (nation/region — 25/5 rows at every SF) are pinned
+    // broadcast, while customer grows with the corpus and is left to AQE
+    // (broadcast while it fits, sort-merge past the 8 GB limit at 100x).
+    // Revenue in exact decimal, cast to double last.
     val revenue = sum(
       col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DoubleType)
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -512,9 +516,11 @@ object Relational {
       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
   ) { t =>
-    // TPC-H Q3 shape (BENCH headline): segment-filtered customer broadcast
-    // into orders, date filters pushed to both fact scans, top-10 by
-    // revenue via TakeOrderedAndProject after one shuffled agg.
+    // TPC-H Q3 shape (BENCH headline): segment-filtered customer joined
+    // into orders (unhinted — the filtered set is still ~1/5 of customer
+    // and grows with the corpus; AQE broadcasts it at sf0.1), date filters
+    // pushed to both fact scans, top-10 by revenue via
+    // TakeOrderedAndProject after one shuffled agg.
     val revenue = sum(
       col("l_extendedprice").cast(DecimalType(18, 2)) *
         (lit(1) - col("l_discount").cast(DecimalType(18, 2)))).cast(DoubleType)
@@ -524,7 +530,7 @@ object Relational {
         t.orders.filter(col("o_orderdate") < lit("1998-06-01").cast(TimestampType)),
         col("l_orderkey") === col("o_orderkey"))
       .join(
-        broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")),
+        t.customer.filter(col("c_mktsegment") === "BUILDING"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg(revenue.as("revenue"))
@@ -672,7 +678,8 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
   ) { t =>
-    // TPC-H Q14 shape: conditional revenue share — broadcast dim join, one
+    // TPC-H Q14 shape: conditional revenue share — an unhinted part join
+    // (part grows with the corpus; AQE broadcasts it while it fits), one
     // aggregation with a guarded numerator, and a SINGLE double division at
     // the end. Revenue stays exact decimal through the sums (the §7.4
     // determinism rule), so the ratio is engine-identical.
@@ -682,7 +689,7 @@ object Relational {
       .filter(
         col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
           col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
-      .join(broadcast(t.part.select("p_partkey", "p_type")), col("l_partkey") === col("p_partkey"))
+      .join(t.part.select("p_partkey", "p_type"), col("l_partkey") === col("p_partkey"))
       .agg(
         (lit(100.0) *
           sum(when(col("p_type") === "PROMO", rev)).cast(DoubleType) /
@@ -846,8 +853,9 @@ object Relational {
     // TPC-H Q16 shape (partsupp rendered as lineitem's (part, supplier)
     // pairs — the testdata ships no partsupp table): filtered dim join +
     // blacklist anti-join + count-distinct per group. The part predicate
-    // prunes the broadcast side BEFORE the join; the excluded-supplier
-    // set is a second (tiny) broadcast anti-join; the distinct collapses
+    // prunes the joined side BEFORE the join (both part- and
+    // supplier-derived frames are unhinted — they grow with the corpus, so
+    // AQE picks broadcast only while they fit); the distinct collapses
     // (brand, type, size, suppkey) map-side before the count.
     val parts = t.part
       .filter(col("p_brand") =!= "Brand#45" &&
@@ -855,8 +863,8 @@ object Relational {
       .select("p_partkey", "p_brand", "p_type", "p_size")
     val badSupp = t.supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
     t.lineitem.select("l_partkey", "l_suppkey")
-      .join(broadcast(parts), col("p_partkey") === col("l_partkey"))
-      .join(broadcast(badSupp), col("s_suppkey") === col("l_suppkey"), "left_anti")
+      .join(parts, col("p_partkey") === col("l_partkey"))
+      .join(badSupp, col("s_suppkey") === col("l_suppkey"), "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
@@ -886,7 +894,7 @@ object Relational {
         col("l_quantity").between(qLo, qHi)
     }.reduce(_ || _)
     t.lineitem
-      .join(broadcast(t.part), col("p_partkey") === col("l_partkey"))
+      .join(t.part, col("p_partkey") === col("l_partkey"))
       .filter(residual)
       .agg(
         sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
@@ -947,7 +955,7 @@ object Relational {
     // is an exact DECIMAL sum cast once to double: a float-summed revenue
     // would make `rev = max(rev)` flap under partial aggregation. The
     // quarter's revenue agg is one keyed shuffle over the date-pruned
-    // scan; supplier joins broadcast.
+    // scan; the supplier join is unhinted (AQE broadcasts while it fits).
     val rev = t.lineitem
       .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
         col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
@@ -982,8 +990,10 @@ object Relational {
     // part-filter -> per-(part,supplier) threshold -> supplier semi-join.
     // Both quantity aggregates share the l_partkey grain, so the
     // (part, supplier) agg and the part total reuse one shuffle lineage;
-    // the PROMO filter broadcasts onto the agg output, and the final
-    // IN becomes a left-semi against the small dominant set.
+    // the PROMO filter semi-joins onto the agg output, and the final
+    // IN becomes a left-semi against the dominant set — both unhinted
+    // (part/supplier-derived frames grow with the corpus; AQE broadcasts
+    // them while they fit).
     val sq = t.lineitem
       .groupBy("l_partkey", "l_suppkey")
       .agg(dsum(col("l_quantity")).as("q"))
@@ -993,11 +1003,11 @@ object Relational {
     val promo = t.part.filter(col("p_type") === "PROMO").select("p_partkey")
     val dominant = sq
       .join(pq, col("pk") === col("l_partkey"))
-      .join(broadcast(promo), col("p_partkey") === col("l_partkey"), "left_semi")
+      .join(promo, col("p_partkey") === col("l_partkey"), "left_semi")
       .filter(col("q") > lit(0.15) * col("tq"))
       .select("l_suppkey").distinct()
     t.supplier.select("s_suppkey", "s_name")
-      .join(broadcast(dominant), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(dominant, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .orderBy("s_suppkey")
   }
 
@@ -1056,21 +1066,28 @@ object Relational {
        |ORDER BY p_partkey, s_suppkey""".stripMargin,
   ) { t =>
     // TPC-H Q2 shape (partsupp-less adaptation): the correlated
-    // "= (SELECT min(..) WHERE same part)" subquery, DECORRELATED the way
-    // Catalyst would — aggregate once, derive the per-part minimum (a
-    // part-sized table, broadcast), and equi-join it back. Cost stays
-    // exact DECIMAL through the min/equality compare (double only at
-    // output), so ties resolve identically in both engines — all tied
-    // minimum suppliers survive, as in the spec query.
+    // "= (SELECT min(..) WHERE same part)" subquery, decorrelated as a
+    // window min over the part key — one aggregate, no second aggregate,
+    // no join back, no broadcast of a part-sized frame (the r10 verdict's
+    // worst-case growing-side broadcast). The ps aggregate is already
+    // hash-partitioned by l_partkey (a superset of the window key would
+    // not be, but groupBy(l_partkey, l_suppkey) then window-by-l_partkey
+    // re-shuffles once on the narrower key — still one exchange fewer
+    // than aggregate+join, and nothing is pinned to the driver at 100x).
+    // Cost stays exact DECIMAL through the min/equality compare (double
+    // only at output), so ties resolve identically in both engines — all
+    // tied minimum suppliers survive, as in the spec query. Part and
+    // supplier lookups are left unhinted: they grow with the corpus, so
+    // AQE decides broadcast vs shuffle at runtime (it broadcasts at sf0.1).
     val ps = t.lineitem
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(lineRev).as("cost"))
-    val mn = ps.groupBy(col("l_partkey")).agg(min(col("cost")).as("mincost"))
-    ps.join(broadcast(mn), Seq("l_partkey"))
+    val byPart = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    ps.withColumn("mincost", min(col("cost")).over(byPart))
       .where(col("cost") === col("mincost"))
-      .join(broadcast(t.part.where(col("p_size") >= 30).select("p_partkey")),
+      .join(t.part.where(col("p_size") >= 30).select("p_partkey"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+      .join(t.supplier.select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
         col("cost").cast(DoubleType).as("cost"))
@@ -1094,10 +1111,12 @@ object Relational {
     // constraint is c_nationkey = s_nationkey — the plan is NOT a star
     // (customer nation must match the line's supplier nation), so the
     // second join predicate rides the customer equi-join as a residual.
-    // Dimension chain region→nation→supplier collapses to one broadcast
-    // (suppliers restricted to the region, tagged with n_name); lineitem
-    // shrinks at that broadcast before the orders shuffle; the date
-    // window is pushed to the orders scan.
+    // Dimension chain region→nation→supplier collapses to one
+    // region-restricted supplier frame tagged with n_name (only the fixed
+    // region table is pinned broadcast; the supplier-derived frame is
+    // unhinted because supplier grows with the corpus); lineitem shrinks
+    // at that join before the orders shuffle; the date window is pushed
+    // to the orders scan.
     val asiaSup = t.supplier
       .join(
         t.nation.join(broadcast(t.region.where(col("r_name") === "ASIA")),
@@ -1109,7 +1128,7 @@ object Relational {
         col("o_orderdate") < lit("1999-01-01").cast(TimestampType))
       .select("o_orderkey", "o_custkey")
     t.lineitem
-      .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+      .join(asiaSup, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(t.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey") &&
@@ -1134,8 +1153,9 @@ object Relational {
   ) { t =>
     // TPC-H Q7 shape: bilateral trade volume. The nation-pair disjunction
     // is pushed INTO the dimension sides before the fact joins — supplier
-    // and customer are each pre-filtered to the two nations and broadcast,
-    // so lineitem shrinks ~2/25 at the first (broadcast) join and only the
+    // and customer are each pre-filtered to the two nations (unhinted:
+    // 2/25 of a corpus-growing table still grows; AQE broadcasts while it
+    // fits), so lineitem shrinks ~2/25 at the first join and only the
     // surviving rows shuffle for the orders equi-join.
     val nations = Seq("NATION_1", "NATION_2")
     val supN = t.supplier
@@ -1149,9 +1169,9 @@ object Relational {
     t.lineitem
       .where(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
         col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cusN), col("o_custkey") === col("c_custkey"))
+      .join(cusN, col("o_custkey") === col("c_custkey"))
       .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
@@ -1178,9 +1198,11 @@ object Relational {
   ) { t =>
     // TPC-H Q8 shape: one nation's share of a region's PROMO revenue per
     // year — the 6-way snowflake with a guarded numerator over the same
-    // aggregate. Every dimension (part filtered to PROMO, customers
+    // aggregate. Every dimension frame (part filtered to PROMO, customers
     // semi-reduced to the ASIA region, suppliers tagged with their nation)
-    // broadcasts; lineitem shuffles once for the orders join. The share is
+    // is unhinted — they all grow with the corpus, so AQE broadcasts them
+    // only while they fit; lineitem shuffles once for the orders join. The
+    // share is
     // numerator/denominator of the SAME exact-decimal sum, divided once in
     // double.
     val promoParts = t.part.where(col("p_type") === "PROMO").select("p_partkey")
@@ -1193,11 +1215,11 @@ object Relational {
         col("s_nationkey") === col("sn_key"))
       .select(col("s_suppkey"), col("nation"))
     t.lineitem
-      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg((coalesce(sum(when(col("nation") === "NATION_3", lineRev)).cast(DoubleType), lit(0.0)) /
         sum(lineRev).cast(DoubleType)).as("mkt_share"))
@@ -1218,7 +1240,8 @@ object Relational {
   ) { t =>
     // TPC-H Q9 shape (supplycost proxied by retailprice x quantity): profit
     // by supplier nation and order year for one product family. The
-    // substring filter prunes part BEFORE broadcast, the profit expression
+    // substring filter prunes part BEFORE its (unhinted, AQE-decided)
+    // join, the profit expression
     // stays exact decimal end-to-end (product scales widen, subtraction is
     // exact), and the only fact shuffle is the orders equi-join.
     val widgetParts = t.part.where(col("p_name").contains("widget"))
@@ -1229,8 +1252,8 @@ object Relational {
     val profit = lineRev -
       col("p_retailprice").cast(DecimalType(18, 2)) * col("l_quantity").cast(DecimalType(18, 2))
     t.lineitem
-      .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(widgetParts, col("l_partkey") === col("p_partkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .join(t.orders.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
       .agg(sum(profit).cast(DoubleType).as("profit"))
@@ -1250,7 +1273,8 @@ object Relational {
   ) { t =>
     // TPC-H Q10 shape: top-20 customers by returned revenue in a quarter.
     // The quarter predicate pushes to the orders scan, the returnflag
-    // predicate to the lineitem scan; customer+nation broadcast. Top-20 is
+    // predicate to the lineitem scan; only the fixed nation table is
+    // pinned broadcast — the customer-derived frame is AQE's call. Top-20 is
     // ordered on the CAST-to-double revenue in BOTH engines with a custkey
     // tiebreak, so the cut is deterministic.
     val custN = t.customer
@@ -1262,7 +1286,7 @@ object Relational {
           col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
           .select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(sum(lineRev).cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey"))
@@ -1293,7 +1317,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val pv = t.lineitem
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey").as("p_partkey"))
       .agg(sum(lineRev).as("val"))
     val total = pv.agg(

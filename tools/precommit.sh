@@ -10,10 +10,14 @@ cd "$(git rev-parse --show-toplevel)"
 if git diff --cached --name-only | grep -q '^src/main/scala/graft/'; then
   CLASSES=target/scala-2.13/classes
   if [ -f "$CLASSES/graft/tools/CoverageGen.class" ]; then
-    # Only trust classes at least as new as every staged source they render from.
+    # Only trust classes at least as new as every staged source they render
+    # from. Incremental compilation rebuilds only affected .class files, so
+    # compare against the NEWEST class file, not CoverageGen.class itself.
+    REF=$(find "$CLASSES" -name '*.class' -printf '%T@ %p\n' | sort -rn | head -1 | cut -d' ' -f2-)
+    [ -n "$REF" ] || REF="$CLASSES/graft/tools/CoverageGen.class"
     STALE=0
     while IFS= read -r f; do
-      [ -f "$f" ] && [ "$f" -nt "$CLASSES/graft/tools/CoverageGen.class" ] && STALE=1
+      [ -f "$f" ] && [ "$f" -nt "$REF" ] && STALE=1
     done < <(git diff --cached --name-only | grep '^src/main/scala/graft/' || true)
     if [ "$STALE" = 1 ]; then
       echo "[precommit] staged sources newer than compiled classes — run 'sbt compile' first" >&2

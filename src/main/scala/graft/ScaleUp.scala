@@ -15,15 +15,27 @@ import org.apache.spark.sql.functions._
   * replica so the dedup corpus grows organically too (replicas are NOT
   * near-duplicates of each other: every 5-shingle differs, so x2/x3/x4
   * candidate structure scales like real data rather than like a corpus
-  * with factor-sized duplicate clusters). Dim tables copy through; fact
-  * foreign keys into them (o_custkey etc.) are left unshifted on purpose —
-  * 10x facts over the same dims is the realistic growth shape.
+  * with factor-sized duplicate clusters).
   *
-  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor>
+  * Two dimension doctrines (the r10 verdict's "dimension-growth" gap):
+  * DEFAULT mode copies dim tables through and leaves fact foreign keys
+  * unshifted — `factor`x facts over the same dims, the growth shape of a
+  * fixed product catalog accumulating history. `--grow-dims` replicates
+  * customer/part/supplier WITH the facts and shifts the fact foreign keys
+  * by the DIM table's span (not the fact's own max — customers without
+  * orders would desynchronize the shift), so every replica's facts
+  * reference that replica's dims: the growth shape where the entity
+  * population scales with the corpus. Only grow-dims exercises the
+  * AQE broadcast→sort-merge transition on the dim joins, which is why the
+  * fixed-dims decade tables could never land it. nation/region stay
+  * fixed in both modes (25/5 rows at every TPC-H SF).
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <outDir> <factor> [--grow-dims]
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, factorS) = args
+    val (srcDir, outDir, factorS) = (args(0), args(1), args(2))
+    val growDims = args.contains("--grow-dims")
     val factor = factorS.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -40,19 +52,26 @@ object ScaleUp {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
-    /** Union of `factor` copies with each key column shifted by i*(max+1). */
+    /** Union of `factor` copies with each key column shifted by i*span. */
+    def replicateWith(
+        df: DataFrame,
+        keySpans: Seq[(String, Long)],
+        perReplica: (DataFrame, Int) => DataFrame = (d, _) => d,
+    ): DataFrame =
+      (0 until factor).map { i =>
+        keySpans.foldLeft(perReplica(df, i)) { case (d, (k, span)) =>
+          d.withColumn(k, col(k) + lit(i * span))
+        }
+      }.reduce(_ unionByName _)
+
+    def span(df: DataFrame, k: String): Long = df.agg(max(col(k))).head.getLong(0) + 1L
+
+    /** Default-mode replicate: spans derived from the table's own keys. */
     def replicate(
         df: DataFrame,
         keys: Seq[String],
         perReplica: (DataFrame, Int) => DataFrame = (d, _) => d,
-    ): DataFrame = {
-      val spans = keys.map(k => k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
-      (0 until factor).map { i =>
-        spans.foldLeft(perReplica(df, i)) { case (d, (k, span)) =>
-          d.withColumn(k, col(k) + lit(i * span))
-        }
-      }.reduce(_ unionByName _)
-    }
+    ): DataFrame = replicateWith(df, keys.map(k => k -> span(df, k)), perReplica)
 
     // every token prefixed per replica: texts share no 5-shingle across
     // replicas, token/char counts grow ~proportionally
@@ -65,9 +84,28 @@ object ScaleUp {
     write(replicate(t("documents"), Seq("doc_id"), perturbText), "documents")
     write(replicate(t("embeddings"), Seq("vec_id")), "embeddings")
     write(replicate(t("events"), Seq("event_id", "user_id")), "events")
-    write(replicate(t("orders"), Seq("o_orderkey")), "orders")
-    write(replicate(t("lineitem"), Seq("l_orderkey")), "lineitem")
-    Seq("customer", "supplier", "part", "nation", "region").foreach(n => write(t(n), n))
+    if (growDims) {
+      // Spans come from the DIM side so fact FKs land on real replica keys
+      // even when some dim rows have no facts; the order span comes from
+      // orders (every TPC-H order has lineitems, so lineitem agrees).
+      val custSpan  = span(t("customer"), "c_custkey")
+      val suppSpan  = span(t("supplier"), "s_suppkey")
+      val partSpan  = span(t("part"), "p_partkey")
+      val orderSpan = span(t("orders"), "o_orderkey")
+      write(replicateWith(t("customer"), Seq("c_custkey" -> custSpan)), "customer")
+      write(replicateWith(t("supplier"), Seq("s_suppkey" -> suppSpan)), "supplier")
+      write(replicateWith(t("part"), Seq("p_partkey" -> partSpan)), "part")
+      write(replicateWith(t("orders"),
+        Seq("o_orderkey" -> orderSpan, "o_custkey" -> custSpan)), "orders")
+      write(replicateWith(t("lineitem"),
+        Seq("l_orderkey" -> orderSpan, "l_partkey" -> partSpan, "l_suppkey" -> suppSpan)),
+        "lineitem")
+      Seq("nation", "region").foreach(n => write(t(n), n))
+    } else {
+      write(replicate(t("orders"), Seq("o_orderkey")), "orders")
+      write(replicate(t("lineitem"), Seq("l_orderkey")), "lineitem")
+      Seq("customer", "supplier", "part", "nation", "region").foreach(n => write(t(n), n))
+    }
     spark.stop()
   }
 }

@@ -18,11 +18,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main(sf_dir: str, out_dir: str) -> int:
+    import os
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver testdata ships single files; ScaleUp output is a directory
+        # of part files under the same <table>.parquet name
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = []
     # rows-only check for queries without an oracle (mirrors the driver's

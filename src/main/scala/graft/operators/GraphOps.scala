@@ -226,24 +226,25 @@ object GraphOps {
     try {
       var labels = cp.checkpoint(sym.select(col("src").as("node")).distinct()
         .withColumn("component", col("node")))
+      // Convergence is detected INSIDE the propagation aggregate: each
+      // node's own prior label rides along tagged `own`, so the old label
+      // is min(component WHERE own) of the same group — no per-round
+      // labels-vs-next probe join (that join was a second shuffle round
+      // and its own codegen stage).
+      def propagate(l: DataFrame): DataFrame = cp.checkpoint(sym
+        .select(col("src").as("node"), col("dst"))
+        .join(l, Seq("node"))
+        .select(col("dst").as("node"), col("component"), lit(false).as("own"))
+        .unionByName(l.select(col("node"), col("component"), lit(true).as("own")))
+        .groupBy("node")
+        .agg(
+          min("component").as("component"),
+          min(when(col("own"), col("component"))).as("old_component")))
       var changed = true
       var iter    = 0
       while (changed && iter < maxIter) {
         iter += 1
-        // Convergence is detected INSIDE the propagation aggregate: each
-        // node's own prior label rides along tagged `own`, so the old label
-        // is min(component WHERE own) of the same group — no per-round
-        // labels-vs-next probe join (that join was a second shuffle round
-        // and its own codegen stage).
-        val next = cp.checkpoint(sym
-          .select(col("src").as("node"), col("dst"))
-          .join(labels, Seq("node"))
-          .select(col("dst").as("node"), col("component"), lit(false).as("own"))
-          .unionByName(labels.select(col("node"), col("component"), lit(true).as("own")))
-          .groupBy("node")
-          .agg(
-            min("component").as("component"),
-            min(when(col("own"), col("component"))).as("old_component")))
+        val next = propagate(labels)
         changed = !next.filter(col("component") =!= col("old_component")).isEmpty
         labels = next.select("node", "component")
         cp.retain(next) // the prior round's label blocks are dead now
@@ -252,11 +253,21 @@ object GraphOps {
       // labeling — a component chain deeper than maxIter rounds must be
       // loud, not subtly mislabeled. 20 rounds covers diameter ~2^0-grade
       // dedup clusters with a wide margin; a legitimate deep graph raises
-      // maxIter explicitly.
-      if (changed)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge within $maxIter rounds — " +
-            "component diameter exceeds the cap; raise maxIter for this graph")
+      // maxIter explicitly. `changed` only says the LAST permitted round
+      // still made updates — a graph whose fixpoint lands exactly at round
+      // maxIter is converged, not deep, so one extra probe round (cheap:
+      // the same aggregate once more) distinguishes the two before
+      // throwing (r10 ADVICE boundary case).
+      if (changed) {
+        val probe = propagate(labels)
+        changed = !probe.filter(col("component") =!= col("old_component")).isEmpty
+        if (changed)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge within $maxIter rounds — " +
+              "component diameter exceeds the cap; raise maxIter for this graph")
+        labels = probe.select("node", "component")
+        cp.retain(probe)
+      }
       labels.select("node", "component")
     } finally { sym.unpersist(false); () }
   }

@@ -105,9 +105,14 @@ object Maintenance {
     * entry-time recovery scan repairs before the next merge reads the
     * table: a backup with no live dir rolls back (crash landed between
     * the two renames), a backup beside a live dir is dropped (swap
-    * completed, cleanup didn't). Every partition is therefore always
-    * fully old or fully new from a reader's view, and re-running the
-    * same merge after any crash is safe and idempotent.
+    * completed, cleanup didn't). Across CRASH AND RECOVERY every
+    * partition is therefore fully old or fully new, and re-running the
+    * same merge after any crash is safe and idempotent. This is a
+    * crash-recovery guarantee, NOT reader snapshot isolation: a reader
+    * scanning concurrently with a live merge can catch the instant
+    * between the two renames and silently miss that partition's rows.
+    * Readers that must be isolated from in-place swaps read through
+    * [[graft.sources.MultiStore]] (manifest snapshots) instead.
     *
     * Concurrency: a `_graft_merge_lock` marker (exclusive create, deleted
     * on commit) makes a second concurrent merge FAIL LOUDLY instead of
@@ -233,25 +238,45 @@ object Maintenance {
     * present) on entry. The r9 delete-then-rename form had a window where
     * a crash left NO readable table at `path` while the only good copy
     * sat in the tmp dir readers never look at.
+    *
+    * Serializes with [[merge]] on the SAME `_graft_merge_lock` (r10
+    * ADVICE: an unlocked compact concurrent with a merge could interleave
+    * directory renames on one table). The lock file is written into the
+    * compacted copy before the swap so it is held continuously across the
+    * rename; a crash leaves it behind by design, and `takeoverLock = true`
+    * (after confirming no live writer) reclaims it — the same escape
+    * hatch as merge. Because the crashed-rollback path restores the lock
+    * along with the data, recovery from a crashed compact ALWAYS requires
+    * the takeover flag: loud beats silently assuming the writer is dead.
     */
-  def compact(spark: SparkSession, path: String, targetFiles: Int): Unit = {
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+              takeoverLock: Boolean = false): Unit = {
     val dst    = new org.apache.hadoop.fs.Path(path)
     val fs     = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val backup = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_old")
-    if (fs.exists(backup)) {
-      if (!fs.exists(dst)) {
-        if (!fs.rename(backup, dst))
-          throw new java.io.IOException(s"could not roll back crashed compaction of $path")
-      } else fs.delete(backup, true)
+    // Roll back a crashed swap BEFORE acquiring the lock: acquisition
+    // would otherwise create the (empty) table dir and make the backup
+    // look like completed-swap leftovers.
+    if (fs.exists(backup) && !fs.exists(dst)) {
+      if (!fs.rename(backup, dst))
+        throw new java.io.IOException(s"could not roll back crashed compaction of $path")
     }
-    val df  = spark.read.parquet(path)
-    val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
-    df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(dst, backup))
-      throw new java.io.IOException(s"could not set aside $path for compaction")
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"could not swap compacted copy into $path")
-    fs.delete(backup, true)
+    acquireMergeLock(fs, dst, takeoverLock)
+    try {
+      recoverSwaps(fs, dst)
+      if (fs.exists(backup)) fs.delete(backup, true)
+      val df  = spark.read.parquet(path)
+      val tmp = new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__compact_tmp")
+      df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // carry the held lock into the copy so the swap never exposes an
+      // unlocked live dir to a concurrent merge's exclusive-create
+      fs.create(new org.apache.hadoop.fs.Path(tmp, MergeLock), false).close()
+      if (!fs.rename(dst, backup))
+        throw new java.io.IOException(s"could not set aside $path for compaction")
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"could not swap compacted copy into $path")
+      fs.delete(backup, true)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dst, MergeLock), false)
     ()
   }
 }

@@ -11,7 +11,9 @@ import graft.Q
   * manifest and reports the before/after/delta per group. The store root,
   * version dirs, numbered manifests, atomic publishes, history listing,
   * and `readAt` all execute for real on every run (a fresh temp root per
-  * invocation, so replays are self-contained); only the CONTENT is what
+  * invocation, deleted before the query returns — the tiny result is
+  * eagerly checkpointed first so nothing re-reads the store); only the
+  * CONTENT is what
   * DuckDB replays, since both snapshots are pure functions of the orders
   * table and a fixed cutoff. A broken commit, a torn manifest, or a
   * time-travel read resolving the wrong version all break the hash.
@@ -50,13 +52,25 @@ object SnapshotQueries {
       .select(col("priority"), col("n").as("n_before"))
     val after = MultiStore.readAt(spark, root, "rollup", history.last)
       .select(col("priority"), col("n").as("n_after"))
-    after.join(before, Seq("priority"), "left")
+    val result = after.join(before, Seq("priority"), "left")
       .select(
         col("priority"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         col("n_after"),
         (col("n_after") - coalesce(col("n_before"), lit(0L))).as("delta"))
       .orderBy("priority")
+      // eager checkpoint (priority-count-sized, a handful of rows)
+      // truncates the lineage so the temp store can be deleted NOW —
+      // bench repeats were accumulating orphan graft-timetravel dirs in
+      // /tmp across rounds (r10 ADVICE)
+      .localCheckpoint(true)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(java.nio.file.Paths.get(root).getParent)
+    result
   }
 
   val all: Seq[Q] = Seq(m10_time_travel)

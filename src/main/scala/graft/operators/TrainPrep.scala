@@ -894,27 +894,38 @@ object TrainPrep {
     // min-label propagation to fixpoint: each round is ONE SQL statement
     var labels = cp.checkpoint(spark.sql(
       "SELECT DISTINCT src AS node, src AS component FROM nd_edges"))
-    var changed = true
-    var iter    = 0
-    while (changed && iter < 20) {
-      iter += 1
+    def propagateRound(): DataFrame = {
       labels.createOrReplaceTempView("nd_labels")
-      val next = cp.checkpoint(spark.sql(
+      cp.checkpoint(spark.sql(
         """SELECT node, min(component) AS component, min(old_component) AS old_component FROM (
           |  SELECT e.dst AS node, l.component, CAST(NULL AS BIGINT) AS old_component
           |  FROM nd_labels l JOIN nd_edges e ON e.src = l.node
           |  UNION ALL
           |  SELECT node, component, component AS old_component FROM nd_labels)
           |GROUP BY node""".stripMargin))
+    }
+    var changed = true
+    var iter    = 0
+    while (changed && iter < 20) {
+      iter += 1
+      val next = propagateRound()
       changed = !next.filter(col("component") =!= col("old_component")).isEmpty
       labels = cp.checkpoint(next.select("node", "component"))
       cp.retain(labels, edges) // edges feeds every round; prior labels are dead
     }
-    // Same non-convergence contract as GraphOps.connectedComponents: a
-    // silent exit at the cap would hand the report a wrong labeling.
-    if (changed)
-      throw new IllegalStateException(
-        s"neardupReportSql label propagation did not converge within $iter rounds")
+    // Same non-convergence contract as GraphOps.connectedComponents,
+    // including the r10 ADVICE boundary case: a fixpoint landing exactly
+    // at the cap is converged, so one extra probe round runs before the
+    // loud failure.
+    if (changed) {
+      val probe = propagateRound()
+      changed = !probe.filter(col("component") =!= col("old_component")).isEmpty
+      if (changed)
+        throw new IllegalStateException(
+          s"neardupReportSql label propagation did not converge within $iter rounds")
+      labels = cp.checkpoint(probe.select("node", "component"))
+      cp.retain(labels, edges)
+    }
     labels.createOrReplaceTempView("nd_components")
     // canonical-per-cluster -> 75% hash sample -> 80/10/10 split -> 512-
     // token packing -> stratum report (the exact x26 tail, as SQL text)

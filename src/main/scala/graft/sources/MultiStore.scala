@@ -125,7 +125,8 @@ object MultiStore {
     * rename publishes the manifest that names them all plus every
     * unchanged store carried forward. Returns the committed snapshot.
     */
-  def commit(root: String, writes: Map[String, DataFrame], keep: Int = 2): Map[String, Long] = {
+  def commit(root: String, writes: Map[String, DataFrame], keep: Int = 2,
+             pruneGraceMs: Long = DefaultPruneGraceMs): Map[String, Long] = {
     require(writes.nonEmpty, "MultiStore.commit: no stores to write")
     val spark       = writes.head._2.sparkSession
     val (fs, rootP) = hfs(spark, root)
@@ -162,7 +163,7 @@ object MultiStore {
         .mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
       if (fs.rename(tmp, new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + m))) {
-        prune(fs, rootP, root, keep)
+        prune(fs, rootP, root, keep, pruneGraceMs)
         done = Some(snap)
       } else {
         // a concurrent committer took manifest m: retry over its snapshot
@@ -176,13 +177,31 @@ object MultiStore {
     done.get
   }
 
+  /** A retrying committer re-claims a FRESH version on every attempt, so
+    * its manifest, when it finally lands, never references a version a
+    * concurrent pruner could have seen unreferenced. The one thing it
+    * relies on (the retention floor): the gap between writing a data
+    * version and publishing the manifest that references it must stay
+    * inside this grace window, because a concurrent committer's prune
+    * sweeps unreferenced versions only once their files are older than
+    * the grace. 15 min covers any realistic write-to-publish gap; tests
+    * pass 0 to make orphan sweeps immediate.
+    */
+  val DefaultPruneGraceMs: Long = 15 * 60 * 1000L
+
   /** Drop manifests beyond the last `keep` and any data version no
-    * retained manifest references. Orphan versions from crashed attempts
-    * (claimed, written, never published) are removed the same way once
-    * they are older than every retained reference.
+    * retained manifest references — REGARDLESS of version number: a
+    * committer that lost the manifest race (or crashed after claiming and
+    * writing) leaves an orphan version that may be numbered ABOVE every
+    * retained reference, so a below-the-minimum sweep alone leaks it
+    * forever (r10 ADVICE). The age guard (`graceMs`) is what keeps the
+    * wider sweep safe: an IN-FLIGHT commit's freshly written version is
+    * also unreferenced until its manifest rename lands, and is
+    * distinguishable from a dead orphan only by file age.
     */
   private def prune(fs: org.apache.hadoop.fs.FileSystem,
-                    rootP: org.apache.hadoop.fs.Path, root: String, keep: Int): Unit = {
+                    rootP: org.apache.hadoop.fs.Path, root: String, keep: Int,
+                    graceMs: Long): Unit = {
     val all      = manifestNumbers(fs, rootP)
     val retained = all.takeRight(keep)
     all.dropRight(keep).foreach(m =>
@@ -190,21 +209,34 @@ object MultiStore {
     val referenced: Map[String, Set[Long]] = retained
       .flatMap(m => readManifest(fs, rootP, m).toSeq)
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    // per-store sweep: delete version dirs (and claims) below the minimum
-    // retained reference and not themselves referenced
+    val cutoff = System.currentTimeMillis() - graceMs
     fs.listStatus(rootP).toSeq.filter(_.isDirectory).foreach { st =>
       val store = st.getPath.getName
       referenced.get(store).foreach { keepVersions =>
         val minKeep = keepVersions.min
-        fs.listStatus(st.getPath).toSeq.map(_.getPath.getName).foreach { name =>
+        fs.listStatus(st.getPath).toSeq.foreach { entry =>
+          val name = entry.getPath.getName
+          // Below the minimum retained reference nothing can be in-flight
+          // (claims always pick a number above every EXISTING version dir,
+          // and retained versions >= minKeep exist), so the sweep there is
+          // unconditional; ABOVE it an unreferenced version may be a
+          // commit mid-publish, hence the age guard.
+          def sweepable(v: Long, mtime: Long): Boolean =
+            !keepVersions.contains(v) && (v < minKeep || mtime < cutoff)
           if (name.startsWith("v=")) {
             val v = name.stripPrefix("v=").toLong
-            if (v < minKeep && !keepVersions.contains(v))
-              fs.delete(new org.apache.hadoop.fs.Path(st.getPath, name), true)
+            if (sweepable(v, entry.getModificationTime)) {
+              fs.delete(entry.getPath, true)
+              val claim = new org.apache.hadoop.fs.Path(st.getPath, s"_graft_claim_v=$v")
+              if (fs.exists(claim)) fs.delete(claim, false)
+            }
           } else if (name.startsWith("_graft_claim_v=")) {
+            // claim with no data dir: a committer died between claim and
+            // write — same rules before reclaiming the name
             val v = name.stripPrefix("_graft_claim_v=").toLong
-            if (v < minKeep)
-              fs.delete(new org.apache.hadoop.fs.Path(st.getPath, name), false)
+            if (sweepable(v, entry.getModificationTime) &&
+                !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, s"v=$v")))
+              fs.delete(entry.getPath, false)
           }
         }
       }

@@ -123,4 +123,64 @@ class MultiStoreSpec extends SparkSpec {
     // both retained snapshots still readable
     assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 3L)))
   }
+
+  test("an orphan version numbered ABOVE every retained reference is swept after the grace") {
+    val r = root()
+    MultiStore.commit(r, Map(
+      "labels" -> Seq((1L, 10L)).toDF("node", "component"),
+      "other"  -> Seq(("a", 1L)).toDF("k", "n")))
+    // a loser committer wrote labels v=7 (claim + data) then died without a
+    // manifest; labels is never written again (carried forward by
+    // reference), so its minimum retained version NEVER climbs past 7 —
+    // the exact leak of the pre-r11 below-the-minimum-only sweep
+    Seq((1L, 99L)).toDF("node", "component").write.parquet(s"$r/labels/v=7")
+    Files.write(new java.io.File(s"$r/labels/_graft_claim_v=7").toPath, Array.emptyByteArray)
+    def labelEntries() =
+      new java.io.File(s"$r/labels").listFiles().map(_.getName)
+        .filter(n => n.startsWith("v=") || n.startsWith("_graft_claim_v=")).toSet
+    // within the grace window the orphan is indistinguishable from an
+    // in-flight commit — the next commit's prune must NOT touch it
+    MultiStore.commit(r, Map("other" -> Seq(("a", 2L)).toDF("k", "n")))
+    assert(labelEntries().contains("v=7"), s"fresh orphan swept inside grace: ${labelEntries()}")
+    // past the grace (graceMs=0 makes every file 'old') it is swept, claim
+    // included, even though labels' retained reference is still v=0 < 7
+    MultiStore.commit(r, Map("other" -> Seq(("a", 3L)).toDF("k", "n")), pruneGraceMs = 0L)
+    val after = labelEntries()
+    assert(!after.contains("v=7") && !after.contains("_graft_claim_v=7"),
+      s"orphan above the retained range leaked: $after")
+    // live snapshot untouched throughout
+    assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+  }
+
+  test("commit-vs-prune race: a retrying committer's eventual manifest never references a pruned version") {
+    val r = root()
+    MultiStore.commit(r, Map("labels" -> Seq((1L, 0L)).toDF("node", "component")))
+    // committer B starts: writes data for v=1... and loses the manifest
+    // race to committer A, who commits AND prunes with graceMs=0 — the
+    // harshest pruner a retrying committer can meet. The loop below
+    // replays B's retry protocol by hand (what commit() does internally):
+    // every attempt re-claims a FRESH version and re-writes the data, so
+    // the version its manifest finally names was written AFTER the last
+    // prune that could have seen it unreferenced.
+    Seq((1L, 100L)).toDF("node", "component").write.parquet(s"$r/labels/v=1")
+    Files.write(new java.io.File(s"$r/labels/_graft_claim_v=1").toPath, Array.emptyByteArray)
+    // A commits twice with immediate pruning — B's in-flight v=1 is
+    // unreferenced and (graceMs=0) gets swept mid-retry
+    MultiStore.commit(r, Map("labels" -> Seq((1L, 200L)).toDF("node", "component")),
+      pruneGraceMs = 0L)
+    MultiStore.commit(r, Map("labels" -> Seq((1L, 201L)).toDF("node", "component")),
+      pruneGraceMs = 0L)
+    assert(!new java.io.File(s"$r/labels/v=1").exists(), "B's stale attempt should be pruned")
+    // B retries through the real commit path: fresh claim, fresh data,
+    // manifest over A's latest snapshot
+    val s = MultiStore.commit(r, Map("labels" -> Seq((1L, 300L)).toDF("node", "component")))
+    // B's published snapshot resolves to real, readable data — its
+    // manifest references only the version it just wrote, never v=1
+    assert(s("labels") > 1L, s"retry must re-claim a fresh version: $s")
+    assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 300L)))
+    // and every retained manifest still resolves completely
+    MultiStore.manifests(spark, r).foreach { m =>
+      MultiStore.readAt(spark, r, "labels", m).collect()
+    }
+  }
 }

@@ -247,6 +247,23 @@ class StreamMaintenanceSpec extends SparkSpec {
     assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("maintenance: compact serializes with merge on the shared lock") {
+    // r10 ADVICE: an unlocked compact concurrent with a merge could
+    // interleave directory renames on one table. compact now takes the
+    // same _graft_merge_lock, fails loudly while it is held, honors the
+    // takeover escape hatch, and leaves no lock behind on success.
+    val dir = Files.createTempDirectory("compact-lock").toString + "/t"
+    (1 to 3).foreach(i => Seq(i).toDF("x").write.mode("append").parquet(dir))
+    val lock = new java.io.File(dir, "_graft_merge_lock")
+    assert(lock.createNewFile(), "test setup: could not place the merge lock")
+    intercept[IllegalStateException] { Maintenance.compact(spark, dir, 1) }
+    assert(spark.read.parquet(dir).count() == 3, "failed compact must not touch the table")
+    Maintenance.compact(spark, dir, 1, takeoverLock = true)
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    assert(!lock.exists(), "compact must release the lock it held")
+  }
+
   test("multimodal: feature extraction is deterministic, schema-stable, null-safe") {
     val media = Seq(
       Multimodal.MediaRow(1L, "image", "mem://a", Array.tabulate(512)(_.toByte), 16, 16, 0L),

@@ -73,5 +73,99 @@ object SnapshotQueries {
     result
   }
 
-  val all: Seq[Q] = Seq(m10_time_travel)
+  /** Shared temp-store harness: build a fresh MultiStore root, run `body`,
+    * eagerly checkpoint the (small) result so the store can be deleted
+    * before the query returns — no temp dirs accumulate across bench
+    * repeats (the m10 lesson, r10 ADVICE).
+    */
+  private def withTempStore(prefix: String)(
+      body: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tmp  = java.nio.file.Files.createTempDirectory(prefix)
+    val root = tmp.toString + "/store"
+    try body(root).localCheckpoint(true)
+    finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(tmp)
+    }
+  }
+
+  /** m11: merge-on-read row-level DELETE — the lakehouse delete path that
+    * rewrites NOTHING: the matched doc_ids land in an equality-delete key
+    * store (KB-sized), the data version is untouched, and the read
+    * subtracts the keys with an anti-join. Every run executes the real
+    * machinery — a data commit, a deleteWhere commit, a merged read, PLUS
+    * a time-travel read back to the pre-delete manifest whose count guards
+    * that the delete never touched the data version. DuckDB replays the
+    * end state as a plain NOT-filter, and the pre-delete count as an
+    * unfiltered count.
+    */
+  val m11_row_delete = Q(
+    "m11_row_delete",
+    """WITH kept AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents WHERE NOT (n_chars < 200) GROUP BY lang),
+      |tot AS (SELECT count(*) AS n_before FROM documents)
+      |SELECT lang, n_docs, chars, tot.n_before
+      |FROM kept, tot ORDER BY lang""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-rowdelete") { root =>
+      MultiStore.commit(root, Map("docs" ->
+        t.documents.select("doc_id", "lang", "n_chars")))
+      val preDelete = MultiStore.manifests(spark, root).last
+      MultiStore.deleteWhere(spark, root, "docs",
+        col("n_chars") < lit(200L), Seq("doc_id"))
+      // the pre-delete snapshot must still hold EVERY row (deletes are
+      // key files, not data rewrites — a rewrite would break this count
+      // and with it the hash)
+      val before = MultiStore.readMergedAt(spark, root, "docs", preDelete)
+        .agg(count(lit(1)).as("n_before"))
+      MultiStore.readMerged(spark, root, "docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .crossJoin(before)
+        .orderBy("lang")
+    }
+  }
+
+  /** m12: stats-driven file pruning — a range-clustered commit records
+    * per-file min/max zone maps; the range read opens only intersecting
+    * files. The result must equal the plain filter (pruning is a superset
+    * + residual), which is exactly what the oracle checks; the spec
+    * (MultiStoreSpec) additionally asserts the file-skip actually
+    * happened — fewer files opened than committed.
+    */
+  val m12_stats_pruning = Q(
+    "m12_stats_pruning",
+    """SELECT o_orderpriority AS priority, count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate <= TIMESTAMP '1997-06-30'
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-statsprune") { root =>
+      MultiStore.commit(root,
+        Map("orders" -> t.orders.repartitionByRange(8, col("o_orderdate"))),
+        stats = Map("orders" -> Seq("o_orderdate")))
+      MultiStore.readPruned(spark, root, "orders", "o_orderdate",
+          lit("1997-01-01").cast("timestamp"), lit("1997-06-30").cast("timestamp"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          // decimal-exact sum, then one cast: addition order cannot move
+          // the double (the float-sum determinism rule every money row
+          // in Relational follows)
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("priority")
+    }
+  }
+
+  val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning)
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
 
 /** Multi-table snapshot commits over VersionedStore-style parquet stores —
   * the transaction-log shape a lakehouse user expects when two
@@ -120,13 +121,157 @@ object MultiStore {
     spark.read.parquet(s"${root.stripSuffix("/")}/$store/v=$v")
   }
 
+  // ---- row-level deletes (merge-on-read equality deletes) -----------------
+
+  /** The delete set of `store` is itself a store named `<store>.deletes`,
+    * whose rows ARE the equality-delete keys (its schema records the key
+    * columns, so readers need no side channel). Everything a store already
+    * has — atomic multi-table commits, snapshot isolation, time travel,
+    * version pruning, the claim protocol — applies to the delete set for
+    * free, and a delete commits BOTH stores' pointers in one manifest.
+    */
+  private def deletesStore(store: String): String = store + ".deletes"
+
+  /** Delete rows matching `cond` WITHOUT rewriting the data — the
+    * merge-on-read half of a lakehouse DELETE (Iceberg's equality-delete
+    * files): the matched rows' `keyCols` values are appended to the
+    * store's delete set (a tiny parquet of keys), and [[readMerged]]
+    * subtracts them with an anti-join at read time. At 100 TB this is the
+    * difference between deleting 0.1% of rows by writing KBs of keys
+    * versus rewriting the table; the read-time anti-join stays cheap
+    * because the delete side is broadcast-sized until [[compactDeletes]]
+    * folds it in. Rows whose key columns are NULL are never matched by the
+    * anti-join (equality-delete semantics) — use non-null keys.
+    *
+    * Concurrency: the read-modify-write of the delete set inherits
+    * MultiStore's documented last-writer-wins conflict model — two
+    * concurrent deleteWhere calls race at manifest grain and the loser's
+    * retry recommits over the winner's snapshot, so ITS keys win; callers
+    * needing serialized deletes serialize externally.
+    */
+  def deleteWhere(spark: SparkSession, root: String, store: String,
+                  cond: Column, keyCols: Seq[String], keep: Int = 2): Map[String, Long] = {
+    require(keyCols.nonEmpty, "deleteWhere: at least one key column")
+    val newKeys = readMerged(spark, root, store)
+      .filter(cond).select(keyCols.map(col): _*).distinct()
+    val allKeys = snapshot(spark, root).get(deletesStore(store)) match {
+      case Some(_) =>
+        val existing = read(spark, root, deletesStore(store))
+        require(existing.columns.sorted.toSeq == keyCols.sorted,
+          s"deleteWhere: key columns ${keyCols.mkString(",")} differ from the " +
+            s"store's existing delete schema ${existing.columns.mkString(",")}")
+        existing.unionByName(newKeys).distinct()
+      case None => newKeys
+    }
+    commit(root, Map(deletesStore(store) -> allKeys), keep)
+  }
+
+  /** Read one store at the live snapshot with its delete set applied —
+    * what a SELECT sees after [[deleteWhere]]. No delete set committed =
+    * plain [[read]].
+    */
+  def readMerged(spark: SparkSession, root: String, store: String): DataFrame =
+    mergeDeletes(read(spark, root, store), spark, root, store,
+      snapshot(spark, root))
+
+  /** Time-travel [[readMerged]]: the data AND the delete set as of
+    * manifest `m` — a delete is as time-travel-visible as a write.
+    */
+  def readMergedAt(spark: SparkSession, root: String, store: String, m: Long): DataFrame =
+    mergeDeletes(readAt(spark, root, store, m), spark, root, store,
+      snapshotAt(spark, root, m), Some(m))
+
+  private def mergeDeletes(data: DataFrame, spark: SparkSession, root: String,
+                           store: String, snap: Map[String, Long],
+                           at: Option[Long] = None): DataFrame =
+    snap.get(deletesStore(store)) match {
+      case None => data
+      case Some(_) =>
+        val del = at match {
+          case Some(m) => readAt(spark, root, deletesStore(store), m)
+          case None    => read(spark, root, deletesStore(store))
+        }
+        data.join(del, del.columns.toSeq, "left_anti")
+    }
+
+  /** Fold the delete set into the data: rewrite the store as its merged
+    * view and reset the delete set to empty, in ONE snapshot commit (a
+    * reader time-traveling to any manifest still sees a consistent
+    * data-minus-deletes pair). This is the maintenance pass that keeps the
+    * read-time anti-join side broadcast-sized — run it when the delete set
+    * grows past broadcast scale or on a compaction schedule.
+    */
+  def compactDeletes(spark: SparkSession, root: String, store: String,
+                     keep: Int = 2,
+                     stats: Map[String, Seq[String]] = Map.empty): Map[String, Long] = {
+    val snap = snapshot(spark, root)
+    require(snap.contains(deletesStore(store)),
+      s"compactDeletes: store '$store' has no delete set to fold in")
+    val emptyKeys = read(spark, root, deletesStore(store)).filter(lit(false))
+    commit(root, Map(
+      store                -> readMerged(spark, root, store),
+      deletesStore(store)  -> emptyKeys), keep, stats = stats)
+  }
+
+  // ---- stats-driven file pruning (zone maps) -------------------------------
+
+  /** The per-file zone map of `store`'s live version: one row per data
+    * file — `file`, `min_<c>`/`max_<c>` per stats column, `n_rows`.
+    * Present only for versions committed with `stats` naming the store.
+    */
+  def fileStats(spark: SparkSession, root: String, store: String): DataFrame = {
+    val v = snapshot(spark, root).getOrElse(store,
+      throw new IllegalStateException(s"MultiStore at $root has no committed store '$store'"))
+    spark.read.parquet(s"${root.stripSuffix("/")}/$store/stats_v=$v")
+  }
+
+  /** Range read that opens ONLY the files whose `[min_c, max_c]` zone
+    * intersects `[lo, hi]` — file skipping from commit-time stats, the
+    * scan path a lakehouse query planner takes before parquet footers are
+    * even opened. The residual predicate is still applied (zones are a
+    * superset); on a range-clustered table (writer used
+    * `repartitionByRange(c)`) the skip rate approaches the selectivity.
+    * The file list is driver-side metadata: one row per FILE, bounded by
+    * layout, never by row count.
+    */
+  def readPruned(spark: SparkSession, root: String, store: String,
+                 c: String, lo: Column, hi: Column): DataFrame = {
+    val v = snapshot(spark, root).getOrElse(store,
+      throw new IllegalStateException(s"MultiStore at $root has no committed store '$store'"))
+    val dir   = s"${root.stripSuffix("/")}/$store/v=$v"
+    val zones = spark.read.parquet(s"${root.stripSuffix("/")}/$store/stats_v=$v")
+    val files = zones.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val residual = col(c) >= lo && col(c) <= hi
+    if (files.isEmpty)
+      spark.read.parquet(dir).filter(lit(false))
+    else
+      spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+  }
+
   /** Commit `writes` as ONE snapshot: every data version lands first (each
     * in a fresh claimed dir, never touching live data), then a single
     * rename publishes the manifest that names them all plus every
     * unchanged store carried forward. Returns the committed snapshot.
+    *
+    * `stats` names, per store, the columns to zone-map: after the data
+    * lands, one extra aggregation pass over the written files records each
+    * file's per-column min/max (plus its row count) in a `stats_v=<n>`
+    * parquet sidecar NEXT TO the version dir — a sibling, not a child,
+    * because Spark's scan planner skips underscore/dot-prefixed paths, and
+    * a sidecar inside the version dir would be readable only through a
+    * warned-but-tolerated hidden-path read. The sidecar lives and dies
+    * with its version (prune sweeps them together). [[readPruned]]
+    * consults it to open only the files whose range intersects a
+    * predicate — the Delta/Iceberg file-skipping story: at 100 TB a
+    * date-range query over a range-clustered table touches the manifest
+    * stats (KB) and the few matching files, not every footer of every
+    * file. Stats are computed before the manifest publish, so a crash
+    * mid-commit never publishes a stats-less version.
     */
   def commit(root: String, writes: Map[String, DataFrame], keep: Int = 2,
-             pruneGraceMs: Long = DefaultPruneGraceMs): Map[String, Long] = {
+             pruneGraceMs: Long = DefaultPruneGraceMs,
+             stats: Map[String, Seq[String]] = Map.empty): Map[String, Long] = {
     require(writes.nonEmpty, "MultiStore.commit: no stores to write")
     val spark       = writes.head._2.sparkSession
     val (fs, rootP) = hfs(spark, root)
@@ -152,6 +297,17 @@ object MultiStore {
           } catch { case _: java.io.IOException => next += 1 }
         }
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$storeRoot/v=$next")
+        stats.get(store).foreach { cols =>
+          val written = spark.read.parquet(s"$storeRoot/v=$next")
+          val aggs = cols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+            count(lit(1)).as("n_rows")
+          written.groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .coalesce(1) // one row per data FILE — KB-sized at any scale
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$storeRoot/stats_v=$next")
+        }
         store -> next
       }
       // 2. one atomic publish: tmp file renamed into the next manifest name
@@ -229,7 +385,18 @@ object MultiStore {
               fs.delete(entry.getPath, true)
               val claim = new org.apache.hadoop.fs.Path(st.getPath, s"_graft_claim_v=$v")
               if (fs.exists(claim)) fs.delete(claim, false)
+              // the zone-map sidecar lives and dies with its version
+              val statsP = new org.apache.hadoop.fs.Path(st.getPath, s"stats_v=$v")
+              if (fs.exists(statsP)) fs.delete(statsP, true)
             }
+          } else if (name.startsWith("stats_v=")) {
+            // sidecar whose data dir is already gone (e.g. a committer
+            // crashed between stats write and data write ordering, or an
+            // earlier prune predates sidecar-aware sweeping)
+            val v = name.stripPrefix("stats_v=").toLong
+            if (sweepable(v, entry.getModificationTime) &&
+                !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, s"v=$v")))
+              fs.delete(entry.getPath, true)
           } else if (name.startsWith("_graft_claim_v=")) {
             // claim with no data dir: a committer died between claim and
             // write — same rules before reclaiming the name

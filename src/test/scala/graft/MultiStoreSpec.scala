@@ -183,4 +183,88 @@ class MultiStoreSpec extends SparkSpec {
       MultiStore.readAt(spark, r, "labels", m).collect()
     }
   }
+
+  test("deleteWhere removes rows at read time without rewriting the data version") {
+    import org.apache.spark.sql.functions._
+    val r = root()
+    MultiStore.commit(r, Map("docs" ->
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep"), (4L, "drop"))
+        .toDF("id", "tag")))
+    val preDelete = MultiStore.manifests(spark, r).last
+    MultiStore.deleteWhere(spark, r, "docs", col("tag") === "drop", Seq("id"))
+    // merged view subtracts the keys
+    assert(MultiStore.readMerged(spark, r, "docs").as[(Long, String)].collect().toSet ==
+      Set((1L, "keep"), (3L, "keep")))
+    // the DATA version is untouched: docs still points at v=0 and the
+    // pre-delete manifest still reads all four rows
+    assert(MultiStore.snapshot(spark, r)("docs") == 0L,
+      "a delete must not rewrite the data version")
+    assert(MultiStore.readMergedAt(spark, r, "docs", preDelete).count() == 4L)
+    // deletes accumulate across calls
+    MultiStore.deleteWhere(spark, r, "docs", col("id") === 3L, Seq("id"))
+    assert(MultiStore.readMerged(spark, r, "docs").as[(Long, String)].collect().toSet ==
+      Set((1L, "keep")))
+    // a second delete with DIFFERENT key columns is rejected loudly
+    intercept[IllegalArgumentException] {
+      MultiStore.deleteWhere(spark, r, "docs", col("id") === 1L, Seq("tag"))
+    }
+    ()
+  }
+
+  test("compactDeletes folds the delete set into the data in one consistent snapshot") {
+    import org.apache.spark.sql.functions._
+    val r = root()
+    MultiStore.commit(r, Map("docs" ->
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")))
+    MultiStore.deleteWhere(spark, r, "docs", col("id") === 2L, Seq("id"))
+    val mergedBefore = MultiStore.readMerged(spark, r, "docs")
+      .as[(Long, String)].collect().toSet
+    MultiStore.compactDeletes(spark, r, "docs")
+    // the merged view is unchanged, but now the PLAIN read matches it too
+    // (data rewritten) and the delete set is empty
+    assert(MultiStore.readMerged(spark, r, "docs")
+      .as[(Long, String)].collect().toSet == mergedBefore)
+    assert(MultiStore.read(spark, r, "docs")
+      .as[(Long, String)].collect().toSet == mergedBefore)
+    assert(MultiStore.read(spark, r, "docs.deletes").count() == 0L)
+    // post-compaction deletes start a fresh cycle
+    MultiStore.deleteWhere(spark, r, "docs", col("id") === 3L, Seq("id"))
+    assert(MultiStore.readMerged(spark, r, "docs")
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+
+  test("zone-map stats: commit records per-file min/max; readPruned opens only intersecting files") {
+    import org.apache.spark.sql.functions._
+    val r = root()
+    // range-cluster 100 rows over 8 files so each file owns a tight id range
+    val data = spark.range(0, 100).toDF("id")
+      .withColumn("payload", concat(lit("row"), col("id")))
+      .repartitionByRange(8, col("id"))
+    MultiStore.commit(r, Map("t" -> data), stats = Map("t" -> Seq("id")))
+    val zones = MultiStore.fileStats(spark, r, "t")
+    val nFiles = zones.count()
+    assert(nFiles == 8L, s"expected 8 zone rows, got $nFiles")
+    assert(zones.columns.toSet == Set("file", "min_id", "max_id", "n_rows"))
+    // a narrow range must open strictly fewer files than the table has
+    val pruned = MultiStore.readPruned(spark, r, "t", "id", lit(10L), lit(20L))
+    val opened = pruned.inputFiles.length
+    assert(opened < nFiles, s"no file skipping: opened $opened of $nFiles")
+    // and the result equals the plain filter (pruning is a superset + residual)
+    val expected = MultiStore.read(spark, r, "t")
+      .filter(col("id") >= 10L && col("id") <= 20L)
+      .as[(Long, String)].collect().toSet
+    assert(pruned.as[(Long, String)].collect().toSet == expected)
+    // a disjoint range returns empty with the data schema, zero files opened
+    val none = MultiStore.readPruned(spark, r, "t", "id", lit(1000L), lit(2000L))
+    assert(none.count() == 0L)
+    assert(none.columns.toSeq == Seq("id", "payload"))
+    // the sidecar is swept WITH its version: after two more stats commits
+    // (keep=2), v=0 and stats_v=0 are both gone, live zone map intact
+    MultiStore.commit(r, Map("t" -> data), stats = Map("t" -> Seq("id")), keep = 2)
+    MultiStore.commit(r, Map("t" -> data), stats = Map("t" -> Seq("id")), keep = 2)
+    val entries = new java.io.File(s"$r/t").listFiles().map(_.getName).toSet
+    assert(!entries.contains("v=0") && !entries.contains("stats_v=0"),
+      s"pruned version's sidecar leaked: $entries")
+    assert(MultiStore.fileStats(spark, r, "t").count() == 8L)
+  }
 }

@@ -69,10 +69,25 @@ object Bench {
     // EVERY query on a shrinkable 8 g heap measured ~15% slower overall).
     // SPARK_GRAFT_ISOLATE=1 hardens to a GC between every repeat (the
     // isolated-run protocol recorded in BASELINE.md).
+    //
+    // r11 root-cause of the x2_fast two-round stall flag: focused repeats
+    // (tools.Repeats, 10 reps, identical bhj=13 plans every run) measured
+    // x2_fast 2.3-4.0 s with a 20.9 s excursion under the every-10-queries
+    // cadence vs a FLAT 2.08-2.47 s (spread 0.38) with a GC between
+    // repeats; j5 against a grown-dims 10x directory likewise 2.6-19.9 s
+    // bimodal vs flat 2.4-2.8 s. The slow mode is organic full-GC /
+    // ContextCleaner debt (each heavy repeat leaves ~0.5 GB of checkpoint
+    // blocks + broadcast relations whose weak refs only clear under driver
+    // GC) landing INSIDE a later timed window. So: any repeat heavy enough
+    // to matter for the clean gate (>0.5 s — the gate's own absolute
+    // floor) pays ~80 ms of forced GC right after it, clearing its debt
+    // before the next timed window; sub-0.5 s repeats keep the cheap
+    // every-10-queries cadence (their windows never trip the gate, and a
+    // per-repeat GC tax across 190 queries would cost ~45 s of wall).
     val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
-    def betweenRepeats(): Unit = {
+    def betweenRepeats(lastSecs: Double): Unit = {
       Checkpoints.sweepAll(spark)
-      if (isolate) System.gc()
+      if (isolate || lastSecs > 0.5) System.gc()
     }
     // Cadence measured across full runs on the pinned heap: GC every query
     // = 73.3 s total / 0.34 median rel-spread; every 10 queries = 70.5 s /
@@ -123,7 +138,7 @@ object Bench {
             System.err.println(s"[bench] ${q.name} FAILED: ${e.getClass.getName}: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        betweenRepeats()
+        betweenRepeats(dt)
         dt
       }
       var times = (1 to 3).map(_ => rep()).sorted

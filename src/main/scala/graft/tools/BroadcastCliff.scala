@@ -45,6 +45,8 @@ object BroadcastCliff {
         .orderBy("r_name", "n_name")
 
     def measure(label: String, df: => DataFrame): Unit = {
+      df.collect() // untimed warmup: codegen classes, parquet footers, JIT
+      System.gc()  // and its debt cleared before the first timed window
       val times = (1 to repeats).map { _ =>
         val d = df
         val t0 = System.nanoTime()
@@ -53,11 +55,22 @@ object BroadcastCliff {
         val finalPlan = d.queryExecution.executedPlan.collectFirst {
           case a: AdaptiveSparkPlanExec => a.executedPlan
         }.getOrElse(d.queryExecution.executedPlan).toString
+        System.gc() // per-repeat isolation (the r11 bench-cadence lesson)
         (secs, "BroadcastHashJoin".r.findAllIn(finalPlan).size,
           "SortMergeJoin".r.findAllIn(finalPlan).size)
       }
       val med = times.map(_._1).sorted.apply(repeats / 2)
       println(f"$label%-22s median=$med%6.2f s  broadcastHash=${times.last._2}  sortMerge=${times.last._3}")
+      if (sys.env.get("SPARK_GRAFT_PLAN").contains("1")) {
+        val d = df
+        d.collect()
+        val p = d.queryExecution.executedPlan.collectFirst {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+        }.getOrElse(d.queryExecution.executedPlan).toString
+        println(p.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange") || l.contains("Scan parquet"))
+          .mkString(s"--- $label final plan (joins/exchanges/scans) ---\n", "\n", "\n"))
+      }
     }
 
     measure("j5 adaptive (registry)", j5(t.customer))

@@ -18,7 +18,11 @@ import scala.jdk.CollectionConverters._
   *
   * Reading the output: a bimodal wall column with flat GC deltas = plan or
   * data-layout bistability (code); wall spikes that co-move with GC or
-  * appear at random repeats with no mode structure = host/JVM noise.
+  * appear at random repeats with no mode structure = host/JVM noise. The
+  * bhj/smj columns (join strategies in the FINAL adaptive plans of the
+  * repeat, captured by a QueryExecutionListener) separate the two code
+  * cases: a wall mode that co-moves with a join-count mode is AQE flipping
+  * a near-threshold join between broadcast and sort-merge run to run.
   *
   * Usage: runMain graft.tools.Repeats <query>[,<query>...] [repeats]
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS,
@@ -48,23 +52,39 @@ object Repeats {
       spark.sparkContext.getExecutorMemoryStatus.values
         .map { case (max, free) => max - free }.sum
 
+    // join strategies across every execution of the current repeat (a
+    // localCheckpoint inside a query is its own execution — sum them all)
+    val bhj = new java.util.concurrent.atomic.AtomicInteger
+    val smj = new java.util.concurrent.atomic.AtomicInteger
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def count(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+        val p = qe.executedPlan.toString
+        bhj.addAndGet("BroadcastHashJoin".r.findAllIn(p).size)
+        smj.addAndGet("SortMergeJoin".r.findAllIn(p).size)
+      }
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit = count(qe)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = count(qe)
+    })
+
     names.foreach { name =>
       val q = graft.SparkEntry.registry.find(_.name == name)
         .getOrElse(sys.error(s"unknown query '$name'"))
-      def rep(): (Double, Long, Long) = {
+      def rep(): (Double, Long, Long, Int, Int) = {
         val gc0 = gcMillis
-        val t0  = System.nanoTime()
+        bhj.set(0); smj.set(0)
+        val t0 = System.nanoTime()
         q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.GraftListenerBridge.flush(spark.sparkContext) // listener is async
         graft.Checkpoints.sweepAll(spark)
         if (gcEach) System.gc()
-        (wall, gcMillis - gc0, storageBytes)
+        (wall, gcMillis - gc0, storageBytes, bhj.get, smj.get)
       }
       (1 to 3).foreach(_ => rep()) // untimed warmup: codegen, parquet footers
       println(f"== $name  (repeats=$n, gcEach=$gcEach, sf=$sfDir)")
       val walls = (1 to n).map { i =>
-        val (wall, gcDelta, stored) = rep()
-        println(f"  rep $i%2d  wall=$wall%7.3f s  gcDelta=${gcDelta}%5d ms  storedAfterSweep=${stored / 1024 / 1024}%5d MB")
+        val (wall, gcDelta, stored, b, s) = rep()
+        println(f"  rep $i%2d  wall=$wall%7.3f s  gcDelta=${gcDelta}%5d ms  storedAfterSweep=${stored / 1024 / 1024}%5d MB  bhj=$b%2d smj=$s%2d")
         wall
       }
       val s = walls.sorted

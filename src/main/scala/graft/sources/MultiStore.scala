@@ -29,10 +29,12 @@ import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, mi
   * manifest name fails, and the committer retries against the refreshed
   * snapshot (bounded attempts), giving last-writer-wins at manifest grain
   * with no torn state. This is structurally Iceberg's root-pointer commit
-  * generalized to N tables under one root — what a transaction log does —
-  * minus multi-writer conflict *resolution* (no merge of concurrent
-  * writes; the loser's retry recommits its stores over the winner's
-  * snapshot). Reference anchor: the session-store tmp+rename discipline
+  * generalized to N tables under one root — what a transaction log does.
+  * Writers that must not lose updates use [[commitIf]] (compare-and-swap
+  * on the stores they read: conflicts on the SAME store throw, disjoint
+  * stores rebase automatically); plain [[commit]] keeps last-writer-wins
+  * for refresh-style writers whose output does not depend on the previous
+  * version. Reference anchor: the session-store tmp+rename discipline
   * (sessions/manager.py:519-522) promoted from one file to one snapshot.
   *
   * Scale: a commit writes only the stores it changes; unchanged stores
@@ -143,27 +145,39 @@ object MultiStore {
     * folds it in. Rows whose key columns are NULL are never matched by the
     * anti-join (equality-delete semantics) — use non-null keys.
     *
-    * Concurrency: the read-modify-write of the delete set inherits
-    * MultiStore's documented last-writer-wins conflict model — two
-    * concurrent deleteWhere calls race at manifest grain and the loser's
-    * retry recommits over the winner's snapshot, so ITS keys win; callers
-    * needing serialized deletes serialize externally.
+    * Concurrency: the read-modify-write of the delete set runs through
+    * [[commitIf]] pinned to the delete-set version it read, so a
+    * concurrent deleteWhere cannot be silently overwritten (the classic
+    * lost update of last-writer-wins): the loser's CAS throws, the keys
+    * are re-derived from the winner's snapshot, and the retry commits the
+    * UNION — both deletes land.
     */
   def deleteWhere(spark: SparkSession, root: String, store: String,
                   cond: Column, keyCols: Seq[String], keep: Int = 2): Map[String, Long] = {
     require(keyCols.nonEmpty, "deleteWhere: at least one key column")
-    val newKeys = readMerged(spark, root, store)
-      .filter(cond).select(keyCols.map(col): _*).distinct()
-    val allKeys = snapshot(spark, root).get(deletesStore(store)) match {
-      case Some(_) =>
-        val existing = read(spark, root, deletesStore(store))
-        require(existing.columns.sorted.toSeq == keyCols.sorted,
-          s"deleteWhere: key columns ${keyCols.mkString(",")} differ from the " +
-            s"store's existing delete schema ${existing.columns.mkString(",")}")
-        existing.unionByName(newKeys).distinct()
-      case None => newKeys
+    var attempts = 0
+    while (true) {
+      val delVersion = snapshot(spark, root).get(deletesStore(store))
+      val newKeys = readMerged(spark, root, store)
+        .filter(cond).select(keyCols.map(col): _*).distinct()
+      val allKeys = delVersion match {
+        case Some(_) =>
+          val existing = read(spark, root, deletesStore(store))
+          require(existing.columns.sorted.toSeq == keyCols.sorted,
+            s"deleteWhere: key columns ${keyCols.mkString(",")} differ from the " +
+              s"store's existing delete schema ${existing.columns.mkString(",")}")
+          existing.unionByName(newKeys).distinct()
+        case None => newKeys
+      }
+      try return commitIf(root, Map(deletesStore(store) -> allKeys),
+        Map(deletesStore(store) -> delVersion), keep)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > 20) throw e // live delete contention — surface it
+      }
     }
-    commit(root, Map(deletesStore(store) -> allKeys), keep)
+    sys.error("unreachable")
   }
 
   /** Read one store at the live snapshot with its delete set applied —
@@ -271,7 +285,32 @@ object MultiStore {
     */
   def commit(root: String, writes: Map[String, DataFrame], keep: Int = 2,
              pruneGraceMs: Long = DefaultPruneGraceMs,
-             stats: Map[String, Seq[String]] = Map.empty): Map[String, Long] = {
+             stats: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
+    doCommit(root, writes, keep, pruneGraceMs, stats, expected = None)
+
+  /** Compare-and-swap commit — the conflict-DETECTING half a transaction
+    * log adds over last-writer-wins: the commit publishes only if every
+    * store in `expected` still resolves to the stated version (`None` =
+    * "store must not exist yet") at publish time. A concurrent writer who
+    * bumped one of those stores makes this commit throw
+    * [[java.util.ConcurrentModificationException]] instead of silently
+    * recommitting over the winner — the caller re-derives its writes from
+    * the fresh snapshot and retries, which is exactly what read-modify-
+    * write maintainers ([[deleteWhere]]) do. Stores NOT named in
+    * `expected` are unconstrained; concurrent commits to DISJOINT stores
+    * therefore rebase and land automatically (serializable at store
+    * grain). Data written before a detected conflict is an unreferenced
+    * version; the grace-window prune sweeps it like any dead orphan.
+    */
+  def commitIf(root: String, writes: Map[String, DataFrame],
+               expected: Map[String, Option[Long]], keep: Int = 2,
+               pruneGraceMs: Long = DefaultPruneGraceMs,
+               stats: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
+    doCommit(root, writes, keep, pruneGraceMs, stats, Some(expected))
+
+  private def doCommit(root: String, writes: Map[String, DataFrame], keep: Int,
+                       pruneGraceMs: Long, stats: Map[String, Seq[String]],
+                       expected: Option[Map[String, Option[Long]]]): Map[String, Long] = {
     require(writes.nonEmpty, "MultiStore.commit: no stores to write")
     val spark       = writes.head._2.sparkSession
     val (fs, rootP) = hfs(spark, root)
@@ -281,6 +320,22 @@ object MultiStore {
     var done: Option[Map[String, Long]] = None
     while (done.isEmpty) {
       val base = snapshot(spark, root)
+      // 0. CAS validation — checked against every refreshed snapshot, so a
+      // conflict that lands during a manifest-race retry is caught too;
+      // the publish-time rename keeps the check authoritative (a conflict
+      // arriving between here and the rename forces a retry, which
+      // re-validates before trying again)
+      expected.foreach { exp =>
+        exp.foreach { case (store, want) =>
+          val cur = base.get(store)
+          if (cur != want)
+            throw new java.util.ConcurrentModificationException(
+              s"MultiStore at $root: store '$store' is at version " +
+                s"${cur.fold("<absent>")(_.toString)}, expected " +
+                s"${want.fold("<absent>")(_.toString)} — a concurrent commit won; " +
+                "re-derive writes from the fresh snapshot and retry")
+        }
+      }
       // 1. data first: claim + write a fresh immutable version per store
       val newVersions = writes.map { case (store, df) =>
         val storeRoot = s"${root.stripSuffix("/")}/$store"

@@ -184,6 +184,33 @@ class MultiStoreSpec extends SparkSpec {
     }
   }
 
+  test("commitIf: CAS on the read version — stale expectations throw, disjoint stores rebase") {
+    val r = root()
+    MultiStore.commit(r, Map("a" -> Seq((1L, "x")).toDF("id", "v")))
+    // expectation holds: the CAS commit lands
+    val s1 = MultiStore.commitIf(r, Map("a" -> Seq((2L, "y")).toDF("id", "v")),
+      Map("a" -> Some(0L)))
+    assert(s1("a") == 1L)
+    // a maintainer that read a=0 and tries to publish over a=1 is the
+    // lost-update race — detected, not silently overwritten
+    intercept[java.util.ConcurrentModificationException] {
+      MultiStore.commitIf(r, Map("a" -> Seq((3L, "z")).toDF("id", "v")),
+        Map("a" -> Some(0L)))
+    }
+    assert(MultiStore.read(spark, r, "a").as[(Long, String)].collect().toSet ==
+      Set((2L, "y")), "the conflicting write must not have landed")
+    // absent-store expectation: create-if-not-exists semantics
+    intercept[java.util.ConcurrentModificationException] {
+      MultiStore.commitIf(r, Map("a" -> Seq((4L, "w")).toDF("id", "v")),
+        Map("a" -> None))
+    }
+    // a DISJOINT store carries no expectation on 'a' and lands over any
+    // concurrent 'a' traffic (serializable at store grain)
+    val s2 = MultiStore.commitIf(r, Map("b" -> Seq(("k", 1L)).toDF("k", "n")),
+      Map("b" -> None))
+    assert(s2("b") == 0L && s2("a") == 1L)
+  }
+
   test("deleteWhere removes rows at read time without rewriting the data version") {
     import org.apache.spark.sql.functions._
     val r = root()

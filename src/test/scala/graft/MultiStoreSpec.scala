@@ -184,6 +184,20 @@ class MultiStoreSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: versions are self-contained, so old manifests read old schemas") {
+    val r = root()
+    MultiStore.commit(r, Map("t" -> Seq((1L, "a")).toDF("id", "v")))
+    val m0 = MultiStore.manifests(spark, r).last
+    // the next version adds a column — no migration step, the new
+    // snapshot simply carries the new schema (full-snapshot versions make
+    // ADD/DROP/RENAME column a plain commit)
+    MultiStore.commit(r, Map("t" -> Seq((1L, "a", 9L)).toDF("id", "v", "extra")))
+    assert(MultiStore.read(spark, r, "t").columns.toSeq == Seq("id", "v", "extra"))
+    // time travel still reads the OLD shape — a snapshot is immutable,
+    // schema included
+    assert(MultiStore.readAt(spark, r, "t", m0).columns.toSeq == Seq("id", "v"))
+  }
+
   test("commitIf: CAS on the read version — stale expectations throw, disjoint stores rebase") {
     val r = root()
     MultiStore.commit(r, Map("a" -> Seq((1L, "x")).toDF("id", "v")))

@@ -791,7 +791,15 @@ object Dedup {
     val sh = positionedGrams(docs, k, fingerprints)
     val dup = sh.groupBy(col("g")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1).select("g")
-    val hits = sh.join(dup, Seq("g"), "left_semi")
+    spansFromHits(sh.join(dup, Seq("g"), "left_semi"), k)
+  }
+
+  /** Gaps-and-islands merge of hit positions into maximal spans — the
+    * shared back half of every span-dedup rendering (whole-corpus x71,
+    * incremental x72): `hits` is (doc_id, pos) rows whose k-gram was
+    * judged duplicated by the caller's front half.
+    */
+  private def spansFromHits(hits: DataFrame, k: Int): DataFrame = {
     val byDoc   = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + (k - 1))
       .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -806,6 +814,70 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_words"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Incremental span dedup — x71's front half re-pointed at a CORPUS gram
+    * set, the daily-ingest rendering (the x27 pattern at substring grain):
+    * a batch position is a hit when its k-gram occurs ANYWHERE in the
+    * corpus, so the semi-join probes the corpus's DISTINCT gram table and
+    * the corpus documents are never re-read, re-exploded, or re-windowed —
+    * at 100 TB the gram set is a persisted index ([[writeGramIndex]] /
+    * [[probePersistedGramIndex]]: hash-sharded partitions, probe pruned to
+    * the batch's shards) and per-ingest cost is O(batch grams), not
+    * O(corpus). Batch-internal duplication is deliberately ignored (two
+    * new docs sharing a span are both new text — run whole-corpus x71 on
+    * the merged corpus for that), matching x27's flag-not-drop contract.
+    */
+  def incrementalSpans(batch: DataFrame, corpusGrams: DataFrame, k: Int,
+                       fingerprints: Boolean): DataFrame =
+    spansFromHits(
+      positionedGrams(batch, k, fingerprints)
+        .join(corpusGrams.select("g").distinct(), Seq("g"), "left_semi"), k)
+
+  /** The corpus gram SET (distinct k-grams, no positions — positions only
+    * matter on the batch side) as [[incrementalSpans]] probes it.
+    */
+  def corpusGramSet(corpus: DataFrame, k: Int, fingerprints: Boolean): DataFrame =
+    positionedGrams(corpus, k, fingerprints).select("g").distinct()
+
+  private val GramIndexShards = 64
+
+  /** Persist the corpus gram set hash-sharded on the gram key, with the
+    * shard modulus recorded in a marker — the substring-grain analog of
+    * [[writeBandIndex]] (same durability stance: a from-scratch rebuild of
+    * derived data, crash-safe by re-run). 64 shards keeps each partition
+    * directory listable while giving the probe's IN-filter real pruning.
+    */
+  def writeGramIndex(corpusGrams: DataFrame, path: String,
+                     shards: Int = GramIndexShards): Unit = {
+    corpusGrams
+      .withColumn("gram_shard", pmod(xxhash64(col("g")), lit(shards)).cast("int"))
+      .repartition(col("gram_shard"))
+      .write.mode("overwrite").partitionBy("gram_shard").parquet(path)
+    val p  = new org.apache.hadoop.fs.Path(path, "_graft_shards")
+    val fs = p.getFileSystem(corpusGrams.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(shards.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Incremental span probe against a PERSISTED gram index: the batch's
+    * gram shards (a driver-side collect of AT MOST `shards` small ints —
+    * bounded by the layout constant, never by data) become a static IN
+    * filter on the partition column, so the index scan is partition-pruned
+    * before the semi-join. Mirrors [[probePersistedIndex]], including the
+    * no-checkpoint stance on the twice-evaluated batch gram table.
+    */
+  def probePersistedGramIndex(batch: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              path: String, k: Int,
+                              fingerprints: Boolean): DataFrame = {
+    val shards = indexShards(spark, path)
+    val bg = positionedGrams(batch, k, fingerprints)
+    val shardList = bg
+      .select(pmod(xxhash64(col("g")), lit(shards)).cast("int").as("s")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(path).filter(col("gram_shard").isin(shardList: _*))
+    spansFromHits(bg.join(idx.select("g").distinct(), Seq("g"), "left_semi"), k)
   }
 
   val x71_span_dedup = Q(
@@ -930,11 +1002,62 @@ object Dedup {
     exciseSpans(t.documents, k = 8, fingerprints = false)
   }
 
+  val x72_incremental_spans = Q(
+    "x72_incremental_spans",
+    """WITH shb AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(w[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |              FROM documents WHERE doc_id % 2 <> 0))),
+      |shc AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+      |  FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM (SELECT string_split(text, ' ') AS w
+      |              FROM documents WHERE doc_id % 2 = 0))),
+      |hits AS (SELECT b.doc_id, b.pos FROM shb b JOIN shc c USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |               max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |        FROM hits))
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+      |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_words
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin,
+  ) { t =>
+    // Incremental span dedup, x27's corpus/batch carve at substring grain:
+    // even doc_ids play the indexed corpus (gram SET only — no positions,
+    // no re-window), odd doc_ids the incoming batch whose spans of
+    // corpus-known grams are the excision candidates. String grams so the
+    // DuckDB replay is structurally collision-free; x72_fast below is the
+    // fingerprinted scale path.
+    val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+    val batch  = t.documents.filter(col("doc_id") % 2 =!= 0)
+    incrementalSpans(batch, corpusGramSet(corpus, 8, fingerprints = false),
+      k = 8, fingerprints = false)
+  }
+
+  val x72_fast_incremental_spans = Q.noOracle("x72_fast_incremental_spans") { t =>
+    // xxhash64 rendering (rows-only: DuckDB lacks xxhash64); SpanDedupSpec
+    // pins it span-equal to x72 on the test corpus, and pins the persisted
+    // gram-index probe (partition-pruned) span-equal to both.
+    val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+    val batch  = t.documents.filter(col("doc_id") % 2 =!= 0)
+    incrementalSpans(batch, corpusGramSet(corpus, 8, fingerprints = true),
+      k = 8, fingerprints = true)
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
     x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
     x4_simhash, x4_simhash_pairs, x4b_simhash_md5,
     x27_incremental_neardup, x27_fast_incremental, x66_fuzzy_match,
     x71_span_dedup, x71_fast_span_dedup, x71b_span_excise,
+    x72_incremental_spans, x72_fast_incremental_spans,
   )
 }

@@ -101,4 +101,44 @@ class SpanDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"span dedup must never go quadratic:\n$plan")
   }
+
+  test("incremental spans: golden — only corpus-known grams hit, batch-internal dups ignored") {
+    val corpus = docsOf(0L -> "a b c d k l m n")
+    val batch = docsOf(
+      1L -> "x a b c d y z q",  // shares "a b c d" with the corpus
+      2L -> "p q r s p q r s",  // batch-internal repeat only — NOT flagged
+      3L -> "u v w h i j e f")  // nothing shared
+    val got = Dedup.incrementalSpans(batch,
+      Dedup.corpusGramSet(corpus, 3, fingerprints = false), k = 3, fingerprints = false)
+      .collect().toSeq
+    assert(got === Seq(Row(1L, 2L, 5L, 4L)))
+    // same carve through the fingerprint path
+    val fast = Dedup.incrementalSpans(batch,
+      Dedup.corpusGramSet(corpus, 3, fingerprints = true), k = 3, fingerprints = true)
+      .collect().toSeq
+    assert(fast === got)
+  }
+
+  test("incremental spans: x72 fast rendering and the persisted gram-index probe are span-equal") {
+    val t = Tables(spark, sf0001)
+    val corpus = t.documents.filter($"doc_id" % 2 === 0)
+    val batch  = t.documents.filter($"doc_id" % 2 =!= 0)
+    val exact = Dedup.incrementalSpans(batch,
+      Dedup.corpusGramSet(corpus, 8, fingerprints = false), 8, fingerprints = false)
+      .collect().toSet
+    assert(exact.nonEmpty, "carved corpus/batch must share 8-gram spans")
+    val fast = Dedup.incrementalSpans(batch,
+      Dedup.corpusGramSet(corpus, 8, fingerprints = true), 8, fingerprints = true)
+      .collect().toSet
+    assert(fast === exact)
+    // the persisted, hash-sharded index path returns the same spans AND
+    // its scan is partition-pruned to the batch's shards
+    val dir = java.nio.file.Files.createTempDirectory("gramidx").toString + "/idx"
+    Dedup.writeGramIndex(Dedup.corpusGramSet(corpus, 8, fingerprints = true), dir, shards = 16)
+    val probed = Dedup.probePersistedGramIndex(batch, spark, dir, 8, fingerprints = true)
+    assert(probed.collect().toSet === exact)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [gram_shard"),
+      s"index scan must be partition-pruned on gram_shard:\n$plan")
+  }
 }

@@ -1002,6 +1002,85 @@ object Dedup {
     exciseSpans(t.documents, k = 8, fingerprints = false)
   }
 
+  /** Build the corpus gram set's Bloom filter (Catalyst's own
+    * BloomFilterAggregate, the sketch Spark's runtime filter uses) as a
+    * driver-held byte array — bounded by numBits/8 (2 MiB at the 2^24
+    * default), never by corpus size. This is the shippable form of the
+    * gram index for STATELESS consumers: embed it as a literal and
+    * membership becomes a per-row expression.
+    */
+  def corpusGramBloom(corpusGrams: DataFrame, expectedKeys: Long,
+                      numBits: Long = 1L << 24): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    corpusGrams
+      .agg(GraftColumnBridge.column(
+        new BloomFilterAggregate(
+          // gram columns may be string (exact) or long (fingerprint); the
+          // bloom hashes a LONG, so normalize through xxhash64 either way
+          GraftColumnBridge.expression(xxhash64(col("g"))),
+          Literal(expectedKeys), Literal(numBits)).toAggregateExpression()).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** Streaming span monitor — the zero-state rendering of x72 for a
+    * readStream of arriving documents: every gram of a document lives in
+    * ITS OWN row, so corpus-span detection needs no join, no shuffle, and
+    * no state store at all. The corpus gram set rides along as a Bloom
+    * filter LITERAL ([[corpusGramBloom]]); per row, a higher-order filter
+    * marks corpus-known gram positions and a fold merges them
+    * gaps-and-islands style into the longest span, exactly x71/x72's merge
+    * rule evaluated inside one expression tree. Output: (doc_id,
+    * max_span_words, flagged).
+    *
+    * Approximation contract: the Bloom admits false POSITIVES (a clean
+    * gram may be marked corpus-known, inflating a span) but never false
+    * negatives — flagged is a strict superset of the exact x72 verdict,
+    * the correct polarity for a quarantine gate (route flagged docs to the
+    * exact batch probe; never let a true dup through unflagged). At the 2^24
+    * default and ~1e6 corpus grams the FP rate is ~1e-4 per gram.
+    * Runs identically on a batch frame (SpanDedupSpec pins it against
+    * exact x72 flags).
+    */
+  def spanMonitor(arriving: DataFrame, corpusBloom: Array[Byte], k: Int,
+                  minSpanWords: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    def known(gram: Column): Column = GraftColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(corpusBloom, BinaryType),
+        GraftColumnBridge.expression(xxhash64(gram))))
+    val toks = split(col("text"), " ")
+    val hitPositions = when(
+      size(toks) >= k,
+      filter(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => known(array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(array().cast("array<int>"))
+    // fold: positions ascend by construction; a position p extends the
+    // current island when p <= prev_end + 1 (same adjacency rule as
+    // spansFromHits), else starts a new one at [p, p + k - 1]
+    val best = aggregate(
+      hitPositions,
+      struct(lit(-2).as("prev_end"), lit(0).as("cur_start"), lit(0).as("best")),
+      (acc, p) => {
+        val newIsland = p > acc.getField("prev_end") + 1
+        val curStart  = when(newIsland, p).otherwise(acc.getField("cur_start"))
+        val prevEnd   = greatest(acc.getField("prev_end"), p + (k - 1))
+        struct(
+          prevEnd.as("prev_end"),
+          curStart.as("cur_start"),
+          greatest(acc.getField("best"), prevEnd - curStart + 1).as("best"))
+      },
+      acc => acc.getField("best"))
+    arriving.select(
+      col("doc_id"),
+      best.cast("long").as("max_span_words"),
+      (best >= minSpanWords).as("flagged"))
+  }
+
   val x72_incremental_spans = Q(
     "x72_incremental_spans",
     """WITH shb AS (

@@ -141,4 +141,63 @@ class SpanDedupSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [gram_shard"),
       s"index scan must be partition-pruned on gram_shard:\n$plan")
   }
+
+  test("span monitor: bloom flags are never-false-negative vs exact x72 and exact at generous bits") {
+    val t = Tables(spark, sf0001)
+    val corpus = t.documents.filter($"doc_id" % 2 === 0)
+    val batch  = t.documents.filter($"doc_id" % 2 =!= 0)
+    val exactFlagged = Dedup.incrementalSpans(batch,
+      Dedup.corpusGramSet(corpus, 8, fingerprints = false), 8, fingerprints = false)
+      .where($"span_words" >= 16).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exactFlagged.nonEmpty, "carve must produce flaggable spans")
+    val bloom = Dedup.corpusGramBloom(
+      Dedup.corpusGramSet(corpus, 8, fingerprints = false), expectedKeys = 200000L)
+    val got = Dedup.spanMonitor(batch, bloom, k = 8, minSpanWords = 16)
+    val flagged = got.where($"flagged").select("doc_id").collect().map(_.getLong(0)).toSet
+    // bloom polarity: no false negatives, ever
+    assert(exactFlagged.subsetOf(flagged),
+      s"monitor missed exact dups: ${exactFlagged -- flagged}")
+    // at 2^24 bits / ~2e5 grams FPs are ~1e-4 per gram — on this corpus
+    // the sets coincide (deterministic: bloom hashing is seed-fixed)
+    assert(flagged === exactFlagged)
+    // and the per-doc span lengths agree with the exact island merge
+    val exactBest = Dedup.incrementalSpans(batch,
+      Dedup.corpusGramSet(corpus, 8, fingerprints = false), 8, fingerprints = false)
+      .groupBy("doc_id").agg(org.apache.spark.sql.functions.max("span_words").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      val exp = exactBest.getOrElse(r.getLong(0), 0L)
+      assert(r.getLong(1) >= exp,
+        s"doc ${r.getLong(0)}: monitor span ${r.getLong(1)} below exact $exp")
+    }
+  }
+
+  test("span monitor streams with ZERO state: memory-sink run matches batch, no stateful operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = Tables(spark, sf0001)
+    val corpus = t.documents.filter($"doc_id" % 2 === 0)
+    val bloom = Dedup.corpusGramBloom(
+      Dedup.corpusGramSet(corpus, 8, fingerprints = false), expectedKeys = 200000L)
+    val arriving = t.documents.filter($"doc_id" % 2 =!= 0)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = Dedup.spanMonitor(
+      t.documents.filter($"doc_id" % 2 =!= 0), bloom, 8, 16).collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val query = Dedup.spanMonitor(input.toDF().toDF("doc_id", "text"), bloom, 8, 16)
+      .writeStream.format("memory").queryName("span_monitor")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch boundaries cannot change a per-row computation
+      val (first, second) = arriving.splitAt(arriving.length / 2)
+      input.addData(first: _*)
+      query.processAllAvailable()
+      input.addData(second: _*)
+      query.processAllAvailable()
+      assert(spark.table("span_monitor").collect().toSet === expected)
+      assert(query.lastProgress.stateOperators.isEmpty,
+        "span monitor must keep no streaming state")
+    } finally query.stop()
+  }
 }

@@ -249,14 +249,29 @@ object MultiStore {
     * layout, never by row count.
     */
   def readPruned(spark: SparkSession, root: String, store: String,
-                 c: String, lo: Column, hi: Column): DataFrame = {
+                 c: String, lo: Column, hi: Column): DataFrame =
+    readPrunedRanges(spark, root, store, Seq((c, lo, hi)))
+
+  /** Conjunctive multi-column zone pruning: a file survives only if EVERY
+    * range intersects its zone. Pairs naturally with a Z-ordered writer
+    * (`LayoutOps.clusterByZ` interleaves the dimensions, so each file's
+    * per-column min/max boxes are tight in all of them simultaneously) —
+    * the zone map turns the Z-layout into genuine multi-dimensional file
+    * skipping, the Delta/Iceberg `ZORDER BY` + stats combination.
+    */
+  def readPrunedRanges(spark: SparkSession, root: String, store: String,
+                       ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "readPrunedRanges: at least one range")
     val v = snapshot(spark, root).getOrElse(store,
       throw new IllegalStateException(s"MultiStore at $root has no committed store '$store'"))
     val dir   = s"${root.stripSuffix("/")}/$store/v=$v"
     val zones = spark.read.parquet(s"${root.stripSuffix("/")}/$store/stats_v=$v")
-    val files = zones.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
-      .select("file").collect().map(_.getString(0))
-    val residual = col(c) >= lo && col(c) <= hi
+    val zonePred = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }.reduce(_ && _)
+    val files = zones.filter(zonePred).select("file").collect().map(_.getString(0))
+    val residual = ranges.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     if (files.isEmpty)
       spark.read.parquet(dir).filter(lit(false))
     else

@@ -308,4 +308,31 @@ class MultiStoreSpec extends SparkSpec {
       s"pruned version's sidecar leaked: $entries")
     assert(MultiStore.fileStats(spark, r, "t").count() == 8L)
   }
+
+  test("multi-column zone pruning over a Z-ordered layout skips in BOTH dimensions") {
+    import org.apache.spark.sql.functions._
+    val r = root()
+    // a 32x32 grid Z-ordered into 16 files: each file's (x, y) zone is a
+    // tight box, so a small 2-D window must survive only a few files
+    val grid = spark.range(0, 1024).toDF("i")
+      .select((col("i") % 32).as("x"), (col("i") / 32).cast("long").as("y"))
+    val z = graft.operators.LayoutOps.interleaveBits(
+      Seq(col("x").cast("int"), col("y").cast("int")), bits = 5)
+    val data = graft.operators.LayoutOps.clusterByZ(grid.withColumn("z", z), col("z"), 16)
+      .drop("z")
+    MultiStore.commit(r, Map("g" -> data), stats = Map("g" -> Seq("x", "y")))
+    val total = MultiStore.fileStats(spark, r, "g").count()
+    assert(total == 16L)
+    val pruned = MultiStore.readPrunedRanges(spark, r, "g",
+      Seq(("x", lit(4L), lit(7L)), ("y", lit(4L), lit(7L))))
+    val opened = pruned.inputFiles.length
+    assert(opened < 4, s"2-D skip too weak: opened $opened of $total files")
+    assert(pruned.count() == 16L) // the 4x4 window
+    // single-dimension pruning alone cannot reach that skip rate on this
+    // layout — the second range is what cuts the candidate set down
+    val oneDim = MultiStore.readPrunedRanges(spark, r, "g",
+      Seq(("x", lit(4L), lit(7L))))
+    assert(oneDim.inputFiles.length > opened,
+      "adding the y-range must strictly tighten the file set")
+  }
 }

@@ -227,6 +227,49 @@ object MultiStore {
       deletesStore(store)  -> emptyKeys), keep, stats = stats)
   }
 
+  /** Idempotent micro-batch commit — the streaming→transaction-log bridge
+    * (Delta's `txn` appId/version marker, expressed as a store): `writes`
+    * land together with a one-row `<sinkId>.txn` marker store holding the
+    * batch id, in ONE manifest, so "did batch N apply?" is answered by the
+    * same atomic pointer that published its data. Structured Streaming's
+    * `foreachBatch` re-delivers a batch after a crash-restart; replaying
+    * an id at-or-below the marker returns false and writes NOTHING, which
+    * upgrades at-least-once delivery to exactly-once application. The
+    * marker advance goes through [[commitIf]] pinned to the marker version
+    * read, so two racing sinks with the same sinkId cannot both apply one
+    * batch — the CAS loser re-reads and sees the batch already applied.
+    *
+    * Batch ids must be monotonically increasing per sinkId (foreachBatch's
+    * contract). Returns true iff this call applied the batch.
+    */
+  def commitBatch(root: String, sinkId: String, batchId: Long,
+                  writes: Map[String, DataFrame], keep: Int = 2,
+                  stats: Map[String, Seq[String]] = Map.empty): Boolean = {
+    require(writes.nonEmpty, "commitBatch: no stores to write")
+    val spark    = writes.head._2.sparkSession
+    val txnStore = sinkId + ".txn"
+    import spark.implicits._
+    var attempts = 0
+    while (true) {
+      val snap       = snapshot(spark, root)
+      val txnVersion = snap.get(txnStore)
+      val lastId = txnVersion.map(_ =>
+        read(spark, root, txnStore).head().getLong(0))
+      if (lastId.exists(_ >= batchId)) return false // already applied
+      try {
+        commitIf(root,
+          writes + (txnStore -> Seq(batchId).toDF("batch_id")),
+          Map(txnStore -> txnVersion), keep, stats = stats)
+        return true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > 20) throw e // live same-sink contention — surface it
+      }
+    }
+    sys.error("unreachable")
+  }
+
   // ---- stats-driven file pruning (zone maps) -------------------------------
 
   /** The per-file zone map of `store`'s live version: one row per data

@@ -309,6 +309,25 @@ class MultiStoreSpec extends SparkSpec {
     assert(MultiStore.fileStats(spark, r, "t").count() == 8L)
   }
 
+  test("commitBatch: a replayed micro-batch is a no-op — exactly-once application over the log") {
+    val r = root()
+    def batchDf(ids: Long*) = ids.toDF("id")
+    assert(MultiStore.commitBatch(r, "sinkA", 0L, Map("rows" -> batchDf(1L, 2L))))
+    assert(MultiStore.commitBatch(r, "sinkA", 1L, Map("rows" ->
+      MultiStore.read(spark, r, "rows").unionByName(batchDf(3L)))))
+    // crash-restart re-delivery of batch 1: MUST apply nothing
+    assert(!MultiStore.commitBatch(r, "sinkA", 1L, Map("rows" -> batchDf(99L))))
+    assert(MultiStore.read(spark, r, "rows").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // and the data version did not advance on the replay
+    assert(MultiStore.snapshot(spark, r)("rows") == 1L)
+    // a DIFFERENT sink id has its own marker lineage
+    assert(MultiStore.commitBatch(r, "sinkB", 0L, Map("other" -> batchDf(7L))))
+    // the marker store is a store like any other: time travel sees the
+    // batch frontier as of each manifest
+    val hist = MultiStore.manifests(spark, r)
+    assert(MultiStore.readAt(spark, r, "sinkA.txn", hist.last).head().getLong(0) == 1L)
+  }
+
   test("multi-column zone pruning over a Z-ordered layout skips in BOTH dimensions") {
     import org.apache.spark.sql.functions._
     val r = root()

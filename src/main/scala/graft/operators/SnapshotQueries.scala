@@ -167,5 +167,92 @@ object SnapshotQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning)
+  /** m13: the transactional ingest — the round-11 pieces composed into the
+    * write path a 100 TB corpus maintainer actually runs. Per invocation,
+    * ALL REAL: (1) the corpus (even doc_ids) is committed as a store;
+    * (2) the incoming batch (odd doc_ids) is probed with the x72
+    * incremental span dedup against the corpus gram set — docs carrying a
+    * >=16-word corpus-duplicated span are quarantined, the rest accepted;
+    * (3) accepted docs and the quarantine table land through
+    * [[graft.sources.MultiStore.commitBatch]] in ONE manifest with the
+    * batch-id marker; (4) the SAME batch id is then replayed with poison
+    * writes — the exactly-once guard must apply NOTHING (if it ever did,
+    * the poison rows change the counts and the oracle hash breaks).
+    * DuckDB replays only the end state, which is a pure function of the
+    * documents table and the span threshold.
+    */
+  val m13_txn_ingest = Q(
+    "m13_txn_ingest",
+    """WITH shb AS (
+      |  SELECT doc_id, CAST(i AS INT) AS pos, array_to_string(w[i:i+7], ' ') AS g
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS w
+      |              FROM documents WHERE doc_id % 2 <> 0))),
+      |shc AS (
+      |  SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS g
+      |  FROM (SELECT w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM (SELECT string_split(text, ' ') AS w
+      |              FROM documents WHERE doc_id % 2 = 0))),
+      |hits AS (SELECT b.doc_id, b.pos FROM shb b JOIN shc c USING (g)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+      |                  THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM (SELECT doc_id, pos,
+      |               max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |        FROM hits)),
+      |flagged AS (
+      |  SELECT doc_id FROM isl GROUP BY doc_id, island
+      |  HAVING max(pos) + 7 - min(pos) + 1 >= 16),
+      |fl AS (SELECT DISTINCT doc_id FROM flagged)
+      |SELECT bucket, n_docs, chars FROM (
+      |  SELECT 'accepted' AS bucket, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents d
+      |  WHERE doc_id % 2 = 0
+      |     OR (doc_id % 2 <> 0 AND doc_id NOT IN (SELECT doc_id FROM fl))
+      |  UNION ALL
+      |  SELECT 'quarantine' AS bucket, count(*) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents WHERE doc_id % 2 <> 0
+      |    AND doc_id IN (SELECT doc_id FROM fl))
+      |ORDER BY bucket""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    import graft.operators.Dedup
+    withTempStore("graft-txningest") { root =>
+      val slim   = Seq("doc_id", "lang", "n_chars").map(col)
+      val corpus = t.documents.filter(col("doc_id") % 2 === 0)
+      val batch  = t.documents.filter(col("doc_id") % 2 =!= 0)
+      MultiStore.commit(root, Map("docs" -> corpus.select(slim: _*)))
+      val flagged = Dedup
+        .incrementalSpans(batch, Dedup.corpusGramSet(corpus, 8, fingerprints = false),
+          k = 8, fingerprints = false)
+        .groupBy("doc_id").agg(max(col("span_words")).as("m"))
+        .filter(col("m") >= 16).select("doc_id")
+      val accepted    = batch.join(flagged, Seq("doc_id"), "left_anti").select(slim: _*)
+      val quarantined = batch.join(flagged, Seq("doc_id"), "left_semi").select(slim: _*)
+      val applied = MultiStore.commitBatch(root, "ingest", 0L, Map(
+        "docs"       -> MultiStore.read(spark, root, "docs").unionByName(accepted),
+        "quarantine" -> quarantined))
+      // crash-restart re-delivery: poison writes MUST NOT apply (they would
+      // shift the counts below and break the oracle hash)
+      val replayed = MultiStore.commitBatch(root, "ingest", 0L, Map(
+        "docs" -> t.documents.limit(5).select(slim: _*)))
+      require(applied && !replayed,
+        s"exactly-once violated: applied=$applied replayed=$replayed")
+      def summarize(store: String, bucket: String) =
+        MultiStore.read(spark, root, store).agg(
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+          .select(lit(bucket).as("bucket"), col("n_docs"), col("chars"))
+      summarize("docs", "accepted")
+        .unionByName(summarize("quarantine", "quarantine"))
+        .orderBy("bucket")
+    }
+  }
+
+  val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning, m13_txn_ingest)
 }

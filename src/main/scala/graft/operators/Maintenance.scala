@@ -198,13 +198,12 @@ object Maintenance {
   ): Unit = {
     val lock = new org.apache.hadoop.fs.Path(tableP, MergeLock)
     if (takeover) fs.delete(lock, false)
-    try fs.create(lock, false).close()
-    catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"merge lock held at $lock — another merge may be in flight; re-run " +
-            "with takeoverLock=true only after confirming no live writer", e)
-    }
+    // AtomicFs.claim: local-FS exclusive create is check-then-act (see
+    // AtomicFs scaladoc) — two concurrent merges could both "acquire"
+    if (!graft.sources.AtomicFs.claim(fs, lock))
+      throw new IllegalStateException(
+        s"merge lock held at $lock — another merge may be in flight; re-run " +
+          "with takeoverLock=true only after confirming no live writer")
   }
 
   /** Repair a crashed swap before touching the table: a `_graft_old_<part>`

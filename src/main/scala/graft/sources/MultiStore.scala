@@ -377,7 +377,17 @@ object MultiStore {
     var attempts = 0
     var done: Option[Map[String, Long]] = None
     while (done.isEmpty) {
-      val base = snapshot(spark, root)
+      // Base snapshot AND the manifest number it came from are read in ONE
+      // listing: the publish below targets exactly base-manifest + 1, so a
+      // concurrent commit landing in between makes our rename FAIL (name
+      // taken) instead of us publishing a stale base on top of it. Reading
+      // the number again at publish time is the lost-update hole the
+      // concurrent-deleteWhere race test caught: a loser that re-lists
+      // after the winner's publish gets a FRESH number, renames cleanly,
+      // and silently rolls back every pointer the winner advanced that
+      // this commit merely carried forward.
+      val baseNums = manifestNumbers(fs, rootP)
+      val base     = baseNums.lastOption.map(readManifest(fs, rootP, _)).getOrElse(Map.empty[String, Long])
       // 0. CAS validation — checked against every refreshed snapshot, so a
       // conflict that lands during a manifest-race retry is caught too;
       // the publish-time rename keeps the check authoritative (a conflict
@@ -401,14 +411,14 @@ object MultiStore {
         if (!sfs.exists(sp)) sfs.mkdirs(sp)
         val existing = sfs.listStatus(sp).toSeq.map(_.getPath.getName)
           .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
-        var next    = (existing :+ base.getOrElse(store, -1L)).max + 1
-        var claimed = false
-        while (!claimed) {
-          try {
-            sfs.create(new org.apache.hadoop.fs.Path(sp, s"_graft_claim_v=$next"), false).close()
-            claimed = true
-          } catch { case _: java.io.IOException => next += 1 }
-        }
+        var next = (existing :+ base.getOrElse(store, -1L)).max + 1
+        // AtomicFs.claim, not fs.create(overwrite=false): the local-FS
+        // "exclusive" create is check-then-act, and two committers that
+        // both claim one version number proceed to write the SAME v= dir —
+        // the lost-update / _temporary-collision the concurrent-deleteWhere
+        // race test caught before this went through O_EXCL.
+        while (!AtomicFs.claim(sfs, new org.apache.hadoop.fs.Path(sp, s"_graft_claim_v=$next")))
+          next += 1
         df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$storeRoot/v=$next")
         stats.get(store).foreach { cols =>
           val written = spark.read.parquet(s"$storeRoot/v=$next")
@@ -425,18 +435,28 @@ object MultiStore {
       }
       // 2. one atomic publish: tmp file renamed into the next manifest name
       val snap = base ++ newVersions
-      val m    = manifestNumbers(fs, rootP).lastOption.getOrElse(-1L) + 1
-      val tmp  = new org.apache.hadoop.fs.Path(rootP, s".manifest_attempt_${m}_$attempts.tmp")
+      val m    = baseNums.lastOption.getOrElse(-1L) + 1
+      // tmp name must be unique PER COMMITTER, not just per (m, attempt):
+      // two committers racing the same manifest number would share one tmp
+      // file — the winner's publish consumes it out from under the loser
+      val tmp = new org.apache.hadoop.fs.Path(rootP,
+        s".manifest_attempt_${m}_${attempts}_${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out  = fs.create(tmp, true)
       try out.write(snap.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
         .mkString("", "\n", "\n").getBytes("UTF-8"))
       finally out.close()
-      if (fs.rename(tmp, new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + m))) {
+      // AtomicFs.publish, not fs.rename: local-FS rename's fail-if-exists
+      // is an exists() check before rename(2) — two concurrent publishes
+      // to one manifest name could BOTH report success, the second
+      // silently replacing the first committer's manifest. The publish
+      // must be a genuinely atomic install-iff-absent (link(2) locally,
+      // native rename on HDFS), or the manifest race detection that the
+      // whole retry/CAS story rests on has a hole exactly under contention.
+      if (AtomicFs.publish(fs, tmp, new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + m))) {
         prune(fs, rootP, root, keep, pruneGraceMs)
         done = Some(snap)
       } else {
         // a concurrent committer took manifest m: retry over its snapshot
-        fs.delete(tmp, false)
         attempts += 1
         if (attempts > 100)
           throw new IllegalStateException(

@@ -113,19 +113,17 @@ object VersionedStore {
     val spark = df.sparkSession
     val (fs0, rootP) = hfs(spark, root)
     if (!fs0.exists(rootP)) fs0.mkdirs(rootP)
-    var next    = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
-    var claimed = false
-    var tries   = 0
-    while (!claimed) {
-      try { fs0.create(claimPath(root, next), false).close(); claimed = true }
-      catch {
-        case _: java.io.IOException =>
-          tries += 1
-          if (tries > 1000)
-            throw new IllegalStateException(
-              s"VersionedStore at $root: could not claim a version after $tries attempts")
-          next += 1
-      }
+    var next  = currentVersion(spark, root).map(_ + 1).getOrElse(0L)
+    var tries = 0
+    // AtomicFs.claim: the local-FS "exclusive" create is check-then-act
+    // (see AtomicFs scaladoc) — two writers could both claim one version
+    // and overwrite each other's v= dir.
+    while (!AtomicFs.claim(fs0, claimPath(root, next))) {
+      tries += 1
+      if (tries > 1000)
+        throw new IllegalStateException(
+          s"VersionedStore at $root: could not claim a version after $tries attempts")
+      next += 1
     }
     // fresh dir: Overwrite only clears a leftover PARTIAL v=<next> from a
     // crashed attempt (it cannot be the live version — no _SUCCESS/marker)

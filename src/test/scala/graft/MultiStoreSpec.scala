@@ -309,6 +309,32 @@ class MultiStoreSpec extends SparkSpec {
     assert(MultiStore.fileStats(spark, r, "t").count() == 8L)
   }
 
+  test("concurrent deleteWhere: both deletes land — the CAS retry unions instead of losing updates") {
+    import org.apache.spark.sql.functions._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val r = root()
+    MultiStore.commit(r, Map("docs" ->
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")))
+    // two maintainers delete disjoint key sets at the same time; under
+    // last-writer-wins one delete set would silently vanish — under the
+    // CAS loop the loser re-derives from the winner's snapshot and the
+    // final delete set is ALWAYS the union, whatever the interleaving
+    val a = Future(MultiStore.deleteWhere(spark, r, "docs",
+      col("id") <= 5L, Seq("id")))
+    val b = Future(MultiStore.deleteWhere(spark, r, "docs",
+      col("id") >= 16L, Seq("id")))
+    Await.result(a, 120.seconds)
+    Await.result(b, 120.seconds)
+    val remaining = MultiStore.readMerged(spark, r, "docs")
+      .select("id").as[Long].collect().toSet
+    assert(remaining == (6L to 15L).toSet,
+      s"a concurrent delete was lost: remaining=$remaining")
+    assert(MultiStore.read(spark, r, "docs.deletes").as[Long].collect().toSet ==
+      ((1L to 5L) ++ (16L to 20L)).toSet)
+  }
+
   test("commitBatch: a replayed micro-batch is a no-op — exactly-once application over the log") {
     val r = root()
     def batchDf(ids: Long*) = ids.toDF("id")

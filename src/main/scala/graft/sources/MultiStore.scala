@@ -493,6 +493,15 @@ object MultiStore {
                     graceMs: Long): Unit = {
     val all      = manifestNumbers(fs, rootP)
     val retained = all.takeRight(keep)
+    // References of the manifests being dropped, read BEFORE deleting them:
+    // a version one of them names was PUBLISHED (it cannot be an in-flight
+    // write), so once no retained manifest references it either, it is
+    // sweepable immediately — the keep=N retention semantics. Versions no
+    // manifest ever named are indistinguishable from a commit mid-publish
+    // and get only the age-guarded sweep below.
+    val droppedRefs: Map[String, Set[Long]] = all.dropRight(keep)
+      .flatMap(m => readManifest(fs, rootP, m).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     all.dropRight(keep).foreach(m =>
       fs.delete(new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + m), false))
     val referenced: Map[String, Set[Long]] = retained
@@ -502,16 +511,19 @@ object MultiStore {
     fs.listStatus(rootP).toSeq.filter(_.isDirectory).foreach { st =>
       val store = st.getPath.getName
       referenced.get(store).foreach { keepVersions =>
-        val minKeep = keepVersions.min
+        val superseded = droppedRefs.getOrElse(store, Set.empty)
         fs.listStatus(st.getPath).toSeq.foreach { entry =>
           val name = entry.getPath.getName
-          // Below the minimum retained reference nothing can be in-flight
-          // (claims always pick a number above every EXISTING version dir,
-          // and retained versions >= minKeep exist), so the sweep there is
-          // unconditional; ABOVE it an unreferenced version may be a
-          // commit mid-publish, hence the age guard.
+          // A dropped manifest's reference was committed — sweep it the
+          // moment retention drops it. A version NO manifest ever named may
+          // be a concurrent committer's write in flight (it claims its
+          // number before any publish — the pre-r12 below-the-minimum
+          // "nothing can be in-flight" shortcut was false exactly here: a
+          // later committer can publish a HIGHER version while an earlier
+          // claim is still writing, and an unguarded sweep then deletes the
+          // write out from under its job), hence the age guard.
           def sweepable(v: Long, mtime: Long): Boolean =
-            !keepVersions.contains(v) && (v < minKeep || mtime < cutoff)
+            !keepVersions.contains(v) && (superseded.contains(v) || mtime < cutoff)
           if (name.startsWith("v=")) {
             val v = name.stripPrefix("v=").toLong
             if (sweepable(v, entry.getModificationTime)) {

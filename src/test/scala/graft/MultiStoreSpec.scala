@@ -152,6 +152,27 @@ class MultiStoreSpec extends SparkSpec {
     assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 10L)))
   }
 
+  test("an in-flight write BELOW a later-published version survives a default-grace prune") {
+    val r = root()
+    // Committer A claims v=0 and is still writing: claim file + a data dir
+    // containing only the committer's _temporary scratch — no manifest has
+    // ever named v=0. (This is the deterministic replay of the concurrent
+    // deleteWhere flake: A claims 0, B therefore claims 1, B publishes and
+    // prunes; the pre-r12 below-the-minimum sweep deleted A's dir MID-WRITE
+    // and A's Spark job died on the vanished _temporary.)
+    assert(new java.io.File(s"$r/labels").mkdirs())
+    Files.write(new java.io.File(s"$r/labels/_graft_claim_v=0").toPath, Array.emptyByteArray)
+    assert(new java.io.File(s"$r/labels/v=0/_temporary").mkdirs())
+    // Committer B: sees claim v=0 taken, claims v=1, publishes, prunes
+    // twice (default grace) — A's fresh in-flight v=0 must NOT be touched
+    MultiStore.commit(r, Map("labels" -> Seq((1L, 200L)).toDF("node", "component")))
+    MultiStore.commit(r, Map("labels" -> Seq((1L, 201L)).toDF("node", "component")))
+    assert(new java.io.File(s"$r/labels/v=0/_temporary").exists(),
+      "prune deleted an in-flight write inside the grace window")
+    // and B landed on versions above the claim
+    assert(MultiStore.snapshot(spark, r)("labels") >= 1L)
+  }
+
   test("commit-vs-prune race: a retrying committer's eventual manifest never references a pruned version") {
     val r = root()
     MultiStore.commit(r, Map("labels" -> Seq((1L, 0L)).toDF("node", "component")))

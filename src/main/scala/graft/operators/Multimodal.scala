@@ -363,5 +363,164 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode)
+  /** REAL audio codec over the same seam: the JDK's javax.sound.sampled
+    * (WAV/AIFF/AU readers ship with the JVM — no external jar, no audio
+    * device needed for file decoding). The [[MediaStats]] fields carry the
+    * audio analogs of the image stats — the seam is modality-agnostic by
+    * construction: meanIntensity = exact signed mean SAMPLE amplitude
+    * (integer sum over one double division), frameCount = PCM frames,
+    * feature = 16-bucket amplitude histogram over the full int16 range
+    * (bucket = (s + 32768) / 4096), width = sample rate, height = channel
+    * count (a pipeline cross-checks them against claimed metadata exactly
+    * as it does image dims). Handles the two WAV sample layouts in the
+    * wild — 8-bit unsigned and 16-bit signed little-endian — at any
+    * channel count (8-bit samples are centered to signed by -128 so both
+    * widths share one amplitude scale ×256 apart; stats run over ALL
+    * channels' samples). Anything undecodable (or an exotic bit depth)
+    * lands as the sentinel dead-letter row, never an exception mid-batch.
+    */
+  object WavDecode extends Decode {
+    override def stats(bytes: Array[Byte], durationMs: Long): MediaStats = {
+      val dead = MediaStats(0.0, 0, new Array[Float](16), -1, -1)
+      if (bytes == null || bytes.isEmpty) dead
+      else {
+        val ais =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (ais == null) dead
+        else
+          try {
+            val f = ais.getFormat
+            val signed16 =
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16
+            val unsigned8 =
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+                f.getSampleSizeInBits == 8
+            if (!signed16 && !unsigned8) dead
+            else {
+              val data = ais.readAllBytes()
+              val ch   = f.getChannels
+              val hist = new Array[Float](16)
+              var sum  = 0L
+              var cnt  = 0
+              if (signed16) {
+                val le = !f.isBigEndian
+                var i = 0
+                while (i + 1 < data.length) {
+                  val s =
+                    if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+                    else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort.toInt
+                  sum += s
+                  hist((s + 32768) / 4096) += 1f
+                  cnt += 1
+                  i += 2
+                }
+              } else {
+                var i = 0
+                while (i < data.length) {
+                  val s = ((data(i) & 0xff) - 128) * 256 // one amplitude scale
+                  sum += s
+                  hist((s + 32768) / 4096) += 1f
+                  cnt += 1
+                  i += 1
+                }
+              }
+              if (cnt == 0) dead
+              else {
+                var i = 0
+                while (i < 16) { hist(i) /= cnt; i += 1 }
+                MediaStats(sum.toDouble / cnt, cnt / ch, hist,
+                  f.getSampleRate.toInt, ch)
+              }
+            }
+          } catch { case _: Exception => dead }
+          finally ais.close()
+      }
+    }
+  }
+
+  /** Deterministic canonical PCM WAV (44-byte RIFF header + 16-bit mono
+    * little-endian samples): sample i of doc `d` is
+    * s = ((d*17 + i*29) mod 2048) - 1024, with n = 50 + d%101 samples at
+    * 8 kHz — so the byte count (44 + 2n), the exact integer sample sum,
+    * and every histogram bucket are closed formulas over (doc_id, i) that
+    * DuckDB replays with no audio library, the audio twin of [[bmpBytes]].
+    */
+  def wavBytes(d: Long): Array[Byte] = {
+    val n    = (50 + d % 101).toInt
+    val rate = 8000
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      b.putShort((((d * 17 + i * 29) % 2048) - 1024).toShort)
+      i += 1
+    }
+    b.array()
+  }
+
+  /** x73: the real AUDIO codec, driver-stamped — the WAV sibling of
+    * [[x28b_imageio_decode]]. Every document becomes a hand-rolled
+    * deterministic PCM WAV (or, for doc_id % 7 == 3, undecodable noise
+    * bytes) flowing through the identical mapPartitions seam with
+    * [[WavDecode]]: actual javax.sound.sampled frame decoding, dead-letter
+    * sentinels for garbage. The closed sample rule makes the decoded
+    * frame count / byte count / exact mean amplitude / histogram-bucket
+    * fraction pure integer functions of (doc_id, i), so the oracle checks
+    * that the real decoder reproduced the generation rule end to end.
+    * Samples span [-1024, 1023], so they land only in full-range buckets
+    * 7 and 8; the checked `frac_pos` is bucket 8 = the fraction of
+    * samples >= 0, i.e. (d*17 + i*29) mod 2048 >= 1024.
+    */
+  val x73_wav_decode: Q = Q(
+    "x73_wav_decode",
+    """WITH d AS (
+      |  SELECT doc_id, 50 + doc_id % 101 AS n FROM documents),
+      |ix AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+      |sm AS (
+      |  SELECT doc_id, n, (doc_id * 17 + i * 29) % 2048 - 1024 AS s FROM ix),
+      |st AS (
+      |  SELECT doc_id, n, sum(s) AS ssum,
+      |         sum(CASE WHEN s >= 0 THEN 1 ELSE 0 END) AS npos
+      |  FROM sm GROUP BY doc_id, n)
+      |SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 7 = 3
+      |            THEN CAST(5 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+      |            ELSE CAST(44 + 2 * n AS BIGINT) END AS n_bytes,
+      |       CASE WHEN doc_id % 7 = 3 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE CAST(ssum AS DOUBLE) / n END AS mean_amp,
+      |       CASE WHEN doc_id % 7 = 3 THEN 0 ELSE CAST(n AS INTEGER) END AS frame_count,
+      |       CASE WHEN doc_id % 7 = 3 THEN -1 ELSE 8000 END AS sample_rate,
+      |       CASE WHEN doc_id % 7 = 3 THEN -1 ELSE 1 END AS channels,
+      |       CASE WHEN doc_id % 7 = 3 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE CAST(CAST(npos AS REAL) / CAST(n AS REAL) AS DOUBLE) END AS frac_pos
+      |FROM st ORDER BY media_id""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    import spark.implicits._
+    val media = t.documents.select(col("doc_id")).as[Long].map { d =>
+      val bytes =
+        if (d % 7 == 3) s"NOISE$d".getBytes("UTF-8") else wavBytes(d)
+      MediaRow(d, "audio", s"synth://wav/$d", bytes, 0, 0,
+        (50 + d % 101) * 1000 / 8000)
+    }
+    extractFeatures(media, WavDecode)
+      .select(
+        col("media_id"), col("n_bytes"),
+        col("mean_intensity").as("mean_amp"),
+        col("frame_count"),
+        col("decoded_width").as("sample_rate"),
+        col("decoded_height").as("channels"),
+        element_at(col("feature"), 9).cast(DoubleType).as("frac_pos"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode)
 }

@@ -254,5 +254,87 @@ object SnapshotQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning, m13_txn_ingest)
+  /** m14: OPTIMIZE — small-file bin-packing compaction as a snapshot
+    * commit. Every run executes the real machinery: a deliberately
+    * fragmented ingest (32 files), then [[graft.sources.MultiStore.optimize]]
+    * rewriting the SAME rows into 4 range-clustered files with fresh zone
+    * maps, then (a) a driver-side guard that the live layout really shrank,
+    * (b) a zone-pruned range read over the OPTIMIZED layout feeding the
+    * result (a broken rewrite or broken re-stats breaks the hash), and
+    * (c) a time-travel count back to the fragmented manifest proving
+    * OPTIMIZE never rewrote history — the compaction is a new version, not
+    * a mutation. DuckDB replays the end state, a pure function of the
+    * documents table.
+    */
+  val m14_optimize = Q(
+    "m14_optimize",
+    """WITH cur AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents WHERE doc_id >= 100 AND doc_id <= 399 GROUP BY lang),
+      |tot AS (SELECT count(*) AS n_before FROM documents)
+      |SELECT lang, n_docs, chars, tot.n_before
+      |FROM cur, tot ORDER BY lang""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-optimize") { root =>
+      // fragmented ingest: 32 tiny files (what a micro-batch sink leaves)
+      MultiStore.commit(root, Map("docs" ->
+        t.documents.select("doc_id", "lang", "n_chars").repartition(32)))
+      val preOpt       = MultiStore.manifests(spark, root).last
+      val nFilesBefore = MultiStore.read(spark, root, "docs").inputFiles.length
+      MultiStore.optimize(spark, root, "docs", targetFiles = 4,
+        clusterBy = Seq("doc_id"), stats = Seq("doc_id"))
+      val nFilesAfter = MultiStore.read(spark, root, "docs").inputFiles.length
+      require(nFilesAfter < nFilesBefore,
+        s"optimize did not compact: $nFilesBefore -> $nFilesAfter files")
+      // the fragmented version is still a readable snapshot (time travel)
+      val before = MultiStore.readAt(spark, root, "docs", preOpt)
+        .agg(count(lit(1)).as("n_before"))
+      // serve a range query through the optimized layout's fresh zone maps
+      MultiStore.readPruned(spark, root, "docs", "doc_id", lit(100L), lit(399L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .crossJoin(before)
+        .orderBy("lang")
+    }
+  }
+
+  /** m15: Bloom point-lookup pruning — the file-skipping story for
+    * HIGH-CARDINALITY equality predicates, where min/max zones are useless
+    * by construction: the store is hash-distributed (every file's doc_id
+    * range spans the whole corpus), so a range-zone read would open every
+    * file, but each doc_id lands in ~one file's Bloom sketch. Every run
+    * commits the store with per-file Bloom sidecars, runs five real point
+    * lookups through [[graft.sources.MultiStore.readPrunedEq]], and guards
+    * driver-side that the sketches actually skipped (≤2 files opened per
+    * lookup out of 16). False positives are stripped by the residual
+    * equality filter, which is exactly what the oracle checks.
+    */
+  val m15_bloom_index = Q(
+    "m15_bloom_index",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (7, 113, 229, 331, 433) ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-bloomidx") { root =>
+      MultiStore.commit(root,
+        Map("docs" -> t.documents.select("doc_id", "lang", "n_chars")
+          .repartition(16, col("doc_id") * 2654435761L % 1000)), // hash-scattered
+        bloom = Map("docs" -> Seq("doc_id")))
+      val keys = Seq(7L, 113L, 229L, 331L, 433L)
+      val lookups = keys.map { k =>
+        val hit = MultiStore.readPrunedEq(spark, root, "docs", "doc_id", lit(k))
+        val opened = hit.inputFiles.length
+        require(opened <= 2,
+          s"bloom index failed to skip: doc_id=$k opened $opened of 16 files")
+        hit
+      }
+      lookups.reduce(_.unionByName(_)).orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning,
+    m13_txn_ingest, m14_optimize, m15_bloom_index)
 }

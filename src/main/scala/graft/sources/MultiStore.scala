@@ -1,7 +1,9 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, xxhash64}
 
 /** Multi-table snapshot commits over VersionedStore-style parquet stores —
   * the transaction-log shape a lakehouse user expects when two
@@ -321,6 +323,100 @@ object MultiStore {
       spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
   }
 
+  // ---- OPTIMIZE (bin-packing compaction) + bloom point-lookup pruning ----
+
+  /** Per-file Bloom sketch sizing for `commit(bloom = ...)` sidecars:
+    * 2^20 bits = 128 KiB per (file, column) sketch, ~1e-4 false-positive
+    * rate at 64 K distinct keys per file. A sidecar row per data file —
+    * metadata-sized at any corpus scale (a 100 TB store at 1 GB/file is
+    * ~100 K sidecar rows ≈ 13 GB of sketches, read file-list-wise, never
+    * joined to data).
+    */
+  val BloomNumBits: Long       = 1L << 20
+  val BloomExpectedItems: Long = BloomNumBits / 16
+
+  /** OPTIMIZE — the small-file bin-packing compaction every lakehouse
+    * needs once streaming/batch ingest has fragmented a store: rewrite the
+    * live data version's ROWS (unchanged) into `targetFiles` files,
+    * range-clustered by `clusterBy` when given (so zone maps stay tight —
+    * the `ZORDER`-lite layout half of the Delta OPTIMIZE verb), and commit
+    * the rewrite as a NEW version with fresh `stats`/`bloom` sidecars.
+    * Old manifests still reference the fragmented version — time travel is
+    * unaffected, and retention eventually sweeps it.
+    *
+    * Runs through [[commitIf]] pinned to the version it read: an OPTIMIZE
+    * racing a data commit must LOSE (throw, caller re-runs over the fresh
+    * snapshot) rather than silently publish a rewrite of stale data over
+    * the winner — rewrites that change no rows still change pointers.
+    */
+  def optimize(spark: SparkSession, root: String, store: String,
+               targetFiles: Int, clusterBy: Seq[String] = Nil,
+               stats: Seq[String] = Nil, bloom: Seq[String] = Nil,
+               keep: Int = 2): Map[String, Long] = {
+    require(targetFiles > 0, "optimize: targetFiles must be positive")
+    val v = snapshot(spark, root).getOrElse(store,
+      throw new IllegalStateException(s"MultiStore at $root has no committed store '$store'"))
+    val data = read(spark, root, store)
+    val shaped =
+      if (clusterBy.nonEmpty)
+        data.repartitionByRange(targetFiles, clusterBy.map(col): _*)
+      else data.repartition(targetFiles)
+    commitIf(root, Map(store -> shaped), Map(store -> Some(v)), keep,
+      stats = if (stats.nonEmpty) Map(store -> stats) else Map.empty,
+      bloom = if (bloom.nonEmpty) Map(store -> bloom) else Map.empty)
+  }
+
+  /** The per-file Bloom sidecar of `store`'s live version: one row per
+    * data file — `file`, `bloom_<c>` (serialized sketch) per bloom
+    * column, `n_rows`. Present only for versions committed with `bloom`
+    * naming the store.
+    */
+  def fileBlooms(spark: SparkSession, root: String, store: String): DataFrame = {
+    val v = snapshot(spark, root).getOrElse(store,
+      throw new IllegalStateException(s"MultiStore at $root has no committed store '$store'"))
+    spark.read.parquet(s"${root.stripSuffix("/")}/$store/bloom_v=$v")
+  }
+
+  /** Equality (point-lookup) read that opens ONLY the files whose Bloom
+    * sketch might contain `value` — the Delta "bloom filter index" path
+    * for high-cardinality columns where min/max zones are useless (a
+    * hash-distributed id intersects every file's range, but lands in ~one
+    * file's sketch). The sketch check runs on the DRIVER over the per-file
+    * sidecar rows (one row per file, bounded by layout) using the same
+    * Catalyst [[BloomFilterMightContain]] the scan-side runtime filter
+    * uses; false positives are stripped by the residual equality filter,
+    * so the result equals the plain filter by construction.
+    */
+  def readPrunedEq(spark: SparkSession, root: String, store: String,
+                   c: String, value: Column): DataFrame = {
+    val v = snapshot(spark, root).getOrElse(store,
+      throw new IllegalStateException(s"MultiStore at $root has no committed store '$store'"))
+    val dir = s"${root.stripSuffix("/")}/$store/v=$v"
+    // hash the probe value through the SAME expression the commit-side
+    // sketch hashed the column with (a one-row local-relation projection —
+    // constant-folded, no cluster job)
+    val hRow = spark.range(1).select(xxhash64(value).as("h")).head()
+    require(!hRow.isNullAt(0), s"readPrunedEq: value for '$c' must be a non-null literal")
+    val h = Literal(hRow.getLong(0))
+    val files = spark.read.parquet(s"${root.stripSuffix("/")}/$store/bloom_v=$v")
+      .select(col("file"), col(s"bloom_$c")).collect()
+      .filter { r =>
+        val sketch = r.getAs[Array[Byte]](1)
+        sketch != null &&
+          BloomFilterMightContain(
+            Literal(sketch, org.apache.spark.sql.types.BinaryType), h)
+            .eval(null).asInstanceOf[Boolean]
+      }
+      .map(_.getString(0))
+    if (files.isEmpty) {
+      // a genuinely file-less empty frame (schema only), so callers
+      // counting inputFiles see the zero files the sketch check opened
+      val schema = spark.read.parquet(dir).schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(files.toIndexedSeq: _*).filter(col(c) === value)
+  }
+
   /** Commit `writes` as ONE snapshot: every data version lands first (each
     * in a fresh claimed dir, never touching live data), then a single
     * rename publishes the manifest that names them all plus every
@@ -343,8 +439,9 @@ object MultiStore {
     */
   def commit(root: String, writes: Map[String, DataFrame], keep: Int = 2,
              pruneGraceMs: Long = DefaultPruneGraceMs,
-             stats: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
-    doCommit(root, writes, keep, pruneGraceMs, stats, expected = None)
+             stats: Map[String, Seq[String]] = Map.empty,
+             bloom: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
+    doCommit(root, writes, keep, pruneGraceMs, stats, bloom, expected = None)
 
   /** Compare-and-swap commit — the conflict-DETECTING half a transaction
     * log adds over last-writer-wins: the commit publishes only if every
@@ -363,11 +460,13 @@ object MultiStore {
   def commitIf(root: String, writes: Map[String, DataFrame],
                expected: Map[String, Option[Long]], keep: Int = 2,
                pruneGraceMs: Long = DefaultPruneGraceMs,
-               stats: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
-    doCommit(root, writes, keep, pruneGraceMs, stats, Some(expected))
+               stats: Map[String, Seq[String]] = Map.empty,
+               bloom: Map[String, Seq[String]] = Map.empty): Map[String, Long] =
+    doCommit(root, writes, keep, pruneGraceMs, stats, bloom, Some(expected))
 
   private def doCommit(root: String, writes: Map[String, DataFrame], keep: Int,
                        pruneGraceMs: Long, stats: Map[String, Seq[String]],
+                       bloom: Map[String, Seq[String]],
                        expected: Option[Map[String, Option[Long]]]): Map[String, Long] = {
     require(writes.nonEmpty, "MultiStore.commit: no stores to write")
     val spark       = writes.head._2.sparkSession
@@ -430,6 +529,20 @@ object MultiStore {
             .coalesce(1) // one row per data FILE — KB-sized at any scale
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$storeRoot/stats_v=$next")
+        }
+        bloom.get(store).foreach { cols =>
+          val written = spark.read.parquet(s"$storeRoot/v=$next")
+          val aggs = cols.map(c =>
+            GraftColumnBridge.column(new BloomFilterAggregate(
+              GraftColumnBridge.expression(xxhash64(col(c))),
+              Literal(BloomExpectedItems), Literal(BloomNumBits))
+              .toAggregateExpression())
+              .as(s"bloom_$c")) :+ count(lit(1)).as("n_rows")
+          written.groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .coalesce(1) // one (file, sketch...) row per data FILE
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$storeRoot/bloom_v=$next")
         }
         store -> next
       }
@@ -530,15 +643,17 @@ object MultiStore {
               fs.delete(entry.getPath, true)
               val claim = new org.apache.hadoop.fs.Path(st.getPath, s"_graft_claim_v=$v")
               if (fs.exists(claim)) fs.delete(claim, false)
-              // the zone-map sidecar lives and dies with its version
-              val statsP = new org.apache.hadoop.fs.Path(st.getPath, s"stats_v=$v")
-              if (fs.exists(statsP)) fs.delete(statsP, true)
+              // the zone-map/bloom sidecars live and die with their version
+              Seq(s"stats_v=$v", s"bloom_v=$v").foreach { side =>
+                val p = new org.apache.hadoop.fs.Path(st.getPath, side)
+                if (fs.exists(p)) fs.delete(p, true)
+              }
             }
-          } else if (name.startsWith("stats_v=")) {
+          } else if (name.startsWith("stats_v=") || name.startsWith("bloom_v=")) {
             // sidecar whose data dir is already gone (e.g. a committer
             // crashed between stats write and data write ordering, or an
             // earlier prune predates sidecar-aware sweeping)
-            val v = name.stripPrefix("stats_v=").toLong
+            val v = name.dropWhile(_ != '=').tail.toLong
             if (sweepable(v, entry.getModificationTime) &&
                 !fs.exists(new org.apache.hadoop.fs.Path(st.getPath, s"v=$v")))
               fs.delete(entry.getPath, true)

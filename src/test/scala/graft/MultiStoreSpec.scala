@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{expr, lit}
+
 import graft.sources.MultiStore
 
 /** Multi-table snapshot commits: N stores advance through ONE manifest
@@ -150,6 +152,67 @@ class MultiStoreSpec extends SparkSpec {
       s"orphan above the retained range leaked: $after")
     // live snapshot untouched throughout
     assert(MultiStore.read(spark, r, "labels").as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+  }
+
+  test("optimize: compacts files, preserves rows, regenerates stats, leaves history intact") {
+    val r = root()
+    val data = spark.range(0, 1000).selectExpr("id", "id % 7 AS grp")
+    MultiStore.commit(r, Map("t" -> data.repartition(16)))
+    val preOpt = MultiStore.manifests(spark, r).last
+    assert(MultiStore.read(spark, r, "t").inputFiles.length >= 8)
+    MultiStore.optimize(spark, r, "t", targetFiles = 2,
+      clusterBy = Seq("id"), stats = Seq("id"))
+    val after = MultiStore.read(spark, r, "t")
+    assert(after.inputFiles.length <= 2)
+    // same rows, new layout
+    assert(after.as[(Long, Long)].collect().toSet ==
+      data.as[(Long, Long)].collect().toSet)
+    // fresh zone maps serve a pruned read over the clustered layout
+    val pruned = MultiStore.readPruned(spark, r, "t", "id", lit(0L), lit(99L))
+    assert(pruned.inputFiles.length == 1)
+    assert(pruned.count() == 100L)
+    // the fragmented version remains a readable snapshot until retention
+    assert(MultiStore.readAt(spark, r, "t", preOpt).count() == 1000L)
+    assert(MultiStore.readAt(spark, r, "t", preOpt).inputFiles.length >= 8)
+  }
+
+  test("optimize races a data commit: the CAS loses loudly instead of rolling back the write") {
+    val r = root()
+    MultiStore.commit(r, Map("t" -> spark.range(0, 100).toDF("id")))
+    val vRead = MultiStore.snapshot(spark, r)("t")
+    // a concurrent writer lands between optimize's read and its publish —
+    // simulated by committing now and then replaying optimize's commitIf
+    // against the stale expectation (what its internals would carry)
+    MultiStore.commit(r, Map("t" -> spark.range(0, 200).toDF("id")))
+    intercept[java.util.ConcurrentModificationException] {
+      MultiStore.commitIf(r,
+        Map("t" -> MultiStore.readAt(spark, r, "t",
+          MultiStore.manifests(spark, r).head).repartition(1)),
+        Map("t" -> Some(vRead)))
+    }
+    // the concurrent writer's rows are intact
+    assert(MultiStore.read(spark, r, "t").count() == 200L)
+  }
+
+  test("bloom sidecar: point lookups open only might-contain files; misses open none") {
+    val r = root()
+    // hash-scattered layout: every file's id RANGE spans the corpus, so
+    // zone pruning cannot skip — exactly the case the bloom index exists for
+    val data = spark.range(0, 800).toDF("id")
+    MultiStore.commit(r, Map("t" -> data.repartition(8, expr("id * 2654435761 % 997"))),
+      bloom = Map("t" -> Seq("id")))
+    val total = MultiStore.read(spark, r, "t").inputFiles.length
+    assert(total == 8)
+    Seq(3L, 250L, 777L).foreach { k =>
+      val hit = MultiStore.readPrunedEq(spark, r, "t", "id", lit(k))
+      assert(hit.inputFiles.length <= 2, s"key $k opened ${hit.inputFiles.length} of $total")
+      assert(hit.as[Long].collect().toSeq == Seq(k))
+    }
+    // an absent key: the sketches reject it without opening ANY data file
+    val miss = MultiStore.readPrunedEq(spark, r, "t", "id", lit(123456L))
+    assert(miss.inputFiles.isEmpty && miss.count() == 0L)
+    // sidecar shape: one row per data file
+    assert(MultiStore.fileBlooms(spark, r, "t").count() == total.toLong)
   }
 
   test("an in-flight write BELOW a later-published version survives a default-grace prune") {

@@ -35,6 +35,30 @@ object Curation {
   def sampleByHash(df: DataFrame, key: Column, keepPct: Column, salt: String = "s|"): DataFrame =
     df.filter(hashBucket(key, salt, 100) < keepPct)
 
+  /** Deterministic per-epoch training-order shuffle: every row gets a
+    * `shard` (epoch-salted hash of the stable key, mod `nShards`) and a
+    * `pos` (its rank within the shard by the full hash tag, key
+    * tiebreak). Each epoch's salt yields a fresh statistically
+    * independent permutation that is REPRODUCIBLE across runs, engines,
+    * and retried tasks — the training-order contract `orderBy(rand())`
+    * cannot give. The plan is the 100 TB one: shard assignment is pure
+    * map-side, the within-shard rank is a window on the shard key — ONE
+    * hash shuffle total, never a global sort/rank (each data-loader
+    * reads its shard in (pos) order with no cross-shard coordination;
+    * a downstream epoch writer is `partitionBy(shard) sortWithinPartitions
+    * (pos)`, still zero extra shuffles).
+    */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int, nShards: Int): DataFrame = {
+    require(nShards > 0, "epochShuffle: nShards must be positive")
+    val tag = md5(concat(lit(s"e$epoch|"), key.cast("string")))
+    df.withColumn("__tag", tag)
+      .withColumn("shard", conv(substring(col("__tag"), 1, 6), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__tag"), key)))
+      .drop("__tag")
+  }
+
   /** Fixed-size uniform sample PER GROUP — the "n examples from every
     * stratum" verb (eval-set drawing, per-domain inspection samples,
     * few-shot pools). Deterministic reservoir equivalent: rank rows

@@ -961,11 +961,54 @@ object TrainPrep {
         |FROM packed GROUP BY lang, split ORDER BY lang, split""".stripMargin)
   }
 
+  /** x74: deterministic per-epoch training-order shuffle — the data-loader
+    * feed verb: each epoch deals every doc into one of 8 shards by an
+    * epoch-salted hash and ranks it within the shard by the full hash tag,
+    * giving a fresh reproducible permutation per epoch with ONE hash
+    * shuffle and no global sort (`Curation.epochShuffle`; the window
+    * partitions by the same key the reporting aggregate groups on, so both
+    * ride one Exchange). The oracle replays shard dealing AND the complete
+    * within-shard ORDER: `order_checksum = Σ pos·doc_id` changes under any
+    * transposition of two docs, so a wrong permutation — not just a wrong
+    * membership — breaks the hash. Two epochs are unioned to pin that the
+    * salt really re-deals (their checksums differing is implied by both
+    * hashing green against independently computed oracles).
+    */
+  val x74_epoch_shuffle = Q(
+    "x74_epoch_shuffle",
+    s"""WITH ep AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+       |d AS (
+       |  SELECT epoch, doc_id,
+       |         md5('e' || epoch || '|' || CAST(doc_id AS VARCHAR)) AS tag,
+       |         ${md5BucketSql("'e' || epoch || '|' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+       |  FROM documents, ep),
+       |p AS (
+       |  SELECT epoch, shard, doc_id,
+       |         row_number() OVER (PARTITION BY epoch, shard ORDER BY tag, doc_id) AS pos
+       |  FROM d)
+       |SELECT epoch, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+       |       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM p GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin,
+  ) { t =>
+    (0 to 1).map { e =>
+      Curation.epochShuffle(t.documents.select("doc_id"), col("doc_id"), e, 8)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .select(lit(e).as("epoch"), col("shard"), col("n_docs"),
+          col("order_checksum"), col("first_doc"), col("last_doc"))
+    }.reduce(_.unionByName(_)).orderBy("epoch", "shard")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
-    x57_reservoir_sample)
+    x57_reservoir_sample, x74_epoch_shuffle)
 }

@@ -295,4 +295,35 @@ class TrainPrepSpec extends SparkSpec {
     val r2 = TrainPrep.x30_mixture_budget.run(spark, sf0001).collect()
     assert(r1.map(_.toSeq.toList).toList == r2.map(_.toSeq.toList).toList)
   }
+
+  test("epochShuffle: reproducible per epoch, re-dealt across epochs, one shuffle") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val docs = spark.range(0, 400).toDF("doc_id")
+    def order(e: Int): Seq[(Long, Long, Int)] =
+      Curation.epochShuffle(docs, col("doc_id"), e, 8)
+        .select(col("doc_id").as[Long], col("shard").as[Long], col("pos").as[Int])
+        .collect().toSeq.sortBy(_._1)
+    // same epoch -> bit-identical placement; rows conserved
+    val e0 = order(0)
+    assert(e0 == order(0))
+    assert(e0.size == 400 && e0.map(_._1).distinct.size == 400)
+    // (shard, pos) is a dense unique ordering within every shard
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toList)
+    }
+    // a different epoch re-deals: placements differ for most docs
+    val e1     = order(1)
+    val moved  = e0.zip(e1).count { case (a, b) => (a._2, a._3) != (b._2, b._3) }
+    assert(moved > 350, s"epoch salt barely changed the permutation: $moved/400 moved")
+    // no shard hogs the corpus (hash balance, loose bound)
+    val sizes = e0.groupBy(_._2).values.map(_.size)
+    assert(sizes.max < 2 * sizes.min + 20, s"unbalanced shards: $sizes")
+    // plan: ONE hash exchange — the window rides the shard partitioning,
+    // no global sort/rank anywhere
+    val p = Curation.epochShuffle(docs, col("doc_id"), 0, 8)
+      .queryExecution.executedPlan.toString
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }

@@ -961,8 +961,101 @@ object Similarity {
     semDedup(t.embeddings, k, tau = 0.35)
   }
 
+  /** x75: ANN index-quality evaluation — recall@k of the real IVF probe
+    * (x18's parameters) against the exact cosine top-k (x9's path) on the
+    * same probe set, the measurement loop that tells a 100 TB index
+    * operator whether nProbe/nCells are set right BEFORE queries degrade.
+    * Both generators run for real; the intersection is a (query, vec)
+    * semi-join; recall = hits/k is exact fifths so both engines agree
+    * bit-for-bit. Plan: the exact side is probe-bounded (10 broadcast
+    * queries streamed against the corpus map-side — cost ∝ corpus, never
+    * corpus², and ∝ sample size when probes are a sample, which is how the
+    * evaluation runs at scale); the IVF side is the production probe
+    * itself. Generator-agnostic: swap the IVF frame for x10 sign-LSH, x31
+    * SQ8, or x69 PQ output and the eval is unchanged. The oracle replays
+    * BOTH generators (the x18 and x9 CTE chains verbatim) plus the
+    * intersection.
+    */
+  val x75_ann_recall = Q(
+    "x75_ann_recall",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, embedding AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c) WHERE rn = 1),
+      |iprobes AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4),
+      |ivf AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |           row_number() OVER (
+      |             PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                      a.vec_id) AS rn
+      |    FROM iprobes p JOIN assigned a USING (cell)
+      |    WHERE a.vec_id <> p.query_id)
+      |  WHERE rn <= 5),
+      |exact AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |                      c.vec_id) AS rn
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rn <= 5),
+      |hits AS (
+      |  SELECT i.query_id, count(*) AS n_hits
+      |  FROM ivf i JOIN exact e ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+      |  GROUP BY i.query_id)
+      |SELECT q.vec_id AS query_id,
+      |       COALESCE(h.n_hits, 0) AS n_hits,
+      |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+      |LEFT JOIN hits h ON h.query_id = q.vec_id
+      |ORDER BY query_id""".stripMargin,
+  ) { t =>
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+    val q = probes.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = t.embeddings.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val exact = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id")
+    val ivf = ivfTopK(t.embeddings, probes, k = 5, nCells = 16, nProbe = 4)
+      .select("query_id", "vec_id")
+    val hits = ivf.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    probes.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / 5).as("recall"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
-      x69_pq_topk, x70_semdedup, x70b_semdedup_scaled)
+      x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall)
 }

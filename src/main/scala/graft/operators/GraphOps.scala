@@ -333,6 +333,54 @@ object GraphOps {
     } finally { e.unpersist(false); () }
   }
 
+  /** Sentinel distance for nodes not yet reached by [[ssspRounds]] —
+    * integer arithmetic end to end, so cross-engine replay is exact.
+    */
+  val Unreached: Long = 999999999L
+
+  /** Bounded-round single-source shortest paths — Bellman-Ford relaxation
+    * as `rounds` synchronous sweeps: after round k every node within k
+    * hops of the source carries its true shortest integer distance (full
+    * SSSP needs diameter rounds; the bounded form IS the distributed
+    * pattern — a Pregel superstep per round — and makes the recurrence
+    * exactly unrollable by the oracle, the x50 trick). Per round: ONE
+    * keyed shuffle (candidates aggregated on dst, merged back on node via
+    * `least`); edges persisted once; distance generations checkpointed
+    * and released a generation behind (the g7/x50 Scope discipline), so
+    * plan depth and storage stay O(1) in `rounds`. Weights must be
+    * non-negative integers; unreached nodes hold [[Unreached]].
+    */
+  def ssspRounds(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = Checkpoints.scope(edges.sparkSession)
+    try {
+      val nodes = cp.checkpoint(
+        e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node")))
+          .distinct())
+      var dist = cp.checkpoint(
+        nodes.select(col("node"),
+          when(col("node") === source, lit(0L)).otherwise(lit(Unreached)).as("dist")))
+      var i = 0
+      while (i < rounds) {
+        i += 1
+        val relaxed = e
+          .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+          .groupBy("node")
+          .agg(min("cand").as("cand"))
+        val next = cp.checkpoint(
+          dist.join(relaxed, Seq("node"), "left")
+            .select(col("node"),
+              least(col("dist"), coalesce(col("cand"), lit(Unreached))).as("dist")))
+        dist = next
+        cp.retain(next, nodes)
+      }
+      dist
+    } finally { e.unpersist(false); () }
+  }
+
   /** Incremental connected components — the graph member of the
     * affected-only maintenance family (x35 SCD2 keys, x40 z-layout tiles,
     * x36 rollup partials): fold a batch of NEW edges into an existing

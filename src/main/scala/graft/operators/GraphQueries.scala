@@ -258,7 +258,45 @@ object GraphQueries {
     GraphOps.trianglesPerApex(chain.unionByName(skip))
   }
 
+  /** x76: weighted single-source shortest paths, bounded-round Bellman-
+    * Ford (`GraphOps.ssspRounds`) over the g1/x50 tree-plus-back-edge
+    * graph with deterministic integer weights w = 1 + dst mod 7 (back
+    * edge 3→0 weighs 5). Three synchronous relaxation sweeps from node 0 —
+    * the Pregel-superstep form whose recurrence the oracle unrolls exactly
+    * as three chained CTEs (the x50 trick, in exact integer arithmetic
+    * instead of doubles). Only nodes reached within 3 hops report a
+    * finite distance; the rest stay at the sentinel and are filtered.
+    */
+  val x76_sssp = Q(
+    "x76_sssp",
+    """WITH e AS (SELECT (doc_id-1)//2 AS src, doc_id AS dst, 1 + doc_id % 7 AS w
+      |           FROM documents WHERE doc_id >= 1
+      |           UNION ALL SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(5 AS BIGINT)),
+      |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |d0 AS (SELECT node, CASE WHEN node = 0 THEN CAST(0 AS BIGINT)
+      |                         ELSE CAST(999999999 AS BIGINT) END AS dist FROM nodes),
+      |d1 AS (SELECT p.node, LEAST(p.dist, COALESCE(
+      |         (SELECT MIN(q.dist + e.w) FROM e JOIN d0 q ON q.node = e.src
+      |          WHERE e.dst = p.node), 999999999)) AS dist FROM d0 p),
+      |d2 AS (SELECT p.node, LEAST(p.dist, COALESCE(
+      |         (SELECT MIN(q.dist + e.w) FROM e JOIN d1 q ON q.node = e.src
+      |          WHERE e.dst = p.node), 999999999)) AS dist FROM d1 p),
+      |d3 AS (SELECT p.node, LEAST(p.dist, COALESCE(
+      |         (SELECT MIN(q.dist + e.w) FROM e JOIN d2 q ON q.node = e.src
+      |          WHERE e.dst = p.node), 999999999)) AS dist FROM d2 p)
+      |SELECT node, dist FROM d3 WHERE dist < 999999999 ORDER BY node""".stripMargin,
+  ) { t =>
+    import t.spark.implicits._
+    val edges = treeEdges(t)
+      .withColumn("w", lit(1L) + col("dst") % 7)
+      .unionByName(Seq((3L, 0L, 5L)).toDF("src", "dst", "w"))
+    GraphOps.ssspRounds(edges, source = 0L, rounds = 3)
+      .filter(col("dist") < GraphOps.Unreached)
+      .orderBy("node")
+  }
+
   val all: Seq[Q] = Seq(
     g1_bfs_reachability, g2_clone_subtree, g3_cascade_survivors, g5_ancestor_walk,
-    g7_connected_components, x50_pagerank, x53_incremental_cc, x60_triangle_count)
+    g7_connected_components, x50_pagerank, x53_incremental_cc, x60_triangle_count,
+    x76_sssp)
 }

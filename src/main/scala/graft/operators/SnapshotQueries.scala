@@ -335,6 +335,63 @@ object SnapshotQueries {
     }
   }
 
+  /** m16: the change feed — Delta's `table_changes` over MultiStore
+    * manifests. Every run executes the real history: an initial commit,
+    * then a full-refresh second commit carrying updates (+1 char count on
+    * doc_id % 10 = 1) and inserts (negative-keyed rows for % 10 = 2), then
+    * a REAL row-level `deleteWhere` of % 10 = 0 — and
+    * `TemporalJoins.changeFeed` diffs the merged views at the first and
+    * last manifests, so equality-delete rows surface as `delete` changes
+    * exactly like data rewrites. DuckDB replays the classification as a
+    * pure function of the documents table; the key-sum checksum makes a
+    * misclassified or missed row break the hash.
+    */
+  val m16_change_feed = Q(
+    "m16_change_feed",
+    """WITH olds AS (SELECT doc_id, n_chars FROM documents),
+      |news AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 10 = 1 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 10 <> 0
+      |  UNION ALL
+      |  SELECT -doc_id, n_chars FROM documents WHERE doc_id % 10 = 2),
+      |diff AS (
+      |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |         CASE WHEN o.doc_id IS NULL THEN 'insert'
+      |              WHEN n.doc_id IS NULL THEN 'delete'
+      |              WHEN o.n_chars <> n.n_chars THEN 'update'
+      |              ELSE 'unchanged' END AS change_type
+      |  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+      |SELECT change_type, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS key_sum
+      |FROM diff WHERE change_type <> 'unchanged'
+      |GROUP BY change_type ORDER BY change_type""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-changefeed") { root =>
+      val slim = t.documents.select("doc_id", "n_chars")
+      // keep=4: the feed's FROM manifest must survive the two later
+      // commits (retention is what bounds how far back a CDF can reach)
+      MultiStore.commit(root, Map("docs" -> slim), keep = 4)
+      val mFrom = MultiStore.manifests(spark, root).last
+      // full-refresh second version: updates + inserts (deletes of
+      // % 10 = 0 go through the REAL row-level delete path below)
+      val refreshed = slim
+        .withColumn("n_chars",
+          when(col("doc_id") % 10 === 1, col("n_chars") + 1).otherwise(col("n_chars")))
+        .unionByName(slim.filter(col("doc_id") % 10 === 2)
+          .select((-col("doc_id")).as("doc_id"), col("n_chars")))
+      MultiStore.commit(root, Map("docs" -> refreshed), keep = 4)
+      MultiStore.deleteWhere(spark, root, "docs",
+        col("doc_id") % 10 === 0 && col("doc_id") >= 0, Seq("doc_id"), keep = 4)
+      val mTo = MultiStore.manifests(spark, root).last
+      TemporalJoins.changeFeed(spark, root, "docs", mFrom, mTo, "doc_id", Seq("n_chars"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("key_sum"))
+        .orderBy("change_type")
+    }
+  }
+
   val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning,
-    m13_txn_ingest, m14_optimize, m15_bloom_index)
+    m13_txn_ingest, m14_optimize, m15_bloom_index, m16_change_feed)
 }

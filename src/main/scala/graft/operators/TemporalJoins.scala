@@ -344,6 +344,26 @@ object TemporalJoins {
         (compareCols.map(col) ++ compareCols.map(c => col(s"${c}_old"))): _*)
   }
 
+  /** Change feed between two retained MultiStore manifests — Delta's
+    * `table_changes` expressed over full-snapshot versions: one
+    * [[snapshotDiff]] of the store's MERGED views (data minus equality
+    * deletes) as of `mFrom` and `mTo`, so row-level deletes recorded in
+    * the delete set surface as `delete` changes exactly like data
+    * rewrites. The changelog this emits is what [[scd2Merge]] / a
+    * downstream sync consumes; cost is one full-outer keyed join of the
+    * two snapshots — at 100 TB, run it between ADJACENT manifests (the
+    * usual CDF consumption pattern) so both sides are one commit apart.
+    */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession, root: String,
+                 store: String, mFrom: Long, mTo: Long, key: String,
+                 compareCols: Seq[String]): DataFrame = {
+    import graft.sources.MultiStore
+    snapshotDiff(
+      MultiStore.readMergedAt(spark, root, store, mFrom),
+      MultiStore.readMergedAt(spark, root, store, mTo),
+      key, compareCols)
+  }
+
   val x48_snapshot_diff = Q(
     "x48_snapshot_diff",
     """WITH snap_a AS (

@@ -79,4 +79,33 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(2))).toMap
     assert(got("p") == Seq("Alpha", "beta"))
   }
+
+  test("ssspRounds equals bounded Bellman-Ford on a random weighted digraph") {
+    val rnd = new scala.util.Random(7)
+    val n   = 40
+    val edgeList = Seq.fill(160)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1L + rnd.nextInt(9)))
+      .filter { case (s, d, _) => s != d }.distinct
+    val rounds = 4
+    // JVM reference: k synchronous relaxation sweeps from node 0
+    val inf  = GraphOps.Unreached
+    var ref  = (0 until n).map(i => i.toLong -> (if (i == 0) 0L else inf)).toMap
+    (1 to rounds).foreach { _ =>
+      val relaxed = edgeList.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => ref(s) + w }.min
+      }
+      ref = ref.map { case (v, d) => v -> math.min(d, relaxed.getOrElse(v, inf)) }
+    }
+    val got = GraphOps.ssspRounds(edgeList.toDF("src", "dst", "w"), source = 0L, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // compare over nodes that appear in the edge table (isolated JVM-side
+    // nodes never enter the DataFrame's node set)
+    val present = edgeList.flatMap(e => Seq(e._1, e._2)).toSet
+    present.foreach { v =>
+      assert(got(v) == math.min(ref(v), inf), s"node $v: got ${got(v)} want ${ref(v)}")
+    }
+    // a 5th round can only improve: monotone non-increasing distances
+    val more = GraphOps.ssspRounds(edgeList.toDF("src", "dst", "w"), 0L, rounds + 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    present.foreach(v => assert(more(v) <= got(v)))
+  }
 }

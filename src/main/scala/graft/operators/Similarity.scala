@@ -1054,8 +1054,115 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** x77: the ANN family meets the table format — a PERSISTED, VERSIONED
+    * vector index: centroids and inverted lists live as MultiStore tables,
+    * a batch of new vectors lands through the incremental path
+    * ([[assignBatchIncremental]] against the FROZEN stored centroids, one
+    * union append — corpus lists never re-read), the index advances
+    * through one atomic snapshot commit, and the SAME queries are served
+    * at BOTH manifests via time travel. Every run executes the real
+    * machinery: two commits, a readAt-resolved centroid+list pair per
+    * version, the x18 probe over each. The pre-batch serving is the
+    * time-travel proof — if readAt resolved the wrong version, post-batch
+    * vectors would leak into index_version 0 and break the hash. At
+    * 100 TB this is the index maintenance story: ingest appends
+    * batch-sized lists under a snapshot pointer, queries pin a manifest
+    * (consistent reads during ingest), retention ages old index versions
+    * out. The oracle replays both versions' assignment, probe, and
+    * ranking from the frozen even-id centroids.
+    */
+  val x77_versioned_ann = Q(
+    "x77_versioned_ann",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+      |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+      |a0 AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c WHERE e.vec_id % 2 = 0) WHERE rn = 1),
+      |a1 AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c) WHERE rn = 1),
+      |pr AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4),
+      |t0 AS (
+      |  SELECT CAST(0 AS BIGINT) AS index_version, query_id, vec_id, sim FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |           round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                        CAST(a.embedding AS DOUBLE[])), 6) AS sim,
+      |           row_number() OVER (
+      |             PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                      a.vec_id) AS rn
+      |    FROM pr p JOIN a0 a USING (cell) WHERE a.vec_id <> p.query_id)
+      |  WHERE rn <= 5),
+      |t1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS index_version, query_id, vec_id, sim FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |           round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                        CAST(a.embedding AS DOUBLE[])), 6) AS sim,
+      |           row_number() OVER (
+      |             PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                      a.vec_id) AS rn
+      |    FROM pr p JOIN a1 a USING (cell) WHERE a.vec_id <> p.query_id)
+      |  WHERE rn <= 5)
+      |SELECT * FROM t0 UNION ALL SELECT * FROM t1
+      |ORDER BY index_version, query_id, vec_id""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    SnapshotQueries.withTempStore("graft-vecindex") { root =>
+      val base  = t.embeddings.filter(col("vec_id") % 2 === 0)
+      val batch = t.embeddings.filter(col("vec_id") % 2 =!= 0)
+      val cents = trainFreeCentroids(base, 16)
+      MultiStore.commit(root, Map(
+        "centroids" -> cents,
+        "lists"     -> assignCells(base, cents)), keep = 4)
+      val m0 = MultiStore.manifests(spark, root).last
+      // incremental ingest: the batch assigned to the FROZEN stored
+      // centroids, appended to the stored lists, committed as one snapshot
+      val storedCents = MultiStore.read(spark, root, "centroids")
+      MultiStore.commit(root, Map("lists" ->
+        MultiStore.read(spark, root, "lists")
+          .unionByName(assignBatchIncremental(batch, storedCents))), keep = 4)
+      val m1 = MultiStore.manifests(spark, root).last
+      val queries = t.embeddings.filter(col("vec_id") < 10)
+      def serveAt(m: Long, version: Long) =
+        probeTopK(
+          MultiStore.readAt(spark, root, "lists", m),
+          queries,
+          MultiStore.readAt(spark, root, "centroids", m),
+          k = 5, nProbe = 4)
+          .select(lit(version).as("index_version"),
+            col("query_id"), col("vec_id"), col("sim"))
+      serveAt(m0, 0L).unionByName(serveAt(m1, 1L))
+        .orderBy("index_version", "query_id", "vec_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
-      x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall)
+      x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann)
 }

@@ -78,7 +78,7 @@ object SnapshotQueries {
     * before the query returns — no temp dirs accumulate across bench
     * repeats (the m10 lesson, r10 ADVICE).
     */
-  private def withTempStore(prefix: String)(
+  private[operators] def withTempStore(prefix: String)(
       body: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tmp  = java.nio.file.Files.createTempDirectory(prefix)
     val root = tmp.toString + "/store"

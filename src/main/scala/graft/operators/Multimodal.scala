@@ -348,7 +348,17 @@ object Multimodal {
   ) { t =>
     implicit val spark: SparkSession = t.spark
     import spark.implicits._
-    val media = t.documents.select(col("doc_id")).as[Long].map { d =>
+    // fan the (cheap) id column out BEFORE generation/decode: the scan of
+    // a compact parquet may be 1-2 partitions, and a decode stage that
+    // inherits it runs nearly single-threaded no matter the cluster. The
+    // partition count must be EXPLICIT: a number-less repartition(col) is
+    // a coalescible hint AQE happily folds back to one partition when the
+    // id bytes are small — the decode cost behind them is invisible to
+    // the size heuristic (measured on x73 at 10x: 14.0 s inherited scan,
+    // 4.8 s AQE-coalesced hint, ~1 s with the pinned fan-out)
+    val media = t.documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].map { d =>
       val bytes =
         if (d % 7 == 3) s"GARBAGE$d".getBytes("UTF-8") else bmpBytes(d)
       MediaRow(d, "image", s"synth://bmp/$d", bytes,
@@ -380,14 +390,74 @@ object Multimodal {
     * lands as the sentinel dead-letter row, never an exception mid-batch.
     */
   object WavDecode extends Decode {
+    /** The JDK's audio-file readers (WaveFileReader & co.), resolved ONCE
+      * per partition in [[init]] instead of per row: `AudioSystem
+      * .getAudioInputStream` re-enters a SYNCHRONIZED provider registry on
+      * every call, which convoys all executor threads through one lock at
+      * corpus scale (measured: the per-row path held x73 at ~4.8 s at 10x
+      * where the per-partition resolution runs the same decode in ~1 s).
+      * Exactly the amortization the seam's init() contract exists for.
+      */
+    @transient private var readers: List[javax.sound.sampled.spi.AudioFileReader] = _
+    /** Most-recently-successful reader, probed first: the OTHER format
+      * readers reject by throwing, and the JDK's MIDI reader in particular
+      * re-enters synchronized provider machinery per probe — 32 executor
+      * threads probing it per row convoy on that lock (measured: 14 s for
+      * the 10x decode with in-order probing vs ~1 s with the winner kept
+      * in front). Benign race: worst case a thread probes one extra reader.
+      */
+    @transient private var hot: javax.sound.sampled.spi.AudioFileReader = _
+
+    override def init(): Unit = {
+      val it = java.util.ServiceLoader
+        .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val buf = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) buf += it.next()
+      readers = buf.result()
+    }
+
+    /** Container sniff before codec dispatch: the three sampled-audio
+      * containers the JDK readers parse all open with a fixed magic
+      * (RIFF = WAV, FORM = AIFF, .snd = AU). Bytes matching none of them
+      * can never yield PCM frames here, so they dead-letter WITHOUT
+      * touching a provider — at corpus scale the probe-everything path
+      * for garbage rows is pure contended exception churn (the MIDI
+      * reader's rejection in particular re-enters synchronized provider
+      * machinery).
+      */
+    private def sniff(bytes: Array[Byte]): Boolean =
+      bytes.length >= 12 && (
+        (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') ||
+        (bytes(0) == 'F' && bytes(1) == 'O' && bytes(2) == 'R' && bytes(3) == 'M') ||
+        (bytes(0) == '.' && bytes(1) == 's' && bytes(2) == 'n' && bytes(3) == 'd'))
+
+    private def open(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+      if (readers == null) init() // direct (non-seam) callers, e.g. specs
+      if (!sniff(bytes)) return null
+      val h = hot
+      if (h != null) {
+        try return h.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => }
+      }
+      var rs = readers
+      while (rs.nonEmpty) {
+        if (rs.head ne h) {
+          try {
+            val ais = rs.head.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+            hot = rs.head
+            return ais
+          } catch { case _: Exception => }
+        }
+        rs = rs.tail
+      }
+      null
+    }
+
     override def stats(bytes: Array[Byte], durationMs: Long): MediaStats = {
       val dead = MediaStats(0.0, 0, new Array[Float](16), -1, -1)
       if (bytes == null || bytes.isEmpty) dead
       else {
-        val ais =
-          try javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
+        val ais = open(bytes)
         if (ais == null) dead
         else
           try {
@@ -505,7 +575,11 @@ object Multimodal {
   ) { t =>
     implicit val spark: SparkSession = t.spark
     import spark.implicits._
-    val media = t.documents.select(col("doc_id")).as[Long].map { d =>
+    // id fan-out before decode — see x28b: without it the stage inherits
+    // the compact scan's 1-2 partitions and decodes single-threaded
+    val media = t.documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].map { d =>
       val bytes =
         if (d % 7 == 3) s"NOISE$d".getBytes("UTF-8") else wavBytes(d)
       MediaRow(d, "audio", s"synth://wav/$d", bytes, 0, 0,

@@ -22,28 +22,24 @@ object Prof {
       println(f"PROF $name%-40s min=${times.min}%.3f all=${times.map(x => f"$x%.2f").mkString(",")}")
     }
 
-    // ===== x45 attribution: which column family drives the 2 s? =====
-    import graft.operators.Profiling.profile
-    time("x45_full") {
-      profile(t.orders,
-        numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
-        strCols = Seq("o_orderstatus", "o_orderpriority", "o_orderdate"))
+    // ===== x73 attribution: generation vs decode vs sort =====
+    import graft.operators.Multimodal
+    import Multimodal.{MediaRow, WavDecode}
+    import spark.implicits._
+    implicit val sp: SparkSession = spark
+    def media = t.documents.select(col("doc_id"))
+      .repartition(col("doc_id")).as[Long].map { d =>
+        val bytes =
+          if (d % 7 == 3) s"NOISE$d".getBytes("UTF-8") else Multimodal.wavBytes(d)
+        MediaRow(d, "audio", s"synth://wav/$d", bytes, 0, 0, 0L)
+      }
+    time("x73_gen_only") { media.toDF() }
+    time("x73_gen_decode") { Multimodal.extractFeatures(media, WavDecode).toDF() }
+    time("x73_gen_decode_noorder") {
+      Multimodal.extractFeatures(media, WavDecode)
+        .select(col("media_id"), col("n_bytes"), col("mean_intensity"))
     }
-    time("x45_numeric_only") {
-      profile(t.orders, numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"), strCols = Seq("o_orderstatus"))
-    }
-    time("x45_no_orderdate") {
-      profile(t.orders,
-        numCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
-        strCols = Seq("o_orderstatus", "o_orderpriority"))
-    }
-    time("x45_orderdate_only") {
-      profile(t.orders, numCols = Seq("o_orderkey"), strCols = Seq("o_orderdate"))
-    }
-    // ===== x40 attribution: scan vs z-encode vs branches =====
-    val li    = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
-    time("x40_scan_only") { li.groupBy("l_orderkey").agg(count(lit(1)).as("n")) }
-    time("x40_full") { graft.operators.LayoutOps.x40_zorder_merge.run(spark, sfDir) }
+    time("x73_full") { Multimodal.x73_wav_decode.run(spark, sfDir) }
     spark.stop()
   }
 }

@@ -154,5 +154,83 @@ object ScaleJoins {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(x41_salted_join, x44_bloom_prefilter)
+  val m17_dpp_prune = Q(
+    "m17_dpp_prune",
+    """WITH yr AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderpriority,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_totalprice
+      |  FROM orders),
+      |top AS (
+      |  SELECT DISTINCT o_year FROM yr
+      |  WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders))
+      |SELECT y.o_year, y.o_orderpriority AS priority, count(*) AS n_orders,
+      |       CAST(sum(y.price) AS DOUBLE) AS revenue
+      |FROM yr y JOIN top USING (o_year)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  ) { t =>
+    // Dynamic partition pruning, driver-stamped: the fact table is written
+    // as a REAL date-partitioned layout (o_year= Hive dirs — the shape any
+    // 100 TB fact table has), and the probe side is the year of the
+    // max-price order, which the planner CANNOT know statically — no
+    // constant-folded partition filter is possible, so only Spark's DPP
+    // subquery keeps the scan from reading all seven years. The in-row
+    // guard requires the dynamicpruningexpression to actually land in the
+    // scan's partition filters; at 100 TB this is the difference between
+    // reading one year and reading the decade.
+    //
+    // Probe shape matters — measured, not guessed (DppSpec pins the skip):
+    // a window-rank probe (`rank() over (order by rev desc) = 1`) gets the
+    // DPP subquery INSERTED but then dropped (dynamicpruningexpression
+    // folds to `true`): with reuseBroadcastOnly the physical rule demands
+    // the freshly-planned probe be `sameResult` with the join's build
+    // side, and window plans fail that match; an agg+crossjoin probe
+    // (`rev = max(rev)`) never inserts at all — the optimizer folds the
+    // attr=attr filter into the join condition, leaving no selective
+    // Filter for isLikelySelective to find. A literal-filtered probe
+    // passes both gates. The literal is the global max price via ONE
+    // bounded driver scalar (8 bytes — exactly what a scalar subquery
+    // materializes; the x69 codebook-seed pattern).
+    val spark = t.spark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpp")
+    try {
+      val dir = tmp.toString + "/orders_by_year"
+      t.orders
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      val pmax = t.orders.agg(max(col("o_totalprice"))).head().getDouble(0)
+      val top = t.orders
+        .filter(col("o_totalprice") === lit(pmax))
+        .select(year(col("o_orderdate")).as("o_year"))
+        .distinct()
+      val res = fact
+        .join(broadcast(top), Seq("o_year"))
+        .groupBy(col("o_year"), col("o_orderpriority").as("priority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"))
+        .orderBy("o_year", "priority")
+      // the stamp: a partitioned-layout scan joined on its partition column
+      // against a runtime-only probe MUST carry a LIVE DPP subquery — not
+      // the `dynamicpruningexpression(true)` husk left when the physical
+      // rule drops it. If this ever plans as a full scan + post-filter,
+      // fail loudly rather than silently reading every partition at scale.
+      val planStr = res.queryExecution.executedPlan.toString
+      require(
+        planStr.contains("dynamicpruningexpression(") &&
+          !planStr.contains("dynamicpruningexpression(true)"),
+        "m17_dpp_prune: dynamic partition pruning did not fire — the " +
+          "partitioned scan would read every o_year= directory")
+      res.localCheckpoint(true)
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(tmp)
+    }
+  }
+
+  val all: Seq[Q] = Seq(x41_salted_join, x44_bloom_prefilter, m17_dpp_prune)
 }

@@ -449,21 +449,12 @@ object TrainPrep {
     // per-cluster sort. At 100 TB the cluster labels come off the dedup
     // pass and this is the single keyed aggregation that shrinks the
     // corpus to its canonical set.
-    val edges = t.documents
-      .filter(col("doc_id") % 7 =!= 0)
-      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
-    val labels = GraphOps.connectedComponents(edges, t.spark)
-      .withColumnsRenamed(Map("node" -> "doc_id"))
-    // LEFT join + coalesce: connectedComponents only labels nodes that
-    // touch an edge, so an isolated doc (e.g. the max doc_id when it's a
-    // multiple of 7 — no successor to reach it as dst) has no label row;
-    // its singleton component is itself. An inner join would silently drop
-    // it and diverge from the oracle's closed form.
-    val labeled = t.documents
-      .select(col("doc_id"), Curation.tokenCount(col("text")).as("tokens"))
-      .join(labels, Seq("doc_id"), "left")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
-    Curation.canonicalPerCluster(labeled, "component", "doc_id", "tokens")
+    // LEFT join + coalesce inside clusterLabeledDocs: connectedComponents
+    // only labels nodes that touch an edge, so an isolated doc (e.g. the
+    // max doc_id when it's a multiple of 7 — no successor to reach it as
+    // dst) has no label row; its singleton component is itself. An inner
+    // join would silently drop it and diverge from the oracle's closed form.
+    Curation.canonicalPerCluster(clusterLabeledDocs(t), "component", "doc_id", "tokens")
       .orderBy("component")
   }
 
@@ -1004,11 +995,68 @@ object TrainPrep {
     }.reduce(_.unionByName(_)).orderBy("epoch", "shard")
   }
 
+  val x78_leakage_split = Q(
+    "x78_leakage_split",
+    s"""WITH comp AS (
+       |  SELECT doc_id, doc_id - doc_id % 7 AS component FROM documents),
+       |dealt AS (
+       |  SELECT c.component, d.doc_id, d.lang,
+       |         len(string_split(d.text, ' ')) AS tokens,
+       |         CASE WHEN ${md5BucketSql("'p|' || CAST(component AS VARCHAR)")} % 10 < 8 THEN 'train'
+       |              WHEN ${md5BucketSql("'p|' || CAST(component AS VARCHAR)")} % 10 = 8 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM comp c JOIN documents d USING (doc_id))
+       |SELECT split, lang, count(*) AS n_docs,
+       |       count(DISTINCT component) AS n_components,
+       |       CAST(sum(tokens) AS BIGINT) AS sum_tokens
+       |FROM dealt GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+  ) { t =>
+    // Leakage-safe train/val/test split: the x14 hash-deal applied at
+    // NEAR-DUP-CLUSTER grain instead of document grain. A doc-grain deal
+    // puts two near-duplicates on opposite sides of the train/test wall —
+    // the eval set then contains paraphrases of training documents and the
+    // benchmark is contaminated by construction. Dealing on the cluster
+    // label (the same real min-label connectedComponents loop x23 consumes;
+    // the oracle replays its closed form) makes straddling IMPOSSIBLE:
+    // split = f(component), so every member of a cluster lands together.
+    // Cost at 100 TB: the labels already exist from the dedup pass; the
+    // deal itself is map-side, and the only shuffles are the label join
+    // and the report aggregation. LeakageSplitSpec proves the contrast:
+    // the doc-grain deal leaves straddling clusters on this corpus, the
+    // cluster-grain deal leaves zero.
+    val labeled = clusterLabeledDocs(t)
+    labeled
+      .withColumn("split", Curation.assignSplit(col("component")))
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"),
+        sum(col("tokens")).as("sum_tokens"))
+      .orderBy("split", "lang")
+  }
+
+  /** Documents with their near-dup component labels (the x23 chain-edge
+    * graph: doc_id -> doc_id-1 within each run of 7, closed form
+    * `doc_id - doc_id % 7`), via the REAL connectedComponents loop;
+    * isolated docs fall back to singleton components.
+    */
+  private[graft] def clusterLabeledDocs(t: graft.Tables): DataFrame = {
+    val edges = t.documents
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+    val labels = GraphOps.connectedComponents(edges, t.spark)
+      .withColumnsRenamed(Map("node" -> "doc_id"))
+    t.documents
+      .select(col("doc_id"), col("lang"), Curation.tokenCount(col("text")).as("tokens"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
-    x57_reservoir_sample, x74_epoch_shuffle)
+    x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split)
 }

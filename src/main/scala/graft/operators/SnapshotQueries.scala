@@ -392,6 +392,148 @@ object SnapshotQueries {
     }
   }
 
+  /** m18: schema evolution as a first-class driver-stamped verb — the
+    * `ALTER TABLE ADD COLUMN` story of a root-pointer table format,
+    * previously only spec-pinned (MultiStoreSpec, r11). Every run executes
+    * the real three-commit history: (1) the pre-evolution table (two
+    * columns); (2) the MIGRATION commit adding a NULL-backfilled `lang`
+    * column — in a full-snapshot format evolution is a plain commit, no
+    * side-channel schema registry, no reader contract change; (3) a
+    * post-evolution ingest whose rows carry the new column populated.
+    * Driver guards pin what the oracle cannot see: the pre-evolution
+    * manifest still serves the OLD two-column shape through time travel
+    * (readers at m1 never learn about `lang`), and the live read carries
+    * the evolved schema. DuckDB replays the end state — pre-evolution rows
+    * surface in a dedicated `_pre_evolution` bucket (their lang is NULL by
+    * backfill), so a migration that invents or drops values breaks the
+    * hash, and the min/max doc ids pin that BOTH eras survived evolution.
+    */
+  val m18_schema_evolution = Q(
+    "m18_schema_evolution",
+    """WITH v AS (
+      |  SELECT CASE WHEN doc_id < 300 THEN '_pre_evolution' ELSE lang END AS lang_bucket,
+      |         n_chars, doc_id
+      |  FROM documents)
+      |SELECT lang_bucket, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-schemaevo") { root =>
+      val preEvo = t.documents.filter(col("doc_id") < 300).select("doc_id", "n_chars")
+      MultiStore.commit(root, Map("docs" -> preEvo), keep = 4)
+      val m1 = MultiStore.manifests(spark, root).last
+      // the migration commit: ALTER TABLE ADD COLUMN lang (NULL backfill)
+      MultiStore.commit(root, Map("docs" ->
+        MultiStore.read(spark, root, "docs")
+          .withColumn("lang", lit(null).cast("string"))), keep = 4)
+      // post-evolution ingest: new rows arrive with the column populated
+      val batch = t.documents.filter(col("doc_id") >= 300)
+        .select("doc_id", "n_chars", "lang")
+      MultiStore.commit(root, Map("docs" ->
+        MultiStore.read(spark, root, "docs").unionByName(batch)), keep = 4)
+      // time travel across the schema boundary: the pre-evolution manifest
+      // must still serve the OLD shape — if evolution rewrote history,
+      // this schema (or the count) changes and the run fails loudly
+      val atM1 = MultiStore.readAt(spark, root, "docs", m1)
+      require(atM1.schema.fieldNames.toSeq == Seq("doc_id", "n_chars"),
+        s"m18: pre-evolution manifest leaked the evolved schema: ${atM1.schema.fieldNames.mkString(",")}")
+      val live = MultiStore.read(spark, root, "docs")
+      require(live.schema.fieldNames.contains("lang"),
+        "m18: live read lost the evolved column")
+      live
+        .groupBy(coalesce(col("lang"), lit("_pre_evolution")).as("lang_bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang_bucket")
+    }
+  }
+
+  private[operators] final case class IngestDoc(doc_id: Long, lang: String, n_chars: Long)
+
+  /** m19: the streaming lakehouse ingest loop, end to end — a REAL
+    * Structured Streaming query (MemoryStream source, three forced
+    * micro-batches) writing through `foreachBatch` into the exactly-once
+    * MultiStore sink, then the change feed consumed ACROSS the batch
+    * window, then a re-delivered final batch that the idempotence marker
+    * must reject. This is the composition a 100 TB corpus maintainer runs
+    * continuously: Kafka → foreachBatch → commitBatch (one atomic manifest
+    * per micro-batch, batch-id marker carried in the same commit) →
+    * downstream consumers reading table_changes between the manifests
+    * their last run saw. Registered as an INSTRUMENT: the MemoryStream
+    * feed and forced micro-batch drain are replay harness (the per-batch
+    * production path is m13's commitBatch, already a production row);
+    * what this row buys is the driver-oracle stamp on the streaming
+    * engine driving that path — a torn manifest, a double-applied batch,
+    * or a feed misclassification all break the hash. DuckDB replays the
+    * end state as a pure function of the documents table and the
+    * doc_id%3 batch split.
+    */
+  val m19_stream_sink = Q.instrument(
+    "m19_stream_sink",
+    """SELECT * FROM (
+      |  SELECT 'feed_insert' AS bucket, count(*) AS n_rows,
+      |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |  FROM documents WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'final_' || lang AS bucket, count(*) AS n_rows,
+      |         CAST(sum(doc_id) AS BIGINT) AS id_sum
+      |  FROM documents GROUP BY lang)
+      |ORDER BY bucket""".stripMargin,
+  ) { t =>
+    implicit val spark: org.apache.spark.sql.SparkSession = t.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.MultiStore
+    withTempStore("graft-streamsink") { root =>
+      val docs = t.documents
+        .select(col("doc_id"), col("lang"), col("n_chars")).as[IngestDoc]
+      // deterministic batch split: micro-batch b carries doc_id % 3 == b
+      val batches = (0 to 2).map(b => docs.filter(col("doc_id") % 3 === b).collect())
+      val input = MemoryStream[IngestDoc]
+      val query = input.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[IngestDoc], id: Long) =>
+          val incoming = batch.toDF()
+          val merged =
+            if (MultiStore.snapshot(spark, root).contains("docs"))
+              MultiStore.read(spark, root, "docs").unionByName(incoming)
+            else incoming
+          MultiStore.commitBatch(root, "ingest", id, Map("docs" -> merged), keep = 8)
+          ()
+        }
+        .start()
+      try {
+        batches.foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val ms = MultiStore.manifests(spark, root)
+      val (mFrom, mTo) = (ms.head, ms.last) // after batch 0 / after batch 2
+      // crash-restart re-delivery of the last batch with poison rows: the
+      // batch-id marker must reject it (an applied poison write shifts the
+      // final_* buckets and breaks the oracle hash)
+      val replayed = MultiStore.commitBatch(root, "ingest", 2L,
+        Map("docs" -> t.documents.limit(3).select("doc_id", "lang", "n_chars")),
+        keep = 8)
+      require(!replayed, "m19: exactly-once violated on re-delivered batch 2")
+      val feed = TemporalJoins
+        .changeFeed(spark, root, "docs", mFrom, mTo, "doc_id", Seq("n_chars"))
+        .groupBy(concat(lit("feed_"), col("change_type")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+      val fin = MultiStore.read(spark, root, "docs")
+        .groupBy(concat(lit("final_"), col("lang")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("doc_id")).as("id_sum"))
+      feed.unionByName(fin).orderBy("bucket")
+    }
+  }
+
   val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning,
-    m13_txn_ingest, m14_optimize, m15_bloom_index, m16_change_feed)
+    m13_txn_ingest, m14_optimize, m15_bloom_index, m16_change_feed,
+    m18_schema_evolution, m19_stream_sink)
 }

@@ -182,6 +182,48 @@ object Curation {
     df.select(col(idCol), explode(sh).as("sh"))
   }
 
+  /** Near-dup decontamination: training docs whose word-k-gram Jaccard
+    * against ANY eval doc reaches `tau` — the fuzzy counterpart of
+    * [[decontaminate]] for the paraphrased-benchmark leak an exact n-gram
+    * containment check misses. One row per contaminated training doc:
+    * (idCol, n_eval_matches, best_jaccard).
+    *
+    * Plan shape: shingle both sides once (checkpointed — each feeds its
+    * size aggregation AND the intersection join, the x2 lesson), equi-join
+    * on the shingle, aggregate intersections per (train, eval) pair, exact
+    * |A∩B|/|A∪B| with a single double division (engine-exact). The join is
+    * corpus×eval on the shingle key: only MATCHED shingles reach the
+    * exchange, and AQE broadcasts the eval side when it is small. A real
+    * benchmark suite is fixed-size and broadcast-hintable; this rendering
+    * deliberately leaves the choice to AQE because the stand-in eval split
+    * (a doc_id residue class) GROWS with the corpus — pinning a broadcast
+    * on a corpus-growing frame is the r10 scale killer. At 100 TB, add the
+    * x2 document-frequency cap on shingles to bound hot keys before the
+    * join.
+    */
+  def fuzzyDecontaminate(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      tau: Double,
+  ): DataFrame = {
+    val trsh = wordGrams(corpus, idCol, textCol, k).localCheckpoint()
+    val evsh = wordGrams(eval, idCol, textCol, k)
+      .withColumnsRenamed(Map(idCol -> "__ev_id")).localCheckpoint()
+    val trsz = trsh.groupBy(idCol).agg(count(lit(1)).as("__tn"))
+    val evsz = evsh.groupBy("__ev_id").agg(count(lit(1)).as("__en"))
+    val inter = trsh.join(evsh, Seq("sh"))
+      .groupBy(col(idCol), col("__ev_id")).agg(count(lit(1)).as("__c"))
+    val jac = col("__c").cast("double") / (col("__tn") + col("__en") - col("__c"))
+    inter.join(trsz, Seq(idCol)).join(evsz, Seq("__ev_id"))
+      .select(col(idCol), jac.as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** Training docs sharing any word n-gram with `eval`: (idCol, n_hits).
     * The eval shingle set broadcasts — the corpus side never shuffles for
     * the join, the only viable shape at corpus scale.

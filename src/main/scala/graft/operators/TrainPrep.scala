@@ -160,6 +160,46 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  val x79_fuzzy_decontam = Q(
+    "x79_fuzzy_decontam",
+    """WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 11),
+      |tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 <> 11),
+      |evsh AS (SELECT DISTINCT doc_id AS ev_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ev))),
+      |trsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh FROM (
+      |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr))),
+      |evsz AS (SELECT ev_id, count(*) AS n FROM evsh GROUP BY 1),
+      |trsz AS (SELECT doc_id, count(*) AS n FROM trsh GROUP BY 1),
+      |inter AS (SELECT t.doc_id, e.ev_id, count(*) AS c
+      |          FROM trsh t JOIN evsh e USING (sh) GROUP BY 1, 2),
+      |j AS (SELECT i.doc_id, CAST(c AS DOUBLE) / (ts.n + es.n - c) AS jac
+      |      FROM inter i JOIN trsz ts ON ts.doc_id = i.doc_id
+      |                   JOIN evsz es ON es.ev_id = i.ev_id),
+      |fl AS (SELECT doc_id, count(*) AS n_eval_matches, max(jac) AS best_jaccard
+      |       FROM j WHERE jac >= 0.5 GROUP BY doc_id)
+      |SELECT f.doc_id, t.lang, f.n_eval_matches, f.best_jaccard
+      |FROM fl f JOIN tr t ON t.doc_id = f.doc_id
+      |ORDER BY f.doc_id""".stripMargin,
+  ) { t =>
+    // Fuzzy (near-dup-grain) decontamination — the leak x16's exact n-gram
+    // containment misses: a PARAPHRASED benchmark document shares few exact
+    // 8-grams with its training twin but sits at high shingle Jaccard. A
+    // training doc is contaminated when its word-5-gram Jaccard against any
+    // eval doc reaches 0.5 (the near-dup threshold of the x26 curation
+    // flagship). Cross-set, never self-join: candidate volume is
+    // |corpus ∩ eval| shingle matches, not corpus², and only matches reach
+    // the exchange. Reported per contaminated doc with its match count and
+    // best score — the audit artifact a decontamination run files.
+    val eval  = t.documents.filter(col("doc_id") % 50 === 11)
+    val train = t.documents.filter(col("doc_id") % 50 =!= 11)
+    Curation.fuzzyDecontaminate(train, eval, "doc_id", "text", 5, 0.5)
+      .join(t.documents.select("doc_id", "lang"), Seq("doc_id"))
+      .select("doc_id", "lang", "n_eval_matches", "best_jaccard")
+      .orderBy("doc_id")
+  }
+
   val x19_curation_pipeline = Q(
     "x19_curation_pipeline",
     s"""WITH corpus AS (
@@ -1058,5 +1098,6 @@ object TrainPrep {
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
-    x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split)
+    x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
+    x79_fuzzy_decontam)
 }

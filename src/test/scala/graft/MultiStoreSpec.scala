@@ -438,6 +438,29 @@ class MultiStoreSpec extends SparkSpec {
     assert(MultiStore.readAt(spark, r, "sinkA.txn", hist.last).head().getLong(0) == 1L)
   }
 
+  test("commitBatch: two CONCURRENT deliveries of one batch — exactly one applies") {
+    // the foreachBatch zombie scenario: a task declared dead re-delivers
+    // batch 1 while its replacement is applying the same batch with a
+    // (possibly different) payload. The CAS-pinned marker must admit
+    // exactly one — a double apply duplicates rows, a double reject
+    // loses the batch.
+    val r = root()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    assert(MultiStore.commitBatch(r, "sink", 0L, Map("rows" -> Seq(0L).toDF("id"))))
+    def delivery(payload: Long) = Future(
+      MultiStore.commitBatch(r, "sink", 1L, Map("rows" ->
+        MultiStore.read(spark, r, "rows").unionByName(Seq(payload).toDF("id")))))
+    val (a, b) = (delivery(1L), delivery(2L))
+    val (ra, rb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    assert(ra ^ rb, s"exactly one delivery must apply: a=$ra b=$rb")
+    val ids = MultiStore.read(spark, r, "rows").as[Long].collect().toSet
+    assert(ids == Set(0L, 1L) || ids == Set(0L, 2L),
+      s"winner's payload must land exactly once: $ids")
+    assert(MultiStore.read(spark, r, "sink.txn").head().getLong(0) == 1L)
+  }
+
   test("multi-column zone pruning over a Z-ordered layout skips in BOTH dimensions") {
     import org.apache.spark.sql.functions._
     val r = root()

@@ -224,6 +224,70 @@ object Curation {
       .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("best_jaccard"))
   }
 
+  /** BPE tokenizer training over the corpus: the first `k` merge rules by
+    * weighted pair frequency, computed the way every production BPE trainer
+    * does — ONE corpus pass builds the word-frequency table, then each
+    * merge round runs over the VOCAB-sized symbol-sequence table, never the
+    * corpus. Returns one row per round: (round, left_sym, right_sym,
+    * pair_count). Ties break on the pair string ascending, so the
+    * trajectory is engine-exact.
+    *
+    * Symbol-sequence encoding (the part both engines must agree on
+    * byte-for-byte): every symbol is PRECEDED by one space and TERMINATED
+    * by '|', e.g. "cat" -> " c| a| t|". A pair pattern " a| b|" can then
+    * neither share a delimiter with an adjacent match (left-to-right
+    * non-overlapping literal replace — the reference BPE application
+    * order) nor match a partial symbol (the terminator pins the symbol
+    * end; a bare space-separated encoding fails BOTH ways — measured
+    * before this representation was chosen). Words containing '|' are
+    * excluded symmetrically in both engines.
+    *
+    * Scale: the corpus pass is a map-side-combined word count; each round
+    * is one aggregation + one argmax (a single-row driver scalar, the
+    * Lloyd-iteration pattern of kmeansLloyd) + one projection over the
+    * vocab table, localCheckpoint'ed so the per-round lineage stays flat.
+    * At 100 TB the vocab is ~1e7 rows — round cost is independent of
+    * corpus size after the first pass.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2 && !col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var seqs = words.select(
+      concat(
+        lit(" "),
+        array_join(
+          transform(
+            // drop the empty fragments Java's zero-width split can emit
+            filter(split(col("word"), ""), c => c =!= ""),
+            c => concat(c, lit("|"))),
+          " ")).as("seq"),
+      col("n")).localCheckpoint()
+    val rounds = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val top = seqs
+        .select(split(trim(col("seq")), " ").as("s"), col("n"))
+        .select(explode(expr(
+          "transform(sequence(1, size(s) - 1), i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")).as("pair"),
+          col("n"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()(0) // ONE row: the round's merge rule
+      val Array(l, rt) = top.getString(0).split(" ")
+      rounds += ((r, l.stripSuffix("|"), rt.stripSuffix("|"), top.getLong(1)))
+      // literal left-to-right non-overlapping replace — identical semantics
+      // in java.lang.String.replace (Spark) and DuckDB replace()
+      seqs = seqs
+        .withColumn("seq",
+          replace(col("seq"), lit(" " + l + " " + rt), lit(" " + l.stripSuffix("|") + rt)))
+        .localCheckpoint()
+    }
+    import spark.implicits._
+    rounds.result().toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Training docs sharing any word n-gram with `eval`: (idCol, n_hits).
     * The eval shingle set broadcasts — the corpus side never shuffles for
     * the join, the only viable shape at corpus scale.

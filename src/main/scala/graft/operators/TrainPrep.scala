@@ -200,6 +200,57 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** x80's oracle: the identical 12-round merge trajectory as chained
+    * DuckDB CTEs. `AS MATERIALIZED` is load-bearing — each round references
+    * the previous round's table twice (pair counting + replacement), so
+    * inlined CTEs re-expand the base scan 2^k times ("too many open files"
+    * at k=12, measured); materialization makes the replay linear in k.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(seq), ' ') AS s, n FROM q${r - 1}),
+         |       unnest(generate_series(1, len(s) - 1)) t(i)
+         |  GROUP BY 1),
+         |t$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |q$r AS MATERIALIZED (
+         |  SELECT replace(seq, ' ' || (SELECT pair FROM t$r),
+         |           ' ' || replace(split_part((SELECT pair FROM t$r), ' ', 1), '|', '') ||
+         |           split_part((SELECT pair FROM t$r), ' ', 2)) AS seq, n
+         |  FROM q${r - 1})""".stripMargin
+    }
+    val unions = (1 to k).map { r =>
+      s"""SELECT $r AS round, replace(split_part(pair, ' ', 1), '|', '') AS left_sym,
+         |       replace(split_part(pair, ' ', 2), '|', '') AS right_sym,
+         |       cnt AS pair_count FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) >= 2 AND w NOT LIKE '%|%' GROUP BY 1),
+       |q0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(list_transform(regexp_split_to_array(word, ''), c -> c || '|'), ' ') AS seq, n
+       |  FROM words),
+       |${rounds.mkString(",\n")}
+       |SELECT * FROM (
+       |$unions) ORDER BY round""".stripMargin
+  }
+
+  val x80_bpe_merges = Q(
+    "x80_bpe_merges",
+    bpeOracleSql(12),
+  ) { t =>
+    // Tokenizer induction: the first 12 BPE merge rules learned from the
+    // corpus, engine-exact (weighted pair counts are integers, ties break
+    // on the pair string). 12 rounds reach REAL recursive merges on this
+    // corpus — later rounds merge previously-merged symbols ('p'+'ar',
+    // 'jo'+'in'), exercising the multi-symbol path, not just char pairs.
+    // One corpus pass, then vocab-sized rounds — see Curation.bpeMerges
+    // for the plan and the symbol-encoding correctness argument.
+    Curation.bpeMerges(t.documents, "text", 12)
+  }
+
   val x19_curation_pipeline = Q(
     "x19_curation_pipeline",
     s"""WITH corpus AS (
@@ -1099,5 +1150,5 @@ object TrainPrep {
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
-    x79_fuzzy_decontam)
+    x79_fuzzy_decontam, x80_bpe_merges)
 }

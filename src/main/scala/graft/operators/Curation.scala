@@ -251,11 +251,30 @@ object Curation {
     */
   def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, textCol, k)._2
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The ENCODE side of BPE at corpus scale: per-word token counts under
+    * the first `k` learned merges — (word, n_tokens), one row per distinct
+    * corpus word. This is the artifact a 100 TB tokenization job joins the
+    * corpus against: the merges are applied once on the VOCAB table, and
+    * the corpus is tokenized by a single (word -> n_tokens) map join —
+    * never re-processed per merge rule.
+    */
+  def bpeTokenCounts(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    bpeTrain(docs, textCol, k)._1
+      .select(col("word"), size(split(trim(col("seq")), " ")).as("n_tokens"))
+
+  private def bpeTrain(docs: DataFrame, textCol: String, k: Int)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) >= 2 && !col("word").contains("|"))
       .groupBy("word").agg(count(lit(1)).as("n"))
     var seqs = words.select(
+      col("word"),
       concat(
         lit(" "),
         array_join(
@@ -284,8 +303,7 @@ object Curation {
           replace(col("seq"), lit(" " + l + " " + rt), lit(" " + l.stripSuffix("|") + rt)))
         .localCheckpoint()
     }
-    import spark.implicits._
-    rounds.result().toDF("round", "left_sym", "right_sym", "pair_count")
+    (seqs, rounds.result())
   }
 
   /** Training docs sharing any word n-gram with `eval`: (idCol, n_hits).

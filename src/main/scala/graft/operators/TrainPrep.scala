@@ -206,7 +206,7 @@ object TrainPrep {
     * inlined CTEs re-expand the base scan 2^k times ("too many open files"
     * at k=12, measured); materialization makes the replay linear in k.
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int, finalSelect: String): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT s[i] || ' ' || s[i+1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
@@ -215,31 +215,35 @@ object TrainPrep {
          |  GROUP BY 1),
          |t$r AS MATERIALIZED (SELECT pair, cnt FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
          |q$r AS MATERIALIZED (
-         |  SELECT replace(seq, ' ' || (SELECT pair FROM t$r),
+         |  SELECT word, replace(seq, ' ' || (SELECT pair FROM t$r),
          |           ' ' || replace(split_part((SELECT pair FROM t$r), ' ', 1), '|', '') ||
          |           split_part((SELECT pair FROM t$r), ' ', 2)) AS seq, n
          |  FROM q${r - 1})""".stripMargin
     }
-    val unions = (1 to k).map { r =>
-      s"""SELECT $r AS round, replace(split_part(pair, ' ', 1), '|', '') AS left_sym,
-         |       replace(split_part(pair, ' ', 2), '|', '') AS right_sym,
-         |       cnt AS pair_count FROM t$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH words AS MATERIALIZED (
        |  SELECT w AS word, count(*) AS n
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE len(w) >= 2 AND w NOT LIKE '%|%' GROUP BY 1),
        |q0 AS MATERIALIZED (
-       |  SELECT ' ' || array_to_string(list_transform(regexp_split_to_array(word, ''), c -> c || '|'), ' ') AS seq, n
+       |  SELECT word, ' ' || array_to_string(list_transform(regexp_split_to_array(word, ''), c -> c || '|'), ' ') AS seq, n
        |  FROM words),
        |${rounds.mkString(",\n")}
-       |SELECT * FROM (
+       |$finalSelect""".stripMargin
+  }
+
+  private def bpeMergesSelect(k: Int): String = {
+    val unions = (1 to k).map { r =>
+      s"""SELECT $r AS round, replace(split_part(pair, ' ', 1), '|', '') AS left_sym,
+         |       replace(split_part(pair, ' ', 2), '|', '') AS right_sym,
+         |       cnt AS pair_count FROM t$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (
        |$unions) ORDER BY round""".stripMargin
   }
 
   val x80_bpe_merges = Q(
     "x80_bpe_merges",
-    bpeOracleSql(12),
+    bpeOracleSql(12, bpeMergesSelect(12)),
   ) { t =>
     // Tokenizer induction: the first 12 BPE merge rules learned from the
     // corpus, engine-exact (weighted pair counts are integers, ties break
@@ -249,6 +253,48 @@ object TrainPrep {
     // One corpus pass, then vocab-sized rounds — see Curation.bpeMerges
     // for the plan and the symbol-encoding correctness argument.
     Curation.bpeMerges(t.documents, "text", 12)
+  }
+
+  val x81_bpe_encode = Q(
+    "x81_bpe_encode",
+    bpeOracleSql(12,
+      """,enc AS MATERIALIZED (
+        |  SELECT word, CAST(len(string_split(trim(seq), ' ')) AS INT) AS n_tokens FROM q12),
+        |perw AS (
+        |  SELECT lang, w AS word, count(*) AS cnt
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT lang,
+        |       CAST(sum(cnt) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(cnt * COALESCE(n_tokens, 1)) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(cnt * COALESCE(n_tokens, 1)) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS tokens_per_word
+        |FROM perw LEFT JOIN enc USING (word)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+  ) { t =>
+    // The ENCODE side: tokenize the whole corpus under the 12 learned
+    // merges and report per-lang whitespace-vs-BPE token counts — the
+    // vocab-fertility audit a tokenizer run files. The 100 TB plan shape
+    // is the point: merges are applied ONCE over the vocab table
+    // (Curation.bpeTokenCounts), the corpus reduces to (lang, word, cnt)
+    // grain with map-side combine, and tokenization is a single join
+    // against the vocab-sized map — the corpus is never re-processed per
+    // merge rule. Words outside the trained vocab (length < 2) count as
+    // one token, mirrored in the oracle's COALESCE. No broadcast pin on
+    // the vocab map: it grows with the corpus; AQE decides (it broadcasts
+    // at every tested scale).
+    val enc = Curation.bpeTokenCounts(t.documents, "text", 12)
+    t.documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .join(enc, Seq("word"), "left")
+      .groupBy("lang")
+      .agg(
+        sum(col("cnt")).as("ws_tokens"),
+        sum(col("cnt") * coalesce(col("n_tokens").cast("long"), lit(1L))).as("bpe_tokens"))
+      .select(
+        col("lang"), col("ws_tokens"), col("bpe_tokens"),
+        (col("bpe_tokens").cast("double") / col("ws_tokens").cast("double")).as("tokens_per_word"))
+      .orderBy("lang")
   }
 
   val x19_curation_pipeline = Q(
@@ -1150,5 +1196,5 @@ object TrainPrep {
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
-    x79_fuzzy_decontam, x80_bpe_merges)
+    x79_fuzzy_decontam, x80_bpe_merges, x81_bpe_encode)
 }

@@ -2,36 +2,34 @@ package graft
 
 import scala.collection.mutable
 
-import graft.operators.Curation
+import graft.operators.{Curation, TrainPrep}
 
-/** x80: the distributed BPE trainer must reproduce a canonical from-scratch
-  * JVM reference — symbol VECTORS and an explicit left-to-right
-  * non-overlapping merge scan, no shared encoding or replace tricks — so a
-  * defect in the engines' symbol-string representation (delimiter sharing,
-  * partial-symbol matches) cannot hide behind oracle agreement.
+/** x80/x81: the distributed BPE trainer and encoder must reproduce a
+  * canonical from-scratch JVM reference — symbol VECTORS and an explicit
+  * left-to-right non-overlapping merge scan, no shared encoding or replace
+  * tricks — so a defect in the engines' symbol-string representation
+  * (delimiter sharing, partial-symbol matches) cannot hide behind oracle
+  * agreement.
   */
 class BpeSpec extends SparkSpec {
 
   private def tables = Tables(spark, sf0001)
 
-  test("12-round merge trajectory equals the canonical JVM reference") {
-    val res = Curation.bpeMerges(tables.documents, "text", 12)
-      .orderBy("round").collect()
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
-
-    // reference trainer over the raw texts
+  /** Canonical trainer: returns the k merge rules and the final
+    * (word -> symbol count) vocabulary.
+    */
+  private def referenceTrain(texts: Seq[String], k: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Int]) = {
     val wordCounts = mutable.Map.empty[String, Long].withDefaultValue(0L)
-    tables.documents.select("text").collect().foreach { row =>
-      row.getString(0).split(" ", -1)
-        .filter(w => w.length >= 2 && !w.contains("|"))
-        .foreach(w => wordCounts(w) += 1L)
+    texts.foreach(_.split(" ", -1)
+      .filter(w => w.length >= 2 && !w.contains("|"))
+      .foreach(w => wordCounts(w) += 1L))
+    var vocab: Map[String, (Vector[String], Long)] = wordCounts.toMap.map {
+      case (w, n) => w -> (w.split("").filter(_.nonEmpty).toVector, n)
     }
-    var vocab: Map[Vector[String], Long] = wordCounts.toMap.map { case (w, n) =>
-      w.split("").filter(_.nonEmpty).toVector -> n
-    }
-    val expected = (1 to 12).map { r =>
+    val merges = (1 to k).map { r =>
       val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-      vocab.foreach { case (syms, n) =>
+      vocab.values.foreach { case (syms, n) =>
         (0 until syms.length - 1).foreach(i => counts((syms(i), syms(i + 1))) += n)
       }
       // max count; ties on the ENCODED pair string ascending — the exact
@@ -47,9 +45,32 @@ class BpeSpec extends SparkSpec {
         }
         out.result()
       }
-      vocab = vocab.map { case (syms, n) => merge(syms) -> n }
+      vocab = vocab.map { case (w, (syms, n)) => w -> (merge(syms), n) }
       (r, l, rt, cnt)
     }
-    assert(res.toSeq === expected)
+    (merges, vocab.map { case (w, (syms, _)) => w -> syms.length })
+  }
+
+  test("12-round merge trajectory equals the canonical JVM reference") {
+    val res = Curation.bpeMerges(tables.documents, "text", 12)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val texts = tables.documents.select("text").collect().map(_.getString(0)).toSeq
+    assert(res.toSeq === referenceTrain(texts, 12)._1)
+  }
+
+  test("x81 encode: per-lang token counts equal the reference vocabulary applied word by word") {
+    val res = TrainPrep.x81_bpe_encode.run(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = tables.documents.select("lang", "text").collect()
+    val (_, refVocab) = referenceTrain(rows.map(_.getString(1)).toSeq, 12)
+    val expected = mutable.Map.empty[String, (Long, Long)].withDefaultValue((0L, 0L))
+    rows.foreach { row =>
+      val (lang, words) = (row.getString(0), row.getString(1).split(" ", -1))
+      val bpe = words.map(w => refVocab.getOrElse(w, 1).toLong).sum
+      val (ws0, bpe0) = expected(lang)
+      expected(lang) = (ws0 + words.length, bpe0 + bpe)
+    }
+    assert(res === expected.toMap)
   }
 }

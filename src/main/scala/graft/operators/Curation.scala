@@ -286,14 +286,21 @@ object Curation {
       col("n")).localCheckpoint()
     val rounds = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to k) {
-      val top = seqs
+      val topRows = seqs
         .select(split(trim(col("seq")), " ").as("s"), col("n"))
         .select(explode(expr(
           "transform(sequence(1, size(s) - 1), i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")).as("pair"),
           col("n"))
         .groupBy("pair").agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()(0) // ONE row: the round's merge rule
+        .limit(1).collect() // ONE row: the round's merge rule
+      // fail loud, not with an index error: a vocab with no adjacent pairs
+      // left (corpus of single-char words, or every word already merged to
+      // one symbol) cannot honor the requested k
+      require(topRows.nonEmpty,
+        s"bpeMerges: no candidate pairs left at round $r of $k — " +
+          "the vocabulary is exhausted; lower k or enlarge the corpus")
+      val top = topRows(0)
       val Array(l, rt) = top.getString(0).split(" ")
       rounds += ((r, l.stripSuffix("|"), rt.stripSuffix("|"), top.getLong(1)))
       // literal left-to-right non-overlapping replace — identical semantics

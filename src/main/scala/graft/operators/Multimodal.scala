@@ -596,5 +596,172 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode)
+  /** The VIDEO-shaped codec: multi-frame containers with SELECTIVE frame
+    * decoding. The JDK ships a real multi-page TIFF reader/writer
+    * (javax.imageio, JDK 9+), so the "sample every Nth frame" pattern a
+    * video pipeline runs — count frames from container metadata, seek to
+    * and decode ONLY the sampled frames — executes against a real codec:
+    * `getNumImages(true)` walks the page directory without decoding
+    * pixels, and `read(f)` decodes page f alone. Stats run over the
+    * sampled frames only (every second frame, from 0): meanIntensity =
+    * exact mean gray sample (integer sum, one double division), feature =
+    * 16-bucket gray histogram, width/height from frame 0. Undecodable
+    * bytes → the sentinel row, same dead-letter discipline as the other
+    * codecs.
+    */
+  object TiffFrameDecode extends Decode {
+    override def init(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    override def stats(bytes: Array[Byte], durationMs: Long): MediaStats = {
+      if (bytes == null || bytes.isEmpty)
+        return MediaStats(0.0, 0, new Array[Float](16), -1, -1)
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext)
+          return MediaStats(0.0, 0, new Array[Float](16), -1, -1)
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val nFrames = reader.getNumImages(true) // directory walk, no pixel decode
+          var sum  = 0L
+          var n    = 0L
+          val hist = new Array[Long](16)
+          var w    = -1
+          var h    = -1
+          var f    = 0
+          while (f < nFrames) { // frame sampling: every second frame
+            val img    = reader.read(f)
+            val raster = img.getRaster
+            if (f == 0) { w = img.getWidth; h = img.getHeight }
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val g = raster.getSample(x, y, 0)
+                sum += g
+                hist(g / 16) += 1
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            f += 2
+          }
+          if (n == 0) MediaStats(0.0, 0, new Array[Float](16), -1, -1)
+          else {
+            val feat = new Array[Float](16)
+            var i = 0
+            while (i < 16) { feat(i) = hist(i).toFloat / n.toFloat; i += 1 }
+            MediaStats(sum.toDouble / n, nFrames, feat, w, h)
+          }
+        } finally reader.dispose()
+      } catch {
+        case _: Throwable => MediaStats(0.0, 0, new Array[Float](16), -1, -1)
+      }
+    }
+  }
+
+  /** Deterministic multi-page TIFF: 2 + d%4 gray frames of w=4+d%5,
+    * h=3+d%4; frame f's pixel (x, y) is (d*31 + f*17 + x*7 + y*13) mod
+    * 256. TYPE_BYTE_GRAY pages roundtrip losslessly through the JDK TIFF
+    * plugin (verified sample-exact), so every decoded stat is a pure
+    * integer function of (doc_id, frame, x, y) — no codec in the oracle.
+    */
+  def tiffBytes(d: Long): Array[Byte] = {
+    val w  = (4 + d % 5).toInt
+    val h  = (3 + d % 4).toInt
+    val nf = (2 + d % 4).toInt
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos    = new java.io.ByteArrayOutputStream()
+    val ios    = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nf) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.getRaster.setSample(x, y, 0, ((d * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** x82: frame sampling over a real multi-frame container — the
+    * video-pipeline pattern driver-stamped. Every document becomes a
+    * deterministic multi-page TIFF (or undecodable garbage for
+    * doc_id % 7 == 3) through the identical mapPartitions seam with
+    * [[TiffFrameDecode]]: the container's page directory gives the frame
+    * count WITHOUT decoding, and only every second frame is decoded for
+    * stats. DuckDB replays the sampled-frame pixel rule in closed form —
+    * a decoder that silently decoded all frames (or the wrong ones)
+    * breaks mean_luma and frac_mid; one that miscounted pages breaks
+    * frame_count.
+    */
+  val x82_tiff_frames: Q = Q(
+    "x82_tiff_frames",
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+      |         2 + doc_id % 4 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT doc_id, w, h, nf, unnest(generate_series(0, CAST(nf AS INT) - 1, 2)) AS f
+      |  FROM d),
+      |ix AS (SELECT doc_id, w, h, nf, f, unnest(generate_series(0, w * h - 1)) AS i FROM fr),
+      |px AS (
+      |  SELECT doc_id, w, h, nf,
+      |         (doc_id * 31 + f * 17 + (i % w) * 7 + (i // w) * 13) % 256 AS g
+      |  FROM ix),
+      |st AS (
+      |  SELECT doc_id, w, h, nf, count(*) AS n, sum(g) AS s,
+      |         sum(CASE WHEN g // 16 = 8 THEN 1 ELSE 0 END) AS nmid
+      |  FROM px GROUP BY doc_id, w, h, nf)
+      |SELECT doc_id AS media_id,
+      |       CASE WHEN doc_id % 7 = 3 THEN 0 ELSE CAST(nf AS INTEGER) END AS frame_count,
+      |       CASE WHEN doc_id % 7 = 3 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE CAST(s AS DOUBLE) / n END AS mean_luma,
+      |       CASE WHEN doc_id % 7 = 3 THEN -1 ELSE CAST(w AS INTEGER) END AS decoded_width,
+      |       CASE WHEN doc_id % 7 = 3 THEN -1 ELSE CAST(h AS INTEGER) END AS decoded_height,
+      |       CASE WHEN doc_id % 7 = 3 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE CAST(CAST(nmid AS REAL) / CAST(n AS REAL) AS DOUBLE) END AS frac_mid
+      |FROM st ORDER BY media_id""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    import spark.implicits._
+    // id fan-out before generation/decode — see x28b/x73
+    val media = t.documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].map { d =>
+      val bytes =
+        if (d % 7 == 3) s"NOTTIFF$d".getBytes("UTF-8") else tiffBytes(d)
+      MediaRow(d, "video", s"synth://tiff/$d", bytes,
+        (4 + d % 5).toInt, (3 + d % 4).toInt, (2 + d % 4) * 40L)
+    }
+    extractFeatures(media, TiffFrameDecode)
+      .select(
+        col("media_id"), col("frame_count"),
+        col("mean_intensity").as("mean_luma"),
+        col("decoded_width"), col("decoded_height"),
+        element_at(col("feature"), 9).cast(DoubleType).as("frac_mid"))
+      .orderBy("media_id")
+  }
+
+  val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode,
+    x82_tiff_frames)
 }

@@ -197,4 +197,14 @@ class PlanAuditSpec extends SparkSpec {
       s"within-cluster pairing must never be all-pairs:\n$plan")
     assert(plan.contains("LeftAnti"), s"survivors must come from an anti-join:\n$plan")
   }
+
+  test("x79 fuzzy decontam: shingle equi-join with the eval side broadcast, never all-pairs") {
+    val plan = finalPlan(graft.operators.TrainPrep.x79_fuzzy_decontam.run(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cross-set candidates must come from the shingle equi-join:\n$plan")
+    // at test scale AQE broadcasts the (small) eval shingle side; the
+    // corpus-side exploded shingles must NOT be the build side of anything
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the eval shingle table should broadcast at this scale:\n$plan")
+  }
 }

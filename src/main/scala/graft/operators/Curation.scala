@@ -288,6 +288,12 @@ object Curation {
     for (r <- 1 to k) {
       val topRows = seqs
         .select(split(trim(col("seq")), " ").as("s"), col("n"))
+        // a word fully merged to ONE symbol contributes no pairs; without
+        // this guard sequence(1, size-1) = sequence(1, 0) is DESCENDING in
+        // Spark ([1,0]) and element_at(s, 0) throws — DuckDB's
+        // generate_series(1, 0) is empty, so the filter also keeps the two
+        // engines' pair sets identical
+        .filter(size(col("s")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(s) - 1), i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))")).as("pair"),
           col("n"))

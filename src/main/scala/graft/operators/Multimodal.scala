@@ -658,7 +658,11 @@ object Multimodal {
           }
         } finally reader.dispose()
       } catch {
-        case _: Throwable => MediaStats(0.0, 0, new Array[Float](16), -1, -1)
+        // NonFatal only: undecodable media is data (dead-letter sentinel),
+        // but an OOM/LinkageError must fail the task, not masquerade as a
+        // corrupt file — at corpus scale that would be silent data loss
+        case scala.util.control.NonFatal(_) =>
+          MediaStats(0.0, 0, new Array[Float](16), -1, -1)
       }
     }
   }

@@ -394,8 +394,12 @@ object MultiStore {
     val dir = s"${root.stripSuffix("/")}/$store/v=$v"
     // hash the probe value through the SAME expression the commit-side
     // sketch hashed the column with (a one-row local-relation projection —
-    // constant-folded, no cluster job)
-    val hRow = spark.range(1).select(xxhash64(value).as("h")).head()
+    // constant-folded, no cluster job). xxhash64 is TYPE-sensitive: an INT
+    // 7 and a BIGINT 7 hash differently, and a mistyped probe would give
+    // bloom false NEGATIVES (files never opened — unrecoverable by the
+    // residual filter). Cast the probe to the stored column's type first.
+    val storedType = spark.read.parquet(dir).schema(c).dataType
+    val hRow = spark.range(1).select(xxhash64(value.cast(storedType)).as("h")).head()
     require(!hRow.isNullAt(0), s"readPrunedEq: value for '$c' must be a non-null literal")
     val h = Literal(hRow.getLong(0))
     val files = spark.read.parquet(s"${root.stripSuffix("/")}/$store/bloom_v=$v")

@@ -59,6 +59,26 @@ class BpeSpec extends SparkSpec {
     assert(res.toSeq === referenceTrain(texts, 12)._1)
   }
 
+  test("a word fully merged to one symbol stops contributing pairs, not the training") {
+    // "in" fully merges at round 1 (i+n, count 4) and from then on is a
+    // single-symbol word: sequence(1, size-1) would be the DESCENDING
+    // [1, 0] and element_at(s, 0) threw before the size>=2 guard. Rounds
+    // 2-3 must proceed on "abc" alone: (a,b) wins its tie with (b,c) on
+    // the encoded-pair comparator, then (ab,c).
+    import spark.implicits._
+    val docs = Seq("in in in in", "abc abc").toDF("text")
+    val res = Curation.bpeMerges(docs, "text", 3)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(res.toSeq === Seq((1, "i", "n", 4L), (2, "a", "b", 2L), (3, "ab", "c", 2L)))
+    // and with every word merged to one symbol the exhaustion require is
+    // now REACHABLE — a loud domain error, not an array-index crash
+    val ex = intercept[IllegalArgumentException] {
+      Curation.bpeMerges(docs, "text", 4).collect()
+    }
+    assert(ex.getMessage.contains("vocabulary is exhausted"))
+  }
+
   test("x81 encode: per-lang token counts equal the reference vocabulary applied word by word") {
     val res = TrainPrep.x81_bpe_encode.run(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -211,6 +211,12 @@ class MultiStoreSpec extends SparkSpec {
     // an absent key: the sketches reject it without opening ANY data file
     val miss = MultiStore.readPrunedEq(spark, r, "t", "id", lit(123456L))
     assert(miss.inputFiles.isEmpty && miss.count() == 0L)
+    // a probe whose LITERAL type differs from the stored column (INT 250
+    // vs BIGINT id) must still hit: xxhash64 is type-sensitive, and an
+    // uncast probe would bloom-false-NEGATIVE — zero files opened, rows
+    // silently lost with no residual-filter recovery
+    val intProbe = MultiStore.readPrunedEq(spark, r, "t", "id", lit(250))
+    assert(intProbe.as[Long].collect().toSeq == Seq(250L))
     // sidecar shape: one row per data file
     assert(MultiStore.fileBlooms(spark, r, "t").count() == total.toLong)
   }

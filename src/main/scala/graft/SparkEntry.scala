@@ -45,6 +45,7 @@ object SparkEntry {
       "DataQuality" -> DataQuality.all, "Analytics" -> Analytics.all,
       "HybridRetrieval" -> HybridRetrieval.all,
       "SnapshotQueries" -> SnapshotQueries.all,
+      "VariantEvents" -> VariantEvents.all,
     ).flatMap { case (m, qs) => qs.map(_.inModule(m)) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

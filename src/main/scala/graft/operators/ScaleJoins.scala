@@ -223,20 +223,7 @@ object ScaleJoins {
           "partitioned scan would read every o_year= directory")
       res.localCheckpoint(true)
     } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          // materialize THEN close before deleting: Files.list leaks a
-          // directory fd if unclosed, and deleting under a live stream is
-          // undefined — m17 runs every bench loop, the leak compounds
-          val s = java.nio.file.Files.list(p)
-          val children =
-            try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
-            finally s.close()
-          children.foreach(rm)
-        }
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(tmp)
+      graft.sources.AtomicFs.deleteRecursively(tmp)
     }
   }
 

@@ -64,12 +64,7 @@ object SnapshotQueries {
       // bench repeats were accumulating orphan graft-timetravel dirs in
       // /tmp across rounds (r10 ADVICE)
       .localCheckpoint(true)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(java.nio.file.Paths.get(root).getParent)
+    graft.sources.AtomicFs.deleteRecursively(java.nio.file.Paths.get(root).getParent)
     result
   }
 
@@ -83,14 +78,7 @@ object SnapshotQueries {
     val tmp  = java.nio.file.Files.createTempDirectory(prefix)
     val root = tmp.toString + "/store"
     try body(root).localCheckpoint(true)
-    finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(tmp)
-    }
+    finally graft.sources.AtomicFs.deleteRecursively(tmp)
   }
 
   /** m11: merge-on-read row-level DELETE — the lakehouse delete path that

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** VARIANT event payloads — the reference's `dict[str, Any]` event data
+  * (`amplifierd/amplifierd/models/trace.py:27`, field access
+  * `services/trace_aggregator.py:94-96`) carried as Spark's binary VARIANT
+  * type instead of a JSON string.
+  *
+  * Why this matters at 100 TB: the C11 path (`get_json_object` over a
+  * string column) re-parses the full JSON text on EVERY access — k accesses
+  * = k parses per row, pure per-row CPU tax. VARIANT parses ONCE at ingest
+  * (`parse_json`), stores a binary encoding whose fields are O(log n)
+  * seekable, and `variant_get` extracts typed values with no re-parse. With
+  * `spark.sql.variant.writeShredding.enabled` the parquet writer further
+  * shreds typed paths into real columns, and
+  * `spark.sql.variant.pushVariantIntoScan` rewrites `variant_get` into
+  * struct field reads AT THE SCAN — the extraction cost moves from
+  * per-access to per-file, and column pruning/stats apply to paths.
+  *
+  * The payloads are heterogeneous by construction (four shapes keyed on
+  * `event_id % 4`, mirroring how tool/message/lifecycle events carry
+  * different `data` dicts), built deterministically from `events` columns
+  * so DuckDB can replay every extraction from its own JSON reconstruction.
+  */
+object VariantEvents {
+
+  /** Deterministic heterogeneous JSON payload per event — four shapes, all
+    * values integer/string/bool functions of (event_id, props.k) so the
+    * DuckDB oracle rebuilds byte-equal JSON. `k` appears in EVERY shape:
+    * its extraction below is the exact C11 access path, rewritten.
+    */
+  private def payloadJson(kCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val k  = kCol.cast("string")
+    val id = col("event_id").cast("string")
+    when(col("event_id") % 4 === 0,
+      concat(lit("""{"tool":{"name":"search","ms":"""), (kCol * 3).cast("string"),
+        lit("""},"k":"""), k, lit(""","ok":true}""")))
+      .when(col("event_id") % 4 === 1,
+        concat(lit("""{"tool":{"name":"fetch","ms":"""), (kCol * 5).cast("string"),
+          lit("""},"k":"""), k, lit(""","retries":"""), (kCol % 4).cast("string"), lit("}")))
+      .when(col("event_id") % 4 === 2,
+        concat(lit("""{"msg":"evt-"""), id, lit("""","tags":["a","b"],"k":"""), k, lit("}")))
+      .otherwise(concat(lit("""{"k":"""), k, lit(""","ok":false}""")))
+  }
+
+  /** The ingest seam: parse each event's JSON payload ONCE into a VARIANT
+    * `data` column. Everything downstream (storage, extraction, predicates)
+    * touches only the binary encoding — never the string again.
+    */
+  def ingest(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("event_type"),
+      parse_json(payloadJson(get_json_object(col("props"), "$.k").cast("long"))).as("data"))
+
+  /** The C11 access paths over VARIANT: two typed extractions (string
+    * tool name, long ms / k), one existence predicate (retries present),
+    * an array path, and a boolean — grouped per tool.
+    */
+  def toolRollup(ingested: DataFrame): DataFrame =
+    ingested
+      .groupBy(
+        coalesce(variant_get(col("data"), "$.tool.name", "string"), lit("none")).as("tool"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(variant_get(col("data"), "$.tool.ms", "long")).as("sum_ms"),
+        sum(variant_get(col("data"), "$.k", "long")).as("sum_k"),
+        count(variant_get(col("data"), "$.retries", "long")).as("n_retried"),
+        count(variant_get(col("data"), "$.tags[0]", "string")).as("n_tagged"),
+        sum(when(variant_get(col("data"), "$.ok", "boolean"), 1L).otherwise(0L)).as("n_ok"))
+      .orderBy("tool")
+
+  /** Set `confs`, run `body`, restore prior values — the variant
+    * shredding/pushdown switches are session confs, and a registry query
+    * must not leak session-state changes into its neighbors.
+    */
+  private def withConfs[A](spark: SparkSession, confs: (String, String)*)(body: => A): A = {
+    val prior = confs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try body
+    finally prior.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None)    => spark.conf.unset(key)
+    }
+  }
+
+  /** Write the ingested frame (VARIANT column included) to parquet with
+    * shredding enabled, and hand a reader of it — shredded-allowed, with
+    * `variant_get` pushdown into the scan — to `body`. This is the
+    * "parse once, store binary, extract at the scan" lifecycle a 100 TB
+    * event pipeline runs; the temp dir stands in for the table location.
+    */
+  def withVariantTable[A](spark: SparkSession, ingested: DataFrame)
+      (body: DataFrame => A): A = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-variant")
+    try withConfs(spark,
+      "spark.sql.variant.writeShredding.enabled" -> "true",
+      "spark.sql.variant.inferShreddingSchema"   -> "true",
+      "spark.sql.variant.allowReadingShredded"   -> "true",
+      "spark.sql.variant.pushVariantIntoScan"    -> "true") {
+      val dir = tmp.toString + "/events_v"
+      ingested.write.mode("overwrite").parquet(dir)
+      body(spark.read.parquet(dir))
+    }
+    finally graft.sources.AtomicFs.deleteRecursively(tmp)
+  }
+
+  /** c16: the C11 JSON access paths re-expressed over a stored VARIANT
+    * column — parse_json once at ingest, parquet roundtrip (shredded), all
+    * extraction via variant_get on the scan side. DuckDB replays the same
+    * payload construction as JSON text and extracts with its JSON
+    * functions; values agree because every payload field is a closed
+    * integer/string/bool function of (event_id, props.k).
+    */
+  val c16_variant_events = Q(
+    "c16_variant_events",
+    """WITH src AS (
+      |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |payload AS (
+      |  SELECT CASE CAST(event_id % 4 AS INTEGER)
+      |    WHEN 0 THEN '{"tool":{"name":"search","ms":' ||
+      |      CAST(k * 3 AS VARCHAR) || '},"k":' || CAST(k AS VARCHAR) || ',"ok":true}'
+      |    WHEN 1 THEN '{"tool":{"name":"fetch","ms":' ||
+      |      CAST(k * 5 AS VARCHAR) || '},"k":' || CAST(k AS VARCHAR) ||
+      |      ',"retries":' || CAST(k % 4 AS VARCHAR) || '}'
+      |    WHEN 2 THEN '{"msg":"evt-' || CAST(event_id AS VARCHAR) ||
+      |      '","tags":["a","b"],"k":' || CAST(k AS VARCHAR) || '}'
+      |    ELSE '{"k":' || CAST(k AS VARCHAR) || ',"ok":false}'
+      |  END AS data FROM src)
+      |SELECT coalesce(json_extract_string(data, '$.tool.name'), 'none') AS tool,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(json_extract(data, '$.tool.ms') AS BIGINT)) AS BIGINT) AS sum_ms,
+      |       CAST(sum(CAST(json_extract(data, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       CAST(count(json_extract(data, '$.retries')) AS BIGINT) AS n_retried,
+      |       CAST(count(json_extract_string(data, '$.tags[0]')) AS BIGINT) AS n_tagged,
+      |       CAST(sum(CASE WHEN json_extract_string(data, '$.ok') = 'true'
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ok
+      |FROM payload GROUP BY tool ORDER BY tool""".stripMargin,
+  ) { t =>
+    withVariantTable(t.spark, ingest(t.events))(stored =>
+      toolRollup(stored).localCheckpoint(true))
+  }
+
+  val all: Seq[Q] = Seq(c16_variant_events)
+}

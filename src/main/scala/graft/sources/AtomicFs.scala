@@ -65,4 +65,21 @@ object AtomicFs {
       if (!won) fs.delete(tmp, false)
       won
     }
+
+  /** Recursive local delete that materializes each directory listing and
+    * CLOSES the stream before removing entries — Files.list holds a
+    * directory fd until closed, and deleting under a live listing is
+    * undefined; the per-query temp-store cleanups run every bench repeat,
+    * so an unclosed stream is a compounding fd leak.
+    */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      val children =
+        try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toList }
+        finally s.close()
+      children.foreach(deleteRecursively)
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
 }

@@ -80,13 +80,6 @@ class DppSpec extends SparkSpec {
         val read = s.metrics("numFiles").value
         assert(read < total, s"DPP read $read of $total files — no skip")
       }
-    } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(tmp)
-    }
+    } finally graft.sources.AtomicFs.deleteRecursively(tmp)
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.VariantEvents
+
+/** c16: VARIANT event payloads — parse once at ingest, binary storage,
+  * scan-side typed extraction.
+  */
+class VariantSpec extends SparkSpec {
+
+  private def tables = Tables(spark, sf0001)
+
+  test("variant rollup equals an independent string-JSON rendering of the same payloads") {
+    val res = VariantEvents.c16_variant_events.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // independent check: same shapes via the string path (get_json_object),
+    // no variant machinery anywhere
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val data = when(col("event_id") % 4 === 0,
+      concat(lit("""{"tool":{"name":"search","ms":"""), (k * 3).cast("string"),
+        lit("""},"k":"""), k.cast("string"), lit(""","ok":true}""")))
+      .when(col("event_id") % 4 === 1,
+        concat(lit("""{"tool":{"name":"fetch","ms":"""), (k * 5).cast("string"),
+          lit("""},"k":"""), k.cast("string"), lit(""","retries":"""),
+          (k % 4).cast("string"), lit("}")))
+      .when(col("event_id") % 4 === 2,
+        concat(lit("""{"msg":"evt-"""), col("event_id").cast("string"),
+          lit("""","tags":["a","b"],"k":"""), k.cast("string"), lit("}")))
+      .otherwise(concat(lit("""{"k":"""), k.cast("string"), lit(""","ok":false}""")))
+    val expect = tables.events.select(data.as("d"))
+      .groupBy(coalesce(get_json_object(col("d"), "$.tool.name"), lit("none")).as("tool"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(res.keySet === Set("search", "fetch", "none"))
+    assert(res === expect)
+  }
+
+  test("stored variant: extraction happens at the scan — no JSON re-parse in the executed plan") {
+    val df = VariantEvents.withVariantTable(spark, VariantEvents.ingest(tables.events)) {
+      stored =>
+        val rollup = VariantEvents.toolRollup(stored)
+        rollup.collect() // finalize adaptive plan
+        (rollup.queryExecution.executedPlan.toString,
+         rollup.collect().map(_.getString(0)).toSeq)
+    }
+    val (plan, tools) = df
+    // the parse happened ONCE at ingest; the query-side plan must not
+    // re-parse any JSON text
+    assert(!plan.contains("parse_json"), s"query plan re-parses JSON:\n$plan")
+    assert(!plan.contains("get_json_object"), s"query plan string-parses JSON:\n$plan")
+    assert(!plan.contains("from_json"), s"query plan string-parses JSON:\n$plan")
+    // pushVariantIntoScan replaced the variant column in the scan schema
+    // with a struct of requested paths — the grouping key ($.tool.name)
+    // arrives as a REAL string column out of the parquet reader, not a
+    // per-row variant_get (observed: struct<data:struct<0:variant,1:string>>)
+    assert(plan.contains("ReadSchema: struct<data:struct<"),
+      s"variant_get not pushed into the scan:\n$plan")
+    assert(tools.sorted === Seq("fetch", "none", "search"))
+  }
+}

@@ -284,9 +284,15 @@ object Multimodal {
     * luma EXACTLY g (g*(299+587+114)/1000 = g), so every decoded stat is
     * a pure function of (doc_id, x, y) — no codec in the oracle at all.
     */
-  def bmpBytes(d: Long): Array[Byte] = {
-    val w       = (4 + d % 5).toInt
-    val h       = (3 + d % 4).toInt
+  def bmpBytes(d: Long): Array[Byte] =
+    grayBmp((4 + d % 5).toInt, (3 + d % 4).toInt,
+      (x, y) => ((d * 31 + x * 7 + y * 13) % 256).toInt)
+
+  /** Hand-rolled 24-bit gray BMP with pixel (x, y) = `g(x, y)` in 0..255 —
+    * BITMAPINFOHEADER, bottom-up rows, BGR, 4-byte row padding, so the
+    * byte count is the closed formula 54 + height * ceil4(width*3).
+    */
+  private def grayBmp(w: Int, h: Int, g: (Int, Int) => Int): Array[Byte] = {
     val rowSize = (w * 3 + 3) / 4 * 4
     val size    = 54 + rowSize * h
     val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -298,8 +304,8 @@ object Multimodal {
     while (y >= 0) {
       var x = 0
       while (x < w) {
-        val g = ((d * 31 + x * 7 + y * 13) % 256).toInt
-        b.put(g.toByte).put(g.toByte).put(g.toByte)
+        val p = g(x, y)
+        b.put(p.toByte).put(p.toByte).put(p.toByte)
         x += 1
       }
       var p = w * 3
@@ -766,6 +772,245 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  // ───────────────────────── x83: perceptual image near-dup ─────────────
+
+  /** One dHash LSH band of an image's 64-bit perceptual hash: 4 bands of
+    * 16 bits each — two images sharing ANY band value are candidates.
+    */
+  final case class HashBand(media_id: Long, band: Int, value: Int)
+
+  /** Base-image dims for the perceptual corpus: each group of five docs
+    * (base = doc_id - doc_id % 5) shares one base image; dims ≥ 12×10 so
+    * the 9×8 dHash grid samples distinct pixels.
+    */
+  private[graft] def perceptualDims(base: Long): (Int, Int) =
+    ((12 + base % 7).toInt, (10 + base % 5).toInt)
+
+  /** Avalanche-mixed 8-bit gray value at (x, y) of base image `base` —
+    * two multiply-xor-shift rounds over 32-bit state so distinct bases
+    * produce uncorrelated gradient fields (one linear round left
+    * cross-base dHash collisions at hamming ≤ 3; with this mixer the
+    * nearest cross-base pair measured over 5 000 docs is 12 bits). Every
+    * op is BIGINT-safe integer arithmetic DuckDB replays verbatim.
+    */
+  private[graft] def perceptualMix(base: Long, x: Int, y: Int): Int = {
+    val m0 = (base * 2654435761L + x * 40503L + y * 70051L + x.toLong * y * 97L) & 0xffffffffL
+    val m1 = ((m0 ^ (m0 >>> 16)) * 73856093L) & 0xffffffffL
+    ((m1 ^ (m1 >>> 13)) % 256).toInt
+  }
+
+  /** Pixel rule of the perceptual corpus. Variant v = doc_id % 5 of a base
+    * image perturbs it the way a re-encode/watermark does: +128 (mod 256)
+    * at v of the dHash grid columns, confined to the two grid rows of ONE
+    * band (j0 = 2·((base+v) mod 4)) — so a variant's hash differs from its
+    * canonical in a handful of bits of one band and shares the other three
+    * verbatim, which is exactly the recall guarantee banded LSH needs.
+    */
+  private[graft] def perceptualPixel(d: Long, x: Int, y: Int): Int = {
+    val base = d - d % 5
+    val v    = (d % 5).toInt
+    val g    = perceptualMix(base, x, y)
+    if (v == 0) g
+    else {
+      val (w, h) = perceptualDims(base)
+      val j0     = (2 * ((base + v) % 4)).toInt
+      if (y != j0 * h / 8 && y != (j0 + 1) * h / 8) g
+      else {
+        var i   = 0
+        var hit = false
+        while (i <= 8 && !hit) {
+          if (i * w / 9 == x && (i + base + v) % 9 < v) hit = true
+          i += 1
+        }
+        if (hit) (g + 128) % 256 else g
+      }
+    }
+  }
+
+  /** The x83 corpus generator: a REAL 24-bit BMP per document following
+    * [[perceptualPixel]] — five variants per base image, ground truth
+    * clusters = base groups, every stat a closed integer function DuckDB
+    * replays with no image library.
+    */
+  def perceptualBmp(d: Long): Array[Byte] = {
+    val (w, h) = perceptualDims(d - d % 5)
+    grayBmp(w, h, (x, y) => perceptualPixel(d, x, y))
+  }
+
+  /** 64-bit dHash of a decoded image as 4×16-bit LSH bands: integer ITU-R
+    * 601 luma sampled on a nearest-neighbor 9×8 grid, bit (i, j) set iff
+    * luma rises left→right between adjacent grid columns. Gradient-based,
+    * so uniform brightness/contrast shifts leave the hash unchanged — the
+    * perceptual property that byte hashes (x28's md5 exact-dedup,
+    * `content_deduplicator.py:31-88`) fundamentally lack.
+    */
+  def dhashBands(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w  = img.getWidth
+    val h  = img.getHeight
+    val xs = Array.tabulate(9)(i => i * w / 9)
+    val ys = Array.tabulate(8)(j => j * h / 8)
+    def luma(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+    }
+    val bands = new Array[Int](4)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (luma(xs(i + 1), ys(j)) > luma(xs(i), ys(j))) {
+          val k = j * 8 + i
+          bands(k / 16) |= 1 << (k % 16)
+        }
+        i += 1
+      }
+      j += 1
+    }
+    bands
+  }
+
+  /** dHash band table (media_id, band, value) over the perceptual corpus
+    * through the REAL codec: generate BMP bytes, decode with javax.imageio,
+    * hash the decoded raster. Explicit fan-out before the decode stage —
+    * see x28b: the generation/decode cost is invisible to AQE's size
+    * heuristics, so the partition count must be pinned.
+    */
+  def perceptualBandTable(docs: DataFrame)(implicit spark: SparkSession): Dataset[HashBand] = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long].flatMap { d =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(perceptualBmp(d)))
+        val b = dhashBands(img)
+        (0 until 4).map(i => HashBand(d, i, b(i)))
+      }
+  }
+
+  /** Near-dup edges from a band table: candidates via the (band, value)
+    * EQUI-join — the 100 TB shape: shuffle on the band key, never all
+    * pairs — then the exact 64-bit hamming distance over the 4 bands of
+    * each candidate (popcount of per-band XOR), kept at ≤ `maxHamming`.
+    */
+  def perceptualNearDupEdges(bandTable: DataFrame, maxHamming: Int): DataFrame = {
+    // reused three times (candidate self-join + both signature joins)
+    val b = bandTable.localCheckpoint()
+    val cand = b.as("a")
+      .join(b.as("c"),
+        col("a.band") === col("c.band") && col("a.value") === col("c.value") &&
+          col("a.media_id") < col("c.media_id"))
+      .select(col("a.media_id").as("src"), col("c.media_id").as("dst"))
+      .distinct()
+    cand
+      .join(b.as("x"), col("src") === col("x.media_id"))
+      .join(b.as("y"),
+        col("dst") === col("y.media_id") && col("x.band") === col("y.band"))
+      .groupBy("src", "dst")
+      .agg(sum(bit_count(col("x.value").bitwiseXOR(col("y.value")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** x83: perceptual image near-duplicate clustering — the image modality
+    * of the dedup family (x2/x3/x4 text, x13/x70 embeddings). dHash per
+    * image through the real decoder, banded hamming LSH for candidates
+    * (x4's machinery re-keyed on 16-bit hash bands), exact hamming ≤ 10
+    * as edges, connected components (g7's min-label loop) as clusters,
+    * and x23's canonical selection (max pixel count, min id tiebreak) per
+    * cluster. DuckDB replays EVERYTHING in closed form — pixel rule, grid
+    * luma comparisons, band packing, the candidate equi-join, popcount
+    * hamming, recursive-CTE components — so the oracle checks the whole
+    * algorithm, not just the corpus layout.
+    */
+  val x83_phash_clusters: Q = Q(
+    "x83_phash_clusters",
+    """WITH RECURSIVE dim AS (
+      |  SELECT doc_id, doc_id - doc_id % 5 AS b, doc_id % 5 AS v,
+      |         12 + (doc_id - doc_id % 5) % 7 AS w,
+      |         10 + (doc_id - doc_id % 5) % 5 AS h
+      |  FROM documents),
+      |pts AS (
+      |  SELECT doc_id, b, v, w, h, k, k % 8 AS i, k // 8 AS j,
+      |         ((k % 8) * w) // 9 AS x0, ((k % 8 + 1) * w) // 9 AS x1,
+      |         ((k // 8) * h) // 8 AS y0
+      |  FROM dim, unnest(generate_series(0, 63)) u(k)),
+      |m0 AS (
+      |  SELECT *,
+      |    (b * 2654435761 + x0 * 40503 + y0 * 70051 + x0 * y0 * 97) % 4294967296 AS ma0,
+      |    (b * 2654435761 + x1 * 40503 + y0 * 70051 + x1 * y0 * 97) % 4294967296 AS ma1
+      |  FROM pts),
+      |m1 AS (
+      |  SELECT doc_id, b, v, k, i, j,
+      |    (xor(ma0, ma0 // 65536) * 73856093) % 4294967296 AS mb0,
+      |    (xor(ma1, ma1 // 65536) * 73856093) % 4294967296 AS mb1
+      |  FROM m0),
+      |gp AS (
+      |  SELECT doc_id, k,
+      |    (xor(mb0, mb0 // 8192) % 256 +
+      |     CASE WHEN v > 0 AND j // 2 = (b + v) % 4 AND (i + b + v) % 9 < v
+      |          THEN 128 ELSE 0 END) % 256 AS g0,
+      |    (xor(mb1, mb1 // 8192) % 256 +
+      |     CASE WHEN v > 0 AND j // 2 = (b + v) % 4 AND (i + 1 + b + v) % 9 < v
+      |          THEN 128 ELSE 0 END) % 256 AS g1
+      |  FROM m1),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, k // 16 AS band,
+      |         CAST(sum(CASE WHEN g1 > g0 THEN 1 << (k % 16) ELSE 0 END) AS BIGINT) AS value
+      |  FROM gp GROUP BY doc_id, k // 16),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.value = c.value AND a.doc_id < c.doc_id),
+      |edge AS MATERIALIZED (
+      |  SELECT src, dst
+      |  FROM (SELECT cd.src, cd.dst, sum(bit_count(xor(x.value, y.value))) AS hamming
+      |        FROM cand cd
+      |        JOIN bands x ON x.doc_id = cd.src
+      |        JOIN bands y ON y.doc_id = cd.dst AND y.band = x.band
+      |        GROUP BY cd.src, cd.dst)
+      |  WHERE hamming <= 10),
+      |sym AS MATERIALIZED (
+      |  SELECT src AS s, dst AS t FROM edge
+      |  UNION ALL SELECT dst, src FROM edge),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+      |  UNION
+      |  SELECT s.t AS node, r.lbl FROM reach r JOIN sym s ON s.s = r.node),
+      |lab AS (
+      |  SELECT node AS media_id, min(lbl) AS component,
+      |         CAST((12 + (node - node % 5) % 7) *
+      |              (10 + (node - node % 5) % 5) AS BIGINT) AS px
+      |  FROM reach GROUP BY node),
+      |ranked AS (
+      |  SELECT component, media_id, px,
+      |         row_number() OVER (PARTITION BY component
+      |                            ORDER BY px DESC, media_id) AS rn,
+      |         count(*) OVER (PARTITION BY component) AS n_members
+      |  FROM lab)
+      |SELECT CAST(component AS BIGINT) AS component, media_id AS canonical_media,
+      |       px, n_members
+      |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    val bands  = perceptualBandTable(t.documents)
+    val edges  = perceptualNearDupEdges(bands.toDF(), maxHamming = 10)
+    val labels = GraphOps.connectedComponents(edges.select("src", "dst"), spark)
+    // LEFT join + coalesce (the x23 lesson): CC only labels docs touching
+    // an edge; an isolated image is its own singleton cluster
+    val base = col("media_id") - col("media_id") % 5
+    val labeled = t.documents.select(col("doc_id").as("media_id"))
+      .join(labels, col("media_id") === col("node"), "left")
+      .select(
+        col("media_id"),
+        coalesce(col("component"), col("media_id")).as("component"),
+        ((base % 7 + 12) * (base % 5 + 10)).cast(LongType).as("px"))
+    Curation.canonicalPerCluster(labeled, "component", "media_id", "px")
+      .select(
+        col("component").cast(LongType).as("component"),
+        col("canonical_doc").as("canonical_media"),
+        col("px"), col("n_members"))
+      .orderBy("component")
+  }
+
   val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode,
-    x82_tiff_frames)
+    x82_tiff_frames, x83_phash_clusters)
 }

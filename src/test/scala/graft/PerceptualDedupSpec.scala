@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** x83: perceptual image near-dup — dHash through the real decoder, banded
+  * hamming LSH, clusters.
+  */
+class PerceptualDedupSpec extends SparkSpec {
+
+  private def tables = Tables(spark, sf0001)
+
+  /** JVM-reference dHash straight off the pixel RULE (no codec): the
+    * decoded-raster hash must equal it bit for bit, proving the BMP
+    * writer/decoder roundtrip is lossless where the hash samples.
+    */
+  private def ruleBands(d: Long): Array[Int] = {
+    val (w, h) = Multimodal.perceptualDims(d - d % 5)
+    val xs = Array.tabulate(9)(i => i * w / 9)
+    val ys = Array.tabulate(8)(j => j * h / 8)
+    val bands = new Array[Int](4)
+    for (j <- 0 until 8; i <- 0 until 8)
+      if (Multimodal.perceptualPixel(d, xs(i + 1), ys(j)) >
+          Multimodal.perceptualPixel(d, xs(i), ys(j))) {
+        val k = j * 8 + i
+        bands(k / 16) |= 1 << (k % 16)
+      }
+    bands
+  }
+
+  private def hamming(a: Array[Int], b: Array[Int]): Int =
+    (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+
+  test("decoded-raster dHash equals the closed pixel rule for every doc") {
+    (0L until 200L).foreach { d =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.perceptualBmp(d)))
+      assert(Multimodal.dhashBands(img).toSeq === ruleBands(d).toSeq, s"doc $d")
+    }
+  }
+
+  test("corpus geometry: variants within 10 bits of their canonical, bases far apart") {
+    // every variant ≤ 10 from its base's canonical (v=0) — the recall side
+    (0L until 1000L by 5L).foreach { b =>
+      val canon = ruleBands(b)
+      (1 to 4).foreach { v =>
+        val hd = hamming(ruleBands(b + v), canon)
+        assert(hd <= 10, s"variant ${b + v} is $hd bits from canonical $b")
+        // perturbation confined to ONE band: ≥ 3 of 4 bands shared, so the
+        // banded equi-join can never miss an intra pair
+        val shared = (0 until 4).count(i => ruleBands(b + v)(i) == canon(i))
+        assert(shared >= 3, s"variant ${b + v} shares only $shared bands")
+      }
+    }
+    // distinct bases stay far apart (precision side; measured min 12 over
+    // 5 000 docs — spot-check a window here)
+    val canons = (0L until 500L by 5L).map(ruleBands).toArray
+    for (i <- canons.indices; j <- (i + 1) until canons.length)
+      assert(hamming(canons(i), canons(j)) > 10, s"bases ${i * 5} / ${j * 5} collide")
+  }
+
+  test("x83 clusters are exactly the five-variant base groups") {
+    val rows = Multimodal.x83_phash_clusters.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val comp = r.getLong(0)
+      assert(comp % 5 === 0L, s"component $comp is not a base id")
+      assert(r.getLong(1) === comp, s"canonical of $comp is ${r.getLong(1)}")
+      assert(r.getLong(3) === 5L, s"cluster $comp has ${r.getLong(3)} members")
+    }
+  }
+
+  test("candidate generation is a keyed equi-join — never all pairs") {
+    val bands = Multimodal.perceptualBandTable(tables.documents)(spark).toDF()
+    val edges = Multimodal.perceptualNearDupEdges(bands, maxHamming = 10)
+    edges.collect() // finalize the adaptive plan
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"unkeyed join:\n$plan")
+  }
+}

@@ -1161,8 +1161,150 @@ object Similarity {
     }
   }
 
+  private[operators] final case class EmbRow(vec_id: Long, embedding: Array[Float])
+
+  /** x84: STREAMING ingest into the versioned ANN index — the composition
+    * of m19 (exactly-once foreachBatch → commitBatch), x67 (frozen-centroid
+    * incremental assignment), and x77 (snapshot-served index reads). A
+    * MemoryStream of embeddings drains in three forced micro-batches, each
+    * assigned to the FROZEN stored centroids and appended to the inverted
+    * lists through one atomic batch-marked commit; the pre-ingest manifest
+    * is served MID-STREAM (after batch 0's commit has already advanced the
+    * snapshot) — if readAt leaked a streamed vector into index_version 0,
+    * the hash breaks; a crash-restart re-delivery of the last batch with
+    * poison rows must be rejected by the batch-id marker. Registered as an
+    * INSTRUMENT (the MemoryStream feed and forced drain are replay
+    * harness; the per-batch production paths are m13/x67/x77 rows). The
+    * oracle is x77's: the exactly-once streamed end state must equal the
+    * one-shot batch commit bit for bit.
+    */
+  val x84_stream_ann = Q.instrument(
+    "x84_stream_ann",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, embedding AS centroid FROM embeddings
+      |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 16),
+      |a0 AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c WHERE e.vec_id % 2 = 0) WHERE rn = 1),
+      |a1 AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c) WHERE rn = 1),
+      |pr AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4),
+      |t0 AS (
+      |  SELECT CAST(0 AS BIGINT) AS index_version, query_id, vec_id, sim FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |           round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                        CAST(a.embedding AS DOUBLE[])), 6) AS sim,
+      |           row_number() OVER (
+      |             PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                      a.vec_id) AS rn
+      |    FROM pr p JOIN a0 a USING (cell) WHERE a.vec_id <> p.query_id)
+      |  WHERE rn <= 5),
+      |t1 AS (
+      |  SELECT CAST(1 AS BIGINT) AS index_version, query_id, vec_id, sim FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |           round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                        CAST(a.embedding AS DOUBLE[])), 6) AS sim,
+      |           row_number() OVER (
+      |             PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                      a.vec_id) AS rn
+      |    FROM pr p JOIN a1 a USING (cell) WHERE a.vec_id <> p.query_id)
+      |  WHERE rn <= 5)
+      |SELECT * FROM t0 UNION ALL SELECT * FROM t1
+      |ORDER BY index_version, query_id, vec_id""".stripMargin,
+  ) { t =>
+    implicit val spark: org.apache.spark.sql.SparkSession = t.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.MultiStore
+    SnapshotQueries.withTempStore("graft-streamann") { root =>
+      val base  = t.embeddings.filter(col("vec_id") % 2 === 0)
+      val cents = trainFreeCentroids(base, 16)
+      MultiStore.commit(root, Map(
+        "centroids" -> cents,
+        "lists"     -> assignCells(base, cents)), keep = 8)
+      val m0 = MultiStore.manifests(spark, root).last
+      // odd vec_ids stream in as three deterministic micro-batches
+      val batches = (0 to 2).map(b =>
+        t.embeddings.filter(col("vec_id") % 2 =!= 0 && (col("vec_id") - 1) / 2 % 3 === b)
+          .select("vec_id", "embedding").as[EmbRow].collect())
+      val input = MemoryStream[EmbRow]
+      val query = input.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[EmbRow], id: Long) =>
+          // assignment against the FROZEN stored centroids — batch-sized
+          // work, the corpus lists are appended to, never re-scored
+          val storedCents = MultiStore.read(spark, root, "centroids")
+          val merged = MultiStore.read(spark, root, "lists")
+            .unionByName(assignBatchIncremental(batch.toDF(), storedCents))
+          MultiStore.commitBatch(root, "ann_ingest", id,
+            Map("lists" -> merged), keep = 8)
+          ()
+        }
+        .start()
+      val queries = t.embeddings.filter(col("vec_id") < 10)
+      def serveAt(m: Long, version: Long) =
+        probeTopK(
+          MultiStore.readAt(spark, root, "lists", m),
+          queries,
+          MultiStore.readAt(spark, root, "centroids", m),
+          k = 5, nProbe = 4)
+          .select(lit(version).as("index_version"),
+            col("query_id"), col("vec_id"), col("sim"))
+      val served0 =
+        try {
+          input.addData(batches(0).toIndexedSeq)
+          query.processAllAvailable()
+          // MID-STREAM time-travel read: batch 0's commit has already
+          // advanced the snapshot — serving pinned at m0 must still see
+          // ONLY the base index (materialized NOW, while ingest continues)
+          val s0 = serveAt(m0, 0L).localCheckpoint(true)
+          batches.drop(1).foreach { chunk =>
+            input.addData(chunk.toIndexedSeq)
+            query.processAllAvailable()
+          }
+          s0
+        } finally query.stop()
+      // crash-restart re-delivery of the last batch with poison rows: the
+      // batch-id marker must make it a no-op on the index stores
+      val mBefore = MultiStore.manifests(spark, root).last
+      val replayed = MultiStore.commitBatch(root, "ann_ingest", 2L,
+        Map("lists" -> assignCells(t.embeddings.limit(3),
+          MultiStore.read(spark, root, "centroids"))), keep = 8)
+      require(!replayed && MultiStore.manifests(spark, root).last == mBefore,
+        "x84: exactly-once violated — re-delivered batch mutated the index")
+      served0.unionByName(serveAt(MultiStore.manifests(spark, root).last, 1L))
+        .orderBy("index_version", "query_id", "vec_id")
+    }
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
-      x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann)
+      x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann,
+      x84_stream_ann)
 }

@@ -319,6 +319,120 @@ object Curation {
     (seqs, rounds.result())
   }
 
+  /** Driver-local BPE trainer for REALISTIC k (hundreds-thousands of
+    * merges): ONE distributed corpus pass reduces the corpus to the
+    * weighted vocab (word, count) — top `maxVocab` words by count, the
+    * frequency cap every production BPE trainer applies — which is
+    * collected once; the merge loop then runs in driver memory over an
+    * occurrence-indexed incremental pair count (only words containing the
+    * merged pair are touched per round, the standard trainer structure),
+    * and the result broadcasts back as a vocab-sized frame. The
+    * distributed per-round loop ([[bpeMerges]]) pays one Spark job + one
+    * single-row collect PER ROUND — fine at k=12, k jobs of pure
+    * scheduling overhead at k=1024; here rounds cost microseconds and the
+    * wall is the corpus pass (SCALE.md records the k=1024 measurement).
+    * Semantics are EXACTLY the distributed loop's — weighted multiset
+    * pair counts, ties on the '|'-terminated encoded pair string,
+    * left-to-right non-overlapping merges, single-symbol words
+    * contributing no pairs — so the k=12 oracle row pins equivalence
+    * (BpeSpec pins it against the from-scratch JVM reference too).
+    * `strict=false` stops at vocabulary exhaustion instead of failing —
+    * the realistic-k mode, where k is a budget, not a promise.
+    */
+  private[operators] def bpeTrainCollected(
+      vocab: Array[(String, Long)],
+      k: Int,
+      strict: Boolean,
+  ): (Vector[(Int, String, String, Long)], Array[(String, Int)]) = {
+    import scala.collection.mutable
+    val words  = vocab.map(_._1.split("").filter(_.nonEmpty))
+    val symSeq = mutable.ArrayBuffer.from(words.map(w => mutable.ArrayBuffer.from(w)))
+    val weight = vocab.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index  = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def tally(w: Int, sign: Long): Unit = {
+      val s = symSeq(w)
+      var i = 0
+      while (i < s.length - 1) {
+        val p = (s(i), s(i + 1))
+        val c = counts.getOrElse(p, 0L) + sign * weight(w)
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (sign > 0L) index.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        i += 1
+      }
+    }
+    symSeq.indices.foreach(tally(_, 1L))
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      if (counts.isEmpty) {
+        require(!strict,
+          s"bpeMerges: no candidate pairs left at round $r of $k — " +
+            "the vocabulary is exhausted; lower k or enlarge the corpus")
+        exhausted = true
+      } else {
+        val ((l, rt), cnt) = counts.minBy { case ((a, b), c) => (-c, s"$a| $b|") }
+        merges += ((r, l, rt, cnt))
+        // occurrence index may hold stale word ids (pairs vacated by an
+        // earlier merge) — harmless: tally(-1)/merge/tally(+1) on a word
+        // without the pair is a net no-op
+        index.remove((l, rt)).getOrElse(mutable.BitSet.empty).foreach { w =>
+          tally(w, -1L)
+          val s   = symSeq(w)
+          val out = new mutable.ArrayBuffer[String](s.length)
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == rt) {
+              out += (l + rt); i += 2 // left-to-right, non-overlapping
+            } else { out += s(i); i += 1 }
+          }
+          symSeq.update(w, out)
+          tally(w, 1L)
+        }
+        r += 1
+      }
+    }
+    (merges.result(), vocab.indices.map(w => (vocab(w)._1, symSeq(w).length)).toArray)
+  }
+
+  /** The one corpus pass feeding the driver-local trainer: weighted vocab,
+    * frequency-capped at `maxVocab` rows (count desc, word asc — a
+    * deterministic top-k, so the cap is reproducible), collected once.
+    */
+  private def collectVocab(docs: DataFrame, textCol: String, maxVocab: Int)
+      : Array[(String, Long)] =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2 && !col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** [[bpeMerges]]'s realistic-k sibling: identical output, driver-local
+    * rounds. Same (round, left_sym, right_sym, pair_count) frame.
+    */
+  def bpeMergesLocal(docs: DataFrame, textCol: String, k: Int,
+                     maxVocab: Int = 1000000, strict: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainCollected(collectVocab(docs, textCol, maxVocab), k, strict)._1
+      .toDF("round", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** [[bpeTokenCounts]]'s realistic-k sibling: the (word, n_tokens) vocab
+    * map from the driver-local trainer, handed back as a frame the encode
+    * join consumes — vocab-sized, so AQE broadcasts it.
+    */
+  def bpeTokenCountsLocal(docs: DataFrame, textCol: String, k: Int,
+                          maxVocab: Int = 1000000, strict: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainCollected(collectVocab(docs, textCol, maxVocab), k, strict)._2.toSeq
+      .toDF("word", "n_tokens")
+  }
+
   /** Training docs sharing any word n-gram with `eval`: (idCol, n_hits).
     * The eval shingle set broadcasts — the corpus side never shuffles for
     * the join, the only viable shape at corpus scale.

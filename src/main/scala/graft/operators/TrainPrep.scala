@@ -255,6 +255,19 @@ object TrainPrep {
     Curation.bpeMerges(t.documents, "text", 12)
   }
 
+  val x80b_bpe_local = Q(
+    "x80b_bpe_local",
+    bpeOracleSql(12, bpeMergesSelect(12)),
+  ) { t =>
+    // The realistic-k trainer (Curation.bpeTrainCollected): one corpus
+    // pass collects the weighted vocab, the merge loop runs driver-local
+    // over an occurrence-indexed incremental pair count. SAME oracle as
+    // x80 — the two engines' trajectories must be bit-identical at k=12;
+    // what this path buys is k=1024 costing one corpus pass instead of
+    // 1024 Spark jobs (SCALE.md).
+    Curation.bpeMergesLocal(t.documents, "text", 12)
+  }
+
   val x81_bpe_encode = Q(
     "x81_bpe_encode",
     bpeOracleSql(12,
@@ -281,8 +294,10 @@ object TrainPrep {
     // merge rule. Words outside the trained vocab (length < 2) count as
     // one token, mirrored in the oracle's COALESCE. No broadcast pin on
     // the vocab map: it grows with the corpus; AQE decides (it broadcasts
-    // at every tested scale).
-    val enc = Curation.bpeTokenCounts(t.documents, "text", 12)
+    // at every tested scale). The vocab map comes from the driver-local
+    // trainer (bpeTokenCountsLocal) — the realistic-k path; x80/x80b pin
+    // its equivalence to the distributed per-round loop.
+    val enc = Curation.bpeTokenCountsLocal(t.documents, "text", 12)
     t.documents
       .select(col("lang"), explode(split(col("text"), " ")).as("word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
@@ -1196,5 +1211,5 @@ object TrainPrep {
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
-    x79_fuzzy_decontam, x80_bpe_merges, x81_bpe_encode)
+    x79_fuzzy_decontam, x80_bpe_merges, x80b_bpe_local, x81_bpe_encode)
 }

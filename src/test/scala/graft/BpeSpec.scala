@@ -79,6 +79,33 @@ class BpeSpec extends SparkSpec {
     assert(ex.getMessage.contains("vocabulary is exhausted"))
   }
 
+  test("driver-local trainer: trajectory and vocabulary equal the canonical reference") {
+    val texts = tables.documents.select("text").collect().map(_.getString(0)).toSeq
+    val (refMerges, refVocab) = referenceTrain(texts, 12)
+    val local = Curation.bpeMergesLocal(tables.documents, "text", 12)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(local.toSeq === refMerges)
+    val vocabMap = Curation.bpeTokenCountsLocal(tables.documents, "text", 12)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(vocabMap === refVocab)
+  }
+
+  test("driver-local trainer at realistic k: strict fails loud, lenient stops at exhaustion") {
+    import spark.implicits._
+    val docs = Seq("in in in in", "abc abc").toDF("text")
+    val ex = intercept[IllegalArgumentException] {
+      Curation.bpeMergesLocal(docs, "text", 1024).collect()
+    }
+    assert(ex.getMessage.contains("vocabulary is exhausted"))
+    // lenient mode: the k budget outruns the vocab — return every merge
+    // learnable, exactly the distributed/reference trajectory prefix
+    val lenient = Curation.bpeMergesLocal(docs, "text", 1024, strict = false)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(lenient.toSeq === Seq((1, "i", "n", 4L), (2, "a", "b", 2L), (3, "ab", "c", 2L)))
+  }
+
   test("x81 encode: per-lang token counts equal the reference vocabulary applied word by word") {
     val res = TrainPrep.x81_bpe_encode.run(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -439,13 +439,16 @@ class StreamMaintenanceSpec extends SparkSpec {
 
   test("j3_stream_replay: micro-batch stream-stream join equals the batch range join row for row") {
     // The registry row's contract, pinned at sf0.001: the same event feed
-    // through 6 forced micro-batches (views surviving state-store round
-    // trips to meet later purchases) produces exactly the batch j3 table.
+    // through 4 forced micro-batches (views surviving state-store round
+    // trips to meet later purchases) produces exactly the batch j3 table
+    // over the replay's deterministic user slice (user_id % 5 = 2 — the
+    // r13 instrument-cost cap, mirrored in the row's oracle).
     val t = graft.Tables(spark, sf0001)
     val streamed = graft.operators.TimeWindows.j3_stream_replay.run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val batch = graft.operators.TimeWindows.j3_prepost_correlate.run(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .filter(_._1 % 5 == 2)
     assert(streamed.nonEmpty, "fixture must contain view->purchase correlations")
     assert(streamed == batch)
   }

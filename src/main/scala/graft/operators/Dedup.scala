@@ -1038,8 +1038,12 @@ object Dedup {
     * gram may be marked corpus-known, inflating a span) but never false
     * negatives — flagged is a strict superset of the exact x72 verdict,
     * the correct polarity for a quarantine gate (route flagged docs to the
-    * exact batch probe; never let a true dup through unflagged). At the 2^24
-    * default and ~1e6 corpus grams the FP rate is ~1e-4 per gram.
+    * exact batch probe; never let a true dup through unflagged). That
+    * polarity holds ONLY if the probe grams are built by the same pipeline
+    * (same `fingerprints` mode, hence same Catalyst TYPE) as the corpus
+    * bloom: xxhash64 is type-sensitive, so a string probe against a
+    * fingerprint-long corpus sketch would false-NEGATIVE everything. At the
+    * 2^24 default and ~1e6 corpus grams the FP rate is ~1e-4 per gram.
     * Runs identically on a batch frame (SpanDedupSpec pins it against
     * exact x72 flags).
     */

@@ -86,6 +86,12 @@ object ScaleJoins {
       estimatedDimKeys: Long,
       numBits: Long = 1L << 21,
   ): DataFrame = {
+    // hash BOTH sides in the dim key's type: xxhash64 is type-sensitive
+    // (INT 7 and BIGINT 7 hash differently), and a fact key arriving in a
+    // different width would bloom-false-NEGATIVE — matching fact rows
+    // silently dropped before the semi-join can see them (the same bug
+    // class as MultiStore.readPrunedEq's probe cast)
+    val keyType = dim.schema(key).dataType
     val bloomDf = dim.agg(
       GraftColumnBridge
         .column(new BloomFilterAggregate(
@@ -96,7 +102,7 @@ object ScaleJoins {
     val mightContain = GraftColumnBridge.column(
       BloomFilterMightContain(
         ScalarSubquery(bloomDf.queryExecution.analyzed),
-        GraftColumnBridge.expression(xxhash64(fact(key)))))
+        GraftColumnBridge.expression(xxhash64(fact(key).cast(keyType)))))
     fact
       .where(mightContain)
       .join(dim.select(key).distinct(), Seq(key), "left_semi")

@@ -25,6 +25,20 @@ class BloomPrefilterSpec extends SparkSpec {
     assert(bloom.exceptAll(plain).isEmpty && plain.exceptAll(bloom).isEmpty)
   }
 
+  test("a fact key in a narrower type than the dim key still matches (probe cast)") {
+    // xxhash64 is type-sensitive: an INT fact key against a BIGINT dim key
+    // hashed uncast would bloom-false-NEGATIVE and silently drop every
+    // matching row before the semi-join. The prefilter casts the fact
+    // probe to the dim key's type, so the result stays exact.
+    val fact = tables.lineitem
+      .withColumn("o_orderkey", col("l_orderkey").cast("int"))
+    val dim = tables.orders.where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    val plain = fact.join(dim.distinct(), Seq("o_orderkey"), "left_semi")
+    val bloom = ScaleJoins.bloomPrefilterSemiJoin(fact, dim, "o_orderkey", estimatedDimKeys = 1 << 12)
+    assert(plain.count() > 0L)
+    assert(bloom.count() === plain.count())
+  }
+
   test("prefilter alone admits a superset (bounded false positives), never drops a match") {
     val fact = tables.lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
     val dim  = tables.orders.where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1011,6 +1012,106 @@ object Multimodal {
       .orderBy("component")
   }
 
+  /** Match a BATCH of new images against a prebuilt corpus band index —
+    * the x27/x67/x72 daily-ingest pattern for the image modality: only the
+    * batch is decoded/hashed, candidates come from the batch-bands ⋈
+    * corpus-index equi-join (probe-sized × bucket, never corpus²), exact
+    * hamming over the candidates, and each probe keeps its best match
+    * (min hamming, min corpus id tiebreak) within `maxHamming`.
+    */
+  def perceptualProbe(corpusBands: DataFrame, batchBands: DataFrame,
+                      maxHamming: Int): DataFrame = {
+    val cand = batchBands.as("q")
+      .join(corpusBands.as("c"),
+        col("q.band") === col("c.band") && col("q.value") === col("c.value"))
+      .select(col("q.media_id").as("probe_id"), col("c.media_id").as("cand_id"))
+      .distinct()
+    val scored = cand
+      .join(batchBands.as("x"), col("probe_id") === col("x.media_id"))
+      .join(corpusBands.as("y"),
+        col("cand_id") === col("y.media_id") && col("x.band") === col("y.band"))
+      .groupBy("probe_id", "cand_id")
+      .agg(sum(bit_count(col("x.value").bitwiseXOR(col("y.value")))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    val w = Window.partitionBy("probe_id").orderBy(col("hamming"), col("cand_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("probe_id").as("media_id"), col("cand_id").as("match_id"), col("hamming"))
+  }
+
+  /** x83b: incremental perceptual ingest — new images (variant v=4 of
+    * every base) probed against the CORPUS index (variants 0-3). The
+    * corpus band table is checkpointed once per run, standing in for the
+    * persisted index a production pipeline maintains (x27's parquet band
+    * index discipline); the probe stage decodes ONLY batch images, so its
+    * cost is batch-sized regardless of corpus size. DuckDB replays hash,
+    * banding, candidate join, hamming, and the argmin in closed form.
+    */
+  val x83b_phash_probe: Q = Q(
+    "x83b_phash_probe",
+    """WITH dim AS (
+      |  SELECT doc_id, doc_id - doc_id % 5 AS b, doc_id % 5 AS v,
+      |         12 + (doc_id - doc_id % 5) % 7 AS w,
+      |         10 + (doc_id - doc_id % 5) % 5 AS h
+      |  FROM documents),
+      |pts AS (
+      |  SELECT doc_id, b, v, w, h, k, k % 8 AS i, k // 8 AS j,
+      |         ((k % 8) * w) // 9 AS x0, ((k % 8 + 1) * w) // 9 AS x1,
+      |         ((k // 8) * h) // 8 AS y0
+      |  FROM dim, unnest(generate_series(0, 63)) u(k)),
+      |m0 AS (
+      |  SELECT *,
+      |    (b * 2654435761 + x0 * 40503 + y0 * 70051 + x0 * y0 * 97) % 4294967296 AS ma0,
+      |    (b * 2654435761 + x1 * 40503 + y0 * 70051 + x1 * y0 * 97) % 4294967296 AS ma1
+      |  FROM pts),
+      |m1 AS (
+      |  SELECT doc_id, b, v, k, i, j,
+      |    (xor(ma0, ma0 // 65536) * 73856093) % 4294967296 AS mb0,
+      |    (xor(ma1, ma1 // 65536) * 73856093) % 4294967296 AS mb1
+      |  FROM m0),
+      |gp AS (
+      |  SELECT doc_id, k,
+      |    (xor(mb0, mb0 // 8192) % 256 +
+      |     CASE WHEN v > 0 AND j // 2 = (b + v) % 4 AND (i + b + v) % 9 < v
+      |          THEN 128 ELSE 0 END) % 256 AS g0,
+      |    (xor(mb1, mb1 // 8192) % 256 +
+      |     CASE WHEN v > 0 AND j // 2 = (b + v) % 4 AND (i + 1 + b + v) % 9 < v
+      |          THEN 128 ELSE 0 END) % 256 AS g1
+      |  FROM m1),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, k // 16 AS band,
+      |         CAST(sum(CASE WHEN g1 > g0 THEN 1 << (k % 16) ELSE 0 END) AS BIGINT) AS value
+      |  FROM gp GROUP BY doc_id, k // 16),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT q.doc_id AS probe_id, c.doc_id AS cand_id
+      |  FROM bands q JOIN bands c ON q.band = c.band AND q.value = c.value
+      |  WHERE q.doc_id % 5 = 4 AND c.doc_id % 5 <> 4),
+      |hm AS MATERIALIZED (
+      |  SELECT cd.probe_id, cd.cand_id,
+      |         CAST(sum(bit_count(xor(x.value, y.value))) AS BIGINT) AS hamming
+      |  FROM cand cd
+      |  JOIN bands x ON x.doc_id = cd.probe_id
+      |  JOIN bands y ON y.doc_id = cd.cand_id AND y.band = x.band
+      |  GROUP BY cd.probe_id, cd.cand_id
+      |  HAVING sum(bit_count(xor(x.value, y.value))) <= 10)
+      |SELECT probe_id AS media_id, cand_id AS match_id, hamming FROM (
+      |  SELECT probe_id, cand_id, hamming,
+      |         row_number() OVER (PARTITION BY probe_id
+      |                            ORDER BY hamming, cand_id) AS rn
+      |  FROM hm) WHERE rn = 1 ORDER BY media_id""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    // the persisted corpus index (variants 0-3), built/checkpointed once;
+    // the probe decodes ONLY the arriving batch (v=4)
+    val corpusBands = perceptualBandTable(
+      t.documents.filter(col("doc_id") % 5 =!= 4)).toDF().localCheckpoint()
+    val batchBands = perceptualBandTable(
+      t.documents.filter(col("doc_id") % 5 === 4)).toDF()
+    perceptualProbe(corpusBands, batchBands, maxHamming = 10)
+      .orderBy("media_id")
+  }
+
   val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode,
-    x82_tiff_frames, x83_phash_clusters)
+    x82_tiff_frames, x83_phash_clusters, x83b_phash_probe)
 }

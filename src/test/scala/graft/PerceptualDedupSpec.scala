@@ -71,6 +71,17 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("x83b probe: every arriving variant matches inside its own base group") {
+    val rows = Multimodal.x83b_phash_probe.run(spark, sf0001).collect()
+    assert(rows.length === tables.documents.filter(col("doc_id") % 5 === 4).count())
+    rows.foreach { r =>
+      val (probe, matched, ham) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(probe - probe % 5 === matched - matched % 5,
+        s"probe $probe matched cross-base $matched")
+      assert(ham <= 10L)
+    }
+  }
+
   test("candidate generation is a keyed equi-join — never all pairs") {
     val bands = Multimodal.perceptualBandTable(tables.documents)(spark).toDF()
     val edges = Multimodal.perceptualNearDupEdges(bands, maxHamming = 10)

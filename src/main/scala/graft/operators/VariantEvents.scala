@@ -56,6 +56,30 @@ object VariantEvents {
       col("event_id"), col("event_type"),
       parse_json(payloadJson(get_json_object(col("props"), "$.k").cast("long"))).as("data"))
 
+  /** The string-path twin of [[ingest]] — same payloads kept as JSON
+    * TEXT — and of [[toolRollup]] below: the A/B pair
+    * `graft.tools.VariantScale` measures (every access re-parses the
+    * full string through get_json_object vs one parse at ingest).
+    */
+  def ingestString(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("event_type"),
+      payloadJson(get_json_object(col("props"), "$.k").cast("long")).as("data_json"))
+
+  def toolRollupString(ingested: DataFrame): DataFrame =
+    ingested
+      .groupBy(
+        coalesce(get_json_object(col("data_json"), "$.tool.name"), lit("none")).as("tool"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(get_json_object(col("data_json"), "$.tool.ms").cast("long")).as("sum_ms"),
+        sum(get_json_object(col("data_json"), "$.k").cast("long")).as("sum_k"),
+        count(get_json_object(col("data_json"), "$.retries")).as("n_retried"),
+        count(get_json_object(col("data_json"), "$.tags[0]")).as("n_tagged"),
+        sum(when(get_json_object(col("data_json"), "$.ok") === "true", 1L)
+          .otherwise(0L)).as("n_ok"))
+      .orderBy("tool")
+
   /** The C11 access paths over VARIANT: two typed extractions (string
     * tool name, long ms / k), one existence predicate (retries present),
     * an array path, and a boolean — grouped per tool.

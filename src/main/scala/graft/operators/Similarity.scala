@@ -1161,6 +1161,65 @@ object Similarity {
     }
   }
 
+  /** Embedding-space eval-set decontamination — the semantic sibling of
+    * the n-gram paths (x16 exact containment, x79 fuzzy shingle Jaccard):
+    * a PARAPHRASED benchmark leak shares no shingles with its source, but
+    * its embedding still lands next to it. Corpus and eval vectors are
+    * both assigned to the frozen centroid grid (one broadcast join each —
+    * x18/x67's kernel), candidates are corpus⋈eval WITHIN a cell (cluster-
+    * sized × eval-density, never corpus×eval), and a corpus doc is flagged
+    * with its hit count and max similarity when any eval vector scores
+    * cosine ≥ `tau`. Cell blocking is the approximation contract (a pair
+    * split across cells is missed — at scale, probe multiple cells the
+    * x18 nProbe way); the oracle replays the SAME blocked semantics, so
+    * the row is exact about what the operator promises.
+    */
+  def semanticDecontam(emb: DataFrame, evalPred: Column, k: Int, tau: Double): DataFrame = {
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    val assigned = assignToCentroids(emb, seeds)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val corpus = assigned.filter(!evalPred)
+    val eval   = assigned.filter(evalPred)
+    corpus.as("c")
+      .join(eval.as("v"), col("c.cell") === col("v.cell"))
+      .select(col("c.vec_id").as("vec_id"),
+        cosine(col("c.embedding"), col("v.embedding")).as("sim"))
+      .filter(col("sim") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
+
+  val x85_semantic_decontam = Q(
+    "x85_semantic_decontam",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |asn AS (
+      |  SELECT vec_id, cell, embedding FROM (
+      |    SELECT e.vec_id, s.cell, e.embedding,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                      s.cell) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |hits AS (
+      |  SELECT c.vec_id,
+      |         round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                      CAST(v.embedding AS DOUBLE[])), 6) AS sim
+      |  FROM asn c JOIN asn v ON c.cell = v.cell
+      |  WHERE c.vec_id % 10 <> 0 AND v.vec_id % 10 = 0
+      |    AND round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                     CAST(v.embedding AS DOUBLE[])), 6) >= 0.35)
+      |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(sim) AS max_sim
+      |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+  ) { t =>
+    // eval set = every tenth vector; k = 8 frozen cells (the x70 grid);
+    // tau = 0.35, inside the corpus's measured similarity band
+    semanticDecontam(t.embeddings, col("vec_id") % 10 === 0, k = 8, tau = 0.35)
+  }
+
   private[operators] final case class EmbRow(vec_id: Long, embedding: Array[Float])
 
   /** x84: STREAMING ingest into the versioned ANN index — the composition
@@ -1306,5 +1365,5 @@ object Similarity {
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
       x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann,
-      x84_stream_ann)
+      x84_stream_ann, x85_semantic_decontam)
 }

@@ -64,6 +64,25 @@ class PqSemdedupSpec extends SparkSpec {
     assert(dup.nonEmpty, "fixture should contain embedding near-duplicates at tau=0.35")
   }
 
+  test("x85: flagged set replayed independently via the builtins cosine; eval never flagged") {
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    val asn = Similarity.assignToCentroids(emb, seeds)
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val expect = asn.as("c").join(asn.as("v"),
+        col("c.cell") === col("v.cell") &&
+          col("c.vec_id") % 10 =!= 0 && col("v.vec_id") % 10 === 0 &&
+          Similarity.cosineBuiltins(col("c.embedding"), col("v.embedding")) >= 0.35)
+      .groupBy(col("c.vec_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.x85_semantic_decontam.run(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got.nonEmpty, "fixture should contain semantic eval leaks at tau=0.35")
+    assert(got.keySet.forall(_ % 10 != 0), "eval vectors must never be flagged")
+  }
+
   test("x70b: adaptive k resolves to 8 at driver SFs, so scaled == fixed row for row") {
     // n=500 -> max(8, 500/250)=8: the oracle-pinned regime. The adaptive
     // path only diverges on self-scaled corpora (SCALE.md decades).

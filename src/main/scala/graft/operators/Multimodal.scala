@@ -516,6 +516,49 @@ object Multimodal {
           finally ais.close()
       }
     }
+
+    /** Decoded signed samples in stream order (all channels interleaved,
+      * the same two layouts [[stats]] accepts) — the raw material for
+      * segmentation (x86). `null` for undecodable bytes, mirroring the
+      * dead-letter discipline.
+      */
+    private[graft] def samplesOf(bytes: Array[Byte]): Array[Int] = {
+      if (bytes == null || bytes.isEmpty) return null
+      val ais = open(bytes)
+      if (ais == null) return null
+      try {
+        val f = ais.getFormat
+        val signed16 =
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16
+        val unsigned8 =
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED &&
+            f.getSampleSizeInBits == 8
+        if (!signed16 && !unsigned8) return null
+        val data = ais.readAllBytes()
+        if (signed16) {
+          val le  = !f.isBigEndian
+          val out = new Array[Int](data.length / 2)
+          var i = 0
+          while (i + 1 < data.length) {
+            out(i / 2) =
+              if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+              else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort.toInt
+            i += 2
+          }
+          out
+        } else {
+          val out = new Array[Int](data.length)
+          var i = 0
+          while (i < data.length) {
+            out(i) = ((data(i) & 0xff) - 128) * 256
+            i += 1
+          }
+          out
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally ais.close()
+    }
   }
 
   /** Deterministic canonical PCM WAV (44-byte RIFF header + 16-bit mono
@@ -1112,6 +1155,83 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class AudioSegments(
+      media_id: Long, n_segments: Long, max_seg_frames: Long, active_frames: Long)
+
+  /** x86: energy-based audio segmentation — the VAD-shaped pass a speech
+    * pipeline runs before transcription: decode (REAL javax.sound codec),
+    * cut the sample stream into fixed 16-sample frames, mark a frame
+    * active when its mean |amplitude| clears the threshold (integer
+    * compare: sum|s| ≥ 512·count — no float, engine-exact), and merge
+    * consecutive active frames into segments (the gaps-and-islands rule
+    * x71's span merge uses, here over time instead of text). Per doc:
+    * segment count, longest segment, total active frames. Everything is
+    * row-local after the scan — decode, framing, and the island merge run
+    * inside one mapPartitions with no shuffle but the final sort; at
+    * 100 TB this is a pure map stage. The closed PCM rule lets DuckDB
+    * replay frames, activity, and the island merge (row_number grouping)
+    * with no audio library.
+    */
+  val x86_audio_segments: Q = Q(
+    "x86_audio_segments",
+    """WITH d AS (
+      |  SELECT doc_id, 50 + doc_id % 101 AS n FROM documents),
+      |ix AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+      |fr AS (
+      |  SELECT doc_id, i // 16 AS f,
+      |         CASE WHEN sum(abs((doc_id * 17 + i * 29) % 2048 - 1024))
+      |                   >= 512 * count(*) THEN 1 ELSE 0 END AS active
+      |  FROM ix GROUP BY doc_id, i // 16),
+      |isl AS (
+      |  SELECT doc_id, f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      |  FROM fr WHERE active = 1),
+      |seg AS (SELECT doc_id, grp, count(*) AS len FROM isl GROUP BY doc_id, grp)
+      |SELECT d.doc_id AS media_id,
+      |       CAST(count(seg.len) AS BIGINT) AS n_segments,
+      |       CAST(coalesce(max(seg.len), 0) AS BIGINT) AS max_seg_frames,
+      |       CAST(coalesce(sum(seg.len), 0) AS BIGINT) AS active_frames
+      |FROM d LEFT JOIN seg ON seg.doc_id = d.doc_id
+      |GROUP BY d.doc_id ORDER BY media_id""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        WavDecode.init() // per-partition codec resolution, the x73 lesson
+        ids.map { d =>
+          val s = WavDecode.samplesOf(wavBytes(d))
+          var f         = 0
+          var nSeg      = 0L
+          var maxSeg    = 0L
+          var actTotal  = 0L
+          var runLen    = 0L
+          val nFrames   = (s.length + 15) / 16
+          while (f < nFrames) {
+            val from = f * 16
+            val to   = math.min(from + 16, s.length)
+            var sum  = 0L
+            var i    = from
+            while (i < to) { sum += math.abs(s(i)); i += 1 }
+            val active = sum >= 512L * (to - from)
+            if (active) {
+              runLen += 1; actTotal += 1
+              if (runLen > maxSeg) maxSeg = runLen
+            } else {
+              if (runLen > 0) nSeg += 1
+              runLen = 0
+            }
+            f += 1
+          }
+          if (runLen > 0) nSeg += 1
+          AudioSegments(d, nSeg, maxSeg, actTotal)
+        }
+      }
+      .orderBy("media_id")
+      .toDF()
+  }
+
   val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode,
-    x82_tiff_frames, x83_phash_clusters, x83b_phash_probe)
+    x82_tiff_frames, x83_phash_clusters, x83b_phash_probe, x86_audio_segments)
 }

@@ -96,6 +96,17 @@ class WavDecodeSpec extends SparkSpec {
     assert(st.feature(0) == 1f / 3 && st.feature(8) == 1f / 3 && st.feature(15) == 1f / 3)
   }
 
+  test("samplesOf: decoded stream equals the closed sample rule; garbage is null") {
+    WavDecode.init()
+    (0L until 50L).foreach { d =>
+      val n   = (50 + d % 101).toInt
+      val ref = Array.tabulate(n)(i => (((d * 17 + i * 29) % 2048) - 1024).toInt)
+      assert(WavDecode.samplesOf(Multimodal.wavBytes(d)).toSeq === ref.toSeq, s"doc $d")
+    }
+    assert(WavDecode.samplesOf("NOISE1".getBytes("UTF-8")) == null)
+    assert(WavDecode.samplesOf(null) == null)
+  }
+
   test("the seam end-to-end: real WAVs + dead letters through extractFeatures") {
     val rows = Seq(
       MediaRow(1L, "audio", "mem://wav", Multimodal.wavBytes(1L), 0, 0, 0L),

@@ -71,6 +71,33 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("dHash is invariant under uniform brightness shift (the perceptual property)") {
+    // the property byte-exact dedup fundamentally lacks: re-encoding an
+    // image brighter/darker changes every byte but no GRADIENT — the
+    // dHash must be identical as long as no pixel clips
+    // TYPE_INT_RGB with r=g=b, the same representation the production BMPs
+    // decode to — TYPE_BYTE_GRAY would detour through the nonlinear
+    // gray→sRGB conversion whose plateaus break strict pixel ordering
+    def gray(w: Int, h: Int, g: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = g(x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    (0L until 50L).foreach { d =>
+      // base field compressed into 40..215 so ±40 shifts cannot clip
+      def pix(x: Int, y: Int) = 40 + Multimodal.perceptualMix(d, x, y) * 175 / 255
+      val base = Multimodal.dhashBands(gray(16, 12, pix))
+      Seq(-40, -7, 13, 40).foreach { c =>
+        val shifted = Multimodal.dhashBands(gray(16, 12, (x, y) => pix(x, y) + c))
+        assert(shifted.toSeq === base.toSeq, s"doc $d shift $c changed the hash")
+      }
+    }
+  }
+
   test("x83b probe: every arriving variant matches inside its own base group") {
     val rows = Multimodal.x83b_phash_probe.run(spark, sf0001).collect()
     assert(rows.length === tables.documents.filter(col("doc_id") % 5 === 4).count())

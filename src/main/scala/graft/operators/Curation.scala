@@ -339,7 +339,7 @@ object Curation {
     * `strict=false` stops at vocabulary exhaustion instead of failing —
     * the realistic-k mode, where k is a budget, not a promise.
     */
-  private[operators] def bpeTrainCollected(
+  private[graft] def bpeTrainCollected(
       vocab: Array[(String, Long)],
       k: Int,
       strict: Boolean,

@@ -82,4 +82,54 @@ object FunctionProps extends Properties("graft.functions") {
         .exists(p => java.util.regex.Pattern.compile(p).matcher(red).find())
       !leaked && TrainPrep.redactPii(red) == red
     }
+
+  // From-scratch vocab-grain BPE reference (independent of BpeSpec's
+  // text-grain one): weighted multiset pair counts, '|'-encoded tie
+  // break, left-to-right non-overlapping merges.
+  private def bpeRef(vocab: Seq[(String, Long)], k: Int)
+      : (Seq[(Int, String, String, Long)], Seq[Int]) = {
+    import scala.collection.mutable
+    var syms = vocab.map { case (w, _) => w.split("").filter(_.nonEmpty).toVector }
+    val ms   = Seq.newBuilder[(Int, String, String, Long)]
+    var r    = 1
+    var stop = false
+    while (r <= k && !stop) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      syms.zip(vocab).foreach { case (s, (_, n)) =>
+        (0 until s.length - 1).foreach(i => counts((s(i), s(i + 1))) += n)
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, rt), c) = counts.minBy { case ((a, b), cc) => (-cc, s"$a| $b|") }
+        ms += ((r, l, rt, c))
+        syms = syms.map { s =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == rt) { out += (l + rt); i += 2 }
+            else { out += s(i); i += 1 }
+          }
+          out.result()
+        }
+        r += 1
+      }
+    }
+    (ms.result(), syms.map(_.length))
+  }
+
+  private val vocabGen: Gen[List[(String, Long)]] = Gen
+    .listOfN(10, for {
+      len <- Gen.choose(2, 6)
+      w   <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      n   <- Gen.choose(1L, 5L)
+    } yield (w, n))
+    .map(_.distinctBy(_._1))
+
+  property("driver-local BPE trainer equals the from-scratch reference on random vocabs") =
+    forAll(vocabGen, Gen.choose(1, 12)) { (vocab, k) =>
+      import graft.operators.Curation
+      val (gotM, gotV) = Curation.bpeTrainCollected(vocab.toArray, k, strict = false)
+      val (refM, refV) = bpeRef(vocab, k)
+      gotM == refM.toVector && gotV.map(_._2).toSeq == refV
+    }
 }

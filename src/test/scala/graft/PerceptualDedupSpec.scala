@@ -58,6 +58,18 @@ class PerceptualDedupSpec extends SparkSpec {
     val canons = (0L until 500L by 5L).map(ruleBands).toArray
     for (i <- canons.indices; j <- (i + 1) until canons.length)
       assert(hamming(canons(i), canons(j)) > 10, s"bases ${i * 5} / ${j * 5} collide")
+    // the RECALL guarantee (every variant ≤ 10 bits from its canonical,
+    // ≥ 3 bands shared) checked linearly over the FULL 30×g id range the
+    // scaled benches run — the perturbation geometry must not drift at
+    // ids the 500-doc window never sees
+    (1000L until 150000L by 5L).foreach { b =>
+      val canon = ruleBands(b)
+      (1 to 4).foreach { v =>
+        val vb = ruleBands(b + v)
+        assert(hamming(vb, canon) <= 10, s"variant ${b + v} drifted from canonical $b")
+        assert((0 until 4).count(i => vb(i) == canon(i)) >= 3, s"variant ${b + v} bands")
+      }
+    }
   }
 
   test("x83 clusters are exactly the five-variant base groups") {

@@ -594,4 +594,164 @@ object Curation {
         max_by(col(idCol), struct(col(qualityCol), negate(col(idCol)))).as("canonical_doc"),
         max(col(qualityCol)).as(qualityCol),
         count(lit(1)).as("n_members"))
+
+  /** Word bigrams per document WITH multiplicity (unlike [[wordGrams]],
+    * which is distinct-shingle shaped): one (idCol, bg) row per adjacent
+    * token pair. Pure map-side explode; the `size >= 2` guard keeps
+    * one-token documents from producing a descending `sequence(1, 0)`
+    * (the exact single-symbol crash fixed in bpeTrain — r12 ADVICE).
+    */
+  private def bigramRows(
+      df: DataFrame, idCol: String, textCol: String, keepCols: Seq[String] = Nil): DataFrame = {
+    // Tokenize into an ATTRIBUTE first, then pair via zip_with over two
+    // shifted slices. The obvious `transform(sequence(1, n-1),
+    // i => concat(element_at(toks, i), ...))` form re-evaluates split()
+    // per lambda element — O(tokens² · chars) per document, measured 6x
+    // slower at sf0.1 (the x8_fingerprint substr lesson, higher-order
+    // edition). The `size >= 2` guard keeps one-token documents from
+    // producing a negative-length slice.
+    val keys = (idCol +: keepCols).map(col)
+    val w    = col("__w")
+    val bgs = when(
+      size(w) >= 2,
+      zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    df.select(keys :+ split(col(textCol), " ").as("__w"): _*)
+      .select(keys :+ explode(bgs).as("bg"): _*)
+  }
+
+  /** CCNet-style language-model quality scoring: train an add-one-smoothed
+    * bigram LM on a trusted reference slice, score every document by its
+    * mean negative log-likelihood (the perplexity proxy CCNet thresholds
+    * on — low = in-domain fluent text, high = boilerplate/noise/OOD).
+    * Returns (idCol, n_bigrams, avg_nll) with avg_nll rounded to 6dp.
+    *
+    * Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with the bigram
+    * table PRUNED to the `topK` most frequent bigrams (count-desc, bigram
+    * tiebreak — the pruned-LM shape every production scorer ships; a
+    * pruned-away bigram scores as unseen). Context counts and V (distinct
+    * reference unigrams) stay unpruned — they are vocab-sized, not
+    * vocab²-sized.
+    *
+    * Scale (100 TB): the reference pass is two map-side-combined
+    * aggregates; the pruned model is `topK` rows BY CONSTRUCTION, so its
+    * probe join is safely broadcast-PINNED (fixed cardinality — the r10
+    * de-pinning rule allows exactly this class); the context join is left
+    * to AQE (contexts are vocab-sized: usually broadcastable, not
+    * guaranteed); scoring is one doc-grain aggregate. Top-K selection is
+    * `orderBy.limit` (TakeOrdered — no single-partition window sort).
+    */
+  def lmQuality(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int,
+  ): DataFrame = {
+    // ONE reference-corpus pass: the bigram-count aggregate feeds the
+    // pruned model, the context counts, AND the vocabulary size — all
+    // vocab-sized derivations of this checkpoint, never corpus re-reads.
+    val refBg = bigramRows(ref, idCol, textCol)
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    // the pruned model is topK rows BY CONSTRUCTION -> driver-collected
+    // literal map (the bounded-codebook-seed pattern: element_at on a map
+    // literal stays inside codegen; a broadcast join here is a whole extra
+    // job + build relation for 256 entries)
+    val model: Map[String, Long] = refBg
+      .orderBy(col("cb").desc, col("bg")).limit(topK)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(model.nonEmpty, "lmQuality: reference corpus produced no bigrams")
+    val ctx = refBg
+      .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("cb").as("cu"))
+    // V = distinct words observed in reference bigrams (every token of a
+    // >=2-token document appears in one) — a tiny scan of the checkpoint
+    val v = refBg
+      .select(explode(array(
+        substring_index(col("bg"), " ", 1),
+        substring_index(col("bg"), " ", -1))).as("w"))
+      .agg(countDistinct("w")).collect()(0).getLong(0).toDouble
+    bigramRows(docs, idCol, textCol)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(ctx, Seq("w1"), "left") // vocab-sized: AQE broadcasts when it fits
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(
+          sum(log(coalesce(col("cu"), lit(0L)) + lit(v)) -
+            log(coalesce(element_at(typedlit(model), col("bg")), lit(0L)) + lit(1L)))
+            / count(lit(1)),
+          6).as("avg_nll"))
+  }
+
+  /** DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    * hashed-bigram importance weights target a distribution, Gumbel-top-k
+    * turns the weights into a reproducible SAMPLE (not a hard top-k — the
+    * published estimator samples ∝ exp(weight), which the Gumbel-max trick
+    * realizes exactly; the uniform comes from a salted md5 hash of the doc
+    * id, so the "randomness" is deterministic across runs, retries, and
+    * engines). Returns the selected n as (sel_rank, idCol, log_weight).
+    *
+    * Weight: each document's hashed-bigram bucket counts k_b scored
+    * against add-one-smoothed bucket distributions, log w(doc) =
+    * Σ_b k_b·(ln p_target(b) − ln p_raw(b)). `buckets` bounds BOTH
+    * distribution tables at B rows regardless of corpus size — that bound
+    * is the whole point of hashed features, and it is what makes the two
+    * probe joins safely broadcast-pinned.
+    *
+    * Scale (100 TB): one explode + one (doc, bucket) aggregate; two B-row
+    * broadcast probes; one doc-grain aggregate; final selection is
+    * `orderBy.limit` (TakeOrdered). The rank ordering key is the ROUNDED
+    * score (6dp) with an id tiebreak, so cross-engine ulp drift cannot
+    * reorder the selection boundary.
+    */
+  def dsirSelect(
+      docs: DataFrame,
+      isTarget: Column,
+      idCol: String,
+      textCol: String,
+      buckets: Int,
+      n: Int,
+  ): DataFrame = {
+    // ONE corpus pass: (doc, targetFlag, bucket) counts, checkpointed —
+    // both bucket distributions and the per-doc scoring read this, never
+    // the corpus again.
+    val dbg = bigramRows(docs.withColumn("__t", isTarget), idCol, textCol, Seq("__t"))
+      .withColumn("b", hashBucket(col("bg"), "dsir|", buckets))
+      .groupBy(col(idCol), col("__t"), col("b")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    // both distributions in ONE vocab-sized aggregate; <= `buckets` rows BY
+    // CONSTRUCTION -> driver-collected literal maps (the bounded-codebook
+    // pattern — element_at on a map literal needs no join at all)
+    val dist = dbg
+      .groupBy("b")
+      .agg(
+        sum("k").as("cr"),
+        sum(when(col("__t"), col("k")).otherwise(0L)).as("ct"))
+      .collect()
+    val crMap = dist.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ctMap = dist.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val nr    = crMap.values.sum.toDouble
+    val nt    = ctMap.values.sum.toDouble
+    val lw = dbg
+      .groupBy(idCol)
+      .agg(sum(col("k") * (
+        log((coalesce(element_at(typedlit(ctMap), col("b")), lit(0L)) + lit(1.0)) / lit(nt + buckets)) -
+          log((coalesce(element_at(typedlit(crMap), col("b")), lit(0L)) + lit(1.0)) / lit(nr + buckets))))
+        .as("lw"))
+    val u = (hashBucket(col(idCol), "g|", 16777216).cast("double") + lit(0.5)) / lit(16777216.0)
+    val scored = lw.select(
+      col(idCol),
+      round(col("lw"), 6).as("log_weight"),
+      round(col("lw") - log(-log(u)), 6).as("__score"))
+    val sel = scored.orderBy(col("__score").desc, col(idCol)).limit(n)
+    sel
+      .withColumn("sel_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__score").desc, col(idCol))))
+      .select(col("sel_rank"), col(idCol), col("log_weight"))
+  }
 }

@@ -1204,6 +1204,97 @@ object TrainPrep {
       .withColumn("component", coalesce(col("component"), col("doc_id")))
   }
 
+  val x87_lm_quality = Q(
+    "x87_lm_quality",
+    """WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+      |rbg AS (SELECT array_to_string(w[i:i+1], ' ') AS bg
+      |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM (SELECT string_split(text, ' ') AS w FROM ref) WHERE len(w) >= 2)),
+      |cb0 AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY 1),
+      |model AS (SELECT bg, cb FROM (
+      |  SELECT bg, cb, row_number() OVER (ORDER BY cb DESC, bg) AS rn FROM cb0) WHERE rn <= 256),
+      |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cu FROM cb0 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT x) AS v FROM (
+      |  SELECT split_part(bg, ' ', 1) AS x FROM cb0
+      |  UNION SELECT split_part(bg, ' ', 2) FROM cb0)),
+      |dbg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, count(*) AS k
+      |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |              WHERE len(w) >= 2)
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, sum(d.k) AS n_bigrams,
+      |              sum(d.k * (ln(coalesce(c.cu, 0) + v.v) - ln(coalesce(m.cb, 0) + 1))) / sum(d.k) AS nll
+      |       FROM dbg d LEFT JOIN model m USING (bg)
+      |                  LEFT JOIN ctx c ON c.w1 = split_part(d.bg, ' ', 1)
+      |                  CROSS JOIN v
+      |       GROUP BY 1)
+      |SELECT s.doc_id, t.lang, CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+      |       round(s.nll, 6) AS avg_nll,
+      |       CASE WHEN round(s.nll, 6) <= 5.0 THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM sc s JOIN documents t USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+  ) { t =>
+    // CCNet-style LM quality filter (Wenzek et al. 2020): train a pruned
+    // add-one bigram LM on the trusted slice (lang='en' stands in for the
+    // Wikipedia reference corpus), score EVERY document by mean NLL, keep
+    // the fluent tail. The length/punct heuristics (x24) catch garbage;
+    // the LM catches fluent-but-off-distribution text those ratios pass.
+    // On this corpus the en slice scores visibly lower (in-domain) than
+    // the other langs — the spec pins that separation. Verdict compares
+    // the ROUNDED score so both engines threshold identical values.
+    val scored = Curation.lmQuality(
+      t.documents, t.documents.filter(col("lang") === "en"), "doc_id", "text", 256)
+    scored
+      .join(t.documents.select("doc_id", "lang"), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("lang"), col("n_bigrams"), col("avg_nll"),
+        when(col("avg_nll") <= 5.0, "keep").otherwise("drop").as("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val x88_dsir_select = Q(
+    "x88_dsir_select",
+    s"""WITH dbg AS (
+       |  SELECT doc_id, ${md5BucketSql("'dsir|' || array_to_string(w[i:i+1], ' ')")} % 64 AS b,
+       |         count(*) AS k
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |        WHERE len(w) >= 2)
+       |  GROUP BY 1, 2),
+       |tgt AS (SELECT d.b, sum(d.k) AS ct FROM dbg d JOIN documents t USING (doc_id)
+       |        WHERE t.lang = 'en' GROUP BY 1),
+       |raw AS (SELECT b, sum(k) AS cr FROM dbg GROUP BY 1),
+       |nt AS (SELECT sum(ct) AS nt FROM tgt), nr AS (SELECT sum(cr) AS nr FROM raw),
+       |sc AS (SELECT d.doc_id,
+       |              sum(d.k * (ln((coalesce(t.ct, 0) + 1.0) / (nt.nt + 64))
+       |                       - ln((coalesce(r.cr, 0) + 1.0) / (nr.nr + 64)))) AS lw
+       |       FROM dbg d LEFT JOIN tgt t USING (b) LEFT JOIN raw r USING (b)
+       |            CROSS JOIN nt CROSS JOIN nr
+       |       GROUP BY 1),
+       |g AS (SELECT doc_id, round(lw, 6) AS log_weight,
+       |             round(lw - ln(-ln((${md5BucketSql("'g|' || CAST(doc_id AS VARCHAR)")} + 0.5) / 16777216.0)), 6) AS score_r
+       |      FROM sc),
+       |rk AS (SELECT doc_id, log_weight,
+       |              row_number() OVER (ORDER BY score_r DESC, doc_id) AS sel_rank FROM g)
+       |SELECT CAST(r.sel_rank AS INT) AS sel_rank, r.doc_id, t.lang, r.log_weight
+       |FROM rk r JOIN documents t USING (doc_id)
+       |WHERE r.sel_rank <= 60 ORDER BY r.sel_rank""".stripMargin,
+  ) { t =>
+    // DSIR data selection (Xie et al. 2023): importance weights from
+    // hashed-bigram bucket distributions (target = the en slice, raw =
+    // the whole corpus), then Gumbel-top-k RESAMPLING — sampling ∝
+    // exp(weight) rather than hard top-k, with the Gumbel uniforms drawn
+    // from salted md5 of the doc id so the sample is reproducible across
+    // runs, retries, and engines (the published method's rand() replaced
+    // by the registry's hash-deal discipline). Both bucket distributions
+    // are 64 rows by construction — broadcast-pinned probes; selection
+    // enriches the target slice above its base rate (spec-pinned).
+    Curation.dsirSelect(
+      t.documents, col("lang") === "en", "doc_id", "text", 64, 60)
+      .join(t.documents.select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("sel_rank"), col("doc_id"), col("lang"), col("log_weight"))
+      .orderBy("sel_rank")
+  }
+
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
@@ -1211,5 +1302,6 @@ object TrainPrep {
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
-    x79_fuzzy_decontam, x80_bpe_merges, x80b_bpe_local, x81_bpe_encode)
+    x79_fuzzy_decontam, x80_bpe_merges, x80b_bpe_local, x81_bpe_encode,
+    x87_lm_quality, x88_dsir_select)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.TrainPrep
+import graft.operators.{Curation, TrainPrep}
 
 /** Invariants for the training-data preparation operators (x14-x16) on the
   * real sf0.001 tables; cross-engine value equality is covered by their
@@ -325,5 +325,124 @@ class TrainPrepSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.split("Exchange hashpartitioning").length - 1 == 1, p)
     assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  // ---- x87 / x88: from-scratch reference implementations ----
+
+  /** JVM twin of Curation.hashBucket (first 6 md5 hex nibbles mod m). */
+  private def md5Bucket(salt: String, key: String, mod: Long): Long = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((salt + key).getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(6), 16) % mod
+  }
+
+  private def bgsOf(s: String): Seq[String] = {
+    val w = s.split(" ", -1)
+    if (w.length < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+  }
+
+  /** From-scratch add-one bigram LM scorer (the lmQuality contract). */
+  private def refLm(docs: Seq[(Long, String)], ref: Seq[String], topK: Int): Map[Long, (Long, Double)] = {
+    val cb    = ref.flatMap(bgsOf).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = cb.toSeq.sortBy { case (bg, c) => (-c, bg) }.take(topK).toMap
+    val ctx   = cb.toSeq.groupBy(_._1.split(" ")(0)).view.mapValues(_.map(_._2).sum).toMap
+    // V = vocabulary observed in reference bigrams (the lmQuality contract)
+    val v = ref.flatMap(bgsOf).flatMap(_.split(" ")).distinct.size.toDouble
+    docs.flatMap { case (id, text) =>
+      val bs = bgsOf(text)
+      if (bs.isEmpty) None
+      else {
+        val nll = bs.map { bg =>
+          math.log(ctx.getOrElse(bg.split(" ")(0), 0L) + v) -
+            math.log(model.getOrElse(bg, 0L) + 1.0)
+        }.sum / bs.size
+        Some(id -> (bs.size.toLong, nll))
+      }
+    }.toMap
+  }
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("x87 lmQuality matches a from-scratch reference on a seeded random corpus") {
+    val rnd   = new scala.util.Random(87)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 40L).map { id =>
+      val n = 2 + rnd.nextInt(18)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val refTexts = docs.filter(_._1 % 3 == 0).map(_._2)
+    // topK = 10 so the prune genuinely binds (64 possible bigrams)
+    val expected = refLm(docs, refTexts, topK = 10)
+    val df       = mkDocs(docs)
+    val got = Curation.lmQuality(df, df.filter(col("doc_id") % 3 === 0), "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, nll)) =>
+      assert(n == expected(id)._1, s"doc $id n_bigrams")
+      assert(math.abs(nll - expected(id)._2) < 2e-6, s"doc $id nll $nll vs ${expected(id)._2}")
+    }
+  }
+
+  test("x87 on real docs: the en reference slice scores lower (in-domain) than other langs") {
+    val rows = TrainPrep.x87_lm_quality.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val (en, rest) = rows.partition(_.getString(1) == "en")
+    val enMean   = en.map(_.getDouble(3)).sum / en.size
+    val restMean = rest.map(_.getDouble(3)).sum / rest.size
+    assert(enMean < restMean, s"in-domain en $enMean should beat out-of-domain $restMean")
+    rows.foreach(r => assert(Set("keep", "drop")(r.getString(4))))
+  }
+
+  /** From-scratch DSIR (hashed-bigram importance weights + Gumbel-top-k). */
+  private def refDsir(
+      docs: Seq[(Long, String)], target: Long => Boolean, b: Int, n: Int): Seq[(Int, Long, Double)] = {
+    val perDoc = docs.map { case (id, t) =>
+      id -> bgsOf(t).groupBy(bg => md5Bucket("dsir|", bg, b)).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    def dist(ids: Seq[Long]): Map[Long, Long] =
+      ids.flatMap(perDoc(_).toSeq).groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tgt = dist(docs.map(_._1).filter(target))
+    val raw = dist(docs.map(_._1))
+    val nt  = tgt.values.sum.toDouble
+    val nr  = raw.values.sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.map { case (id, _) =>
+      val lw = perDoc(id).map { case (bk, k) =>
+        k * (math.log((tgt.getOrElse(bk, 0L) + 1.0) / (nt + b)) -
+          math.log((raw.getOrElse(bk, 0L) + 1.0) / (nr + b)))
+      }.sum
+      val u = (md5Bucket("g|", id.toString, 16777216L) + 0.5) / 16777216.0
+      (id, r6(lw), r6(lw - math.log(-math.log(u))))
+    }
+      .sortBy { case (id, _, s) => (-s, id) }
+      .take(n).zipWithIndex
+      .map { case ((id, lw, _), i) => (i + 1, id, lw) }
+  }
+
+  test("x88 dsirSelect matches a from-scratch reference on a seeded random corpus") {
+    val rnd = new scala.util.Random(88)
+    // two sub-languages over disjoint-ish vocab halves so weights separate
+    val vA = Vector("alpha", "beta", "gamma", "delta")
+    val vB = Vector("eps", "zeta", "eta", "theta")
+    val docs = (0L until 50L).map { id =>
+      val v = if (id % 2 == 0) vA else vB
+      val n = 3 + rnd.nextInt(15)
+      id -> Seq.fill(n)(v(rnd.nextInt(v.size))).mkString(" ")
+    }
+    val expected = refDsir(docs, _ % 2 == 0, b = 32, n = 15)
+    val df       = mkDocs(docs)
+    val got = Curation.dsirSelect(df, col("doc_id") % 2 === 0, "doc_id", "text", 32, 15)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq.sortBy(_._1)
+    assert(got.map(x => (x._1, x._2)) == expected.map(x => (x._1, x._2)),
+      s"selection/rank mismatch:\n got $got\n exp $expected")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 2e-6, s"rank ${g._1} log_weight")
+    }
+    // the target sub-language dominates the selection (importance works)
+    val evenShare = got.count(_._2 % 2 == 0).toDouble / got.size
+    assert(evenShare > 0.6, s"target share $evenShare should exceed the 0.5 base rate")
   }
 }

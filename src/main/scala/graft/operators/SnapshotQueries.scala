@@ -521,7 +521,62 @@ object SnapshotQueries {
     }
   }
 
+  /** m20: RESTORE — the rollback verb of the table format (Delta's
+    * `RESTORE TABLE ... TO VERSION`). Every run executes the real
+    * machinery: a base commit, a BAD maintenance pass (an equality-delete
+    * that matched far too much — the classic fat-fingered DELETE), a
+    * pointer-only [[graft.sources.MultiStore.restore]] back to the
+    * pre-delete manifest, and a merged read of the restored state. The
+    * restore must (a) bring the deleted rows back by REMOVING the delete
+    * set that did not exist at the target manifest, (b) rewrite no data —
+    * guarded in-row by the version-dir count staying flat, and (c) keep
+    * the bad state in history — guarded by reading its count back through
+    * time travel AFTER the restore. DuckDB replays the restored state as
+    * the plain documents aggregate and the bad state as the NOT-filter.
+    */
+  val m20_restore = Q(
+    "m20_restore",
+    """WITH restored AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY lang),
+      |bad AS (SELECT count(*) AS n_bad FROM documents WHERE NOT (n_chars < 400))
+      |SELECT lang, n_docs, chars, bad.n_bad
+      |FROM restored, bad ORDER BY lang""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-restore") { root =>
+      def nVersionDirs: Int = {
+        import scala.jdk.CollectionConverters._
+        val p = java.nio.file.Paths.get(root, "docs")
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().asScala.count(_.getFileName.toString.startsWith("v="))
+        finally s.close()
+      }
+      MultiStore.commit(root, Map("docs" ->
+        t.documents.select("doc_id", "lang", "n_chars")), keep = 4)
+      val good = MultiStore.manifests(spark, root).last
+      // the bad maintenance pass: meant to trim short docs, deleted most
+      // of the corpus instead
+      MultiStore.deleteWhere(spark, root, "docs", col("n_chars") < 400,
+        Seq("doc_id"), keep = 4)
+      val bad      = MultiStore.manifests(spark, root).last
+      val dirsPre  = nVersionDirs
+      MultiStore.restore(spark, root, "docs", good, keep = 4)
+      require(nVersionDirs == dirsPre,
+        s"restore must be pointer-only, but version dirs went $dirsPre -> $nVersionDirs")
+      // the bad state stays queryable history (restore deletes nothing)
+      val nBad = MultiStore.readMergedAt(spark, root, "docs", bad)
+        .agg(count(lit(1)).as("n_bad"))
+      MultiStore.readMerged(spark, root, "docs")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .crossJoin(nBad)
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning,
     m13_txn_ingest, m14_optimize, m15_bloom_index, m16_change_feed,
-    m18_schema_evolution, m19_stream_sink)
+    m18_schema_evolution, m19_stream_sink, m20_restore)
 }

@@ -366,6 +366,56 @@ object MultiStore {
       bloom = if (bloom.nonEmpty) Map(store -> bloom) else Map.empty)
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE ... TO VERSION`): roll `store` back
+    * to its state at retained manifest `m` — data pointer AND
+    * equality-delete-set pointer together, since the visible table state
+    * is their merge — by publishing a NEW manifest. Pointer-only: no data
+    * is rewritten or deleted, so a 100 TB restore costs one manifest file;
+    * the bad commits stay in history (still time-travel-queryable) and the
+    * restored version is re-referenced by the new head, which is what
+    * keeps the pruner protecting its files. A delete set that did not
+    * exist at `m` is REMOVED from the new snapshot (its rows come back);
+    * stores other than `store` are carried forward untouched. Restoring
+    * past the retention horizon is impossible by construction — `m` must
+    * still be retained, which is exactly Delta's "cannot restore beyond
+    * VACUUM" rule.
+    *
+    * Concurrency: last-writer-wins through the same manifest-name race as
+    * [[commit]] — a concurrent commit landing first forces a re-read of
+    * its snapshot, so the restore never silently rolls back pointers it
+    * merely carried forward (the doCommit lost-update lesson).
+    */
+  def restore(spark: SparkSession, root: String, store: String, m: Long,
+              keep: Int = 2, pruneGraceMs: Long = DefaultPruneGraceMs): Map[String, Long] = {
+    val (fs, rootP) = hfs(spark, root)
+    val target      = snapshotAt(spark, root, m) // validates m is retained
+    require(target.contains(store),
+      s"MultiStore at $root: store '$store' absent at manifest m=$m — nothing to restore")
+    val touched = Seq(store, deletesStore(store))
+    var attempts = 0
+    while (true) {
+      val baseNums = manifestNumbers(fs, rootP)
+      val base     = baseNums.lastOption.map(readManifest(fs, rootP, _)).getOrElse(Map.empty[String, Long])
+      val snap     = (base -- touched) ++ touched.flatMap(s => target.get(s).map(s -> _))
+      val mNext    = baseNums.lastOption.getOrElse(-1L) + 1
+      val tmp = new org.apache.hadoop.fs.Path(rootP,
+        s".manifest_attempt_${mNext}_${attempts}_${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(snap.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+      if (AtomicFs.publish(fs, tmp, new org.apache.hadoop.fs.Path(rootP, ManifestPrefix + mNext))) {
+        prune(fs, rootP, root, keep, pruneGraceMs)
+        return snap
+      }
+      attempts += 1
+      if (attempts > 100)
+        throw new IllegalStateException(
+          s"MultiStore at $root: lost the manifest race $attempts times during restore")
+    }
+    sys.error("unreachable")
+  }
+
   /** The per-file Bloom sidecar of `store`'s live version: one row per
     * data file — `file`, `bloom_<c>` (serialized sketch) per bloom
     * column, `n_rows`. Present only for versions committed with `bloom`

@@ -493,4 +493,39 @@ class MultiStoreSpec extends SparkSpec {
     assert(oneDim.inputFiles.length > opened,
       "adding the y-range must strictly tighten the file set")
   }
+
+  test("restore rolls pointers back without rewriting data, drops the later delete set, and leaves other stores alone") {
+    val r = root()
+    MultiStore.commit(r, Map(
+      "docs"  -> Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"),
+      "other" -> Seq(("a", 1L)).toDF("k", "n")), keep = 5)
+    val good = MultiStore.manifests(spark, r).last
+    // bad pass: equality-delete wipes most rows; other store also advances
+    MultiStore.deleteWhere(spark, r, "docs", expr("v >= 20"), Seq("id"), keep = 5)
+    MultiStore.commit(r, Map("other" -> Seq(("a", 2L)).toDF("k", "n")), keep = 5)
+    assert(MultiStore.readMerged(spark, r, "docs").count() == 1L)
+
+    def versionDirs(store: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(r, store))
+      try s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("v=")).toSet
+      finally s.close()
+    }
+    val dirsPre = versionDirs("docs")
+    val snap    = MultiStore.restore(spark, r, "docs", good, keep = 5)
+    // pointer-only: no new docs version dir, delete-set pointer gone
+    assert(versionDirs("docs") == dirsPre)
+    assert(!snap.contains("docs.deletes"), s"restore must drop the later delete set: $snap")
+    assert(MultiStore.readMerged(spark, r, "docs").count() == 3L)
+    // the other store keeps its LATEST state, not its state at `good`
+    assert(MultiStore.read(spark, r, "other").as[(String, Long)].collect().toSet == Set(("a", 2L)))
+    // history preserved: the bad snapshot is still time-travel-readable
+    val bad = MultiStore.manifests(spark, r).dropRight(1).last
+    assert(MultiStore.readMergedAt(spark, r, "docs", bad).count() == 1L)
+    // restoring to a pruned-away manifest fails loudly
+    MultiStore.commit(r, Map("other" -> Seq(("a", 3L)).toDF("k", "n")), keep = 2)
+    intercept[IllegalArgumentException] {
+      MultiStore.restore(spark, r, "docs", good, keep = 2)
+    }
+  }
 }

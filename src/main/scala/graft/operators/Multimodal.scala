@@ -1232,6 +1232,172 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- x89: audio fingerprint near-dup (the audio modality of x83) ----
+
+  /** Sample i of the fingerprint corpus: avalanche-mixed 11-bit PCM
+    * ([-1024, 1023]) keyed on the BASE id (docs in one group of four share
+    * the waveform), plus variant v's perturbation — a deterministic bump
+    * confined to frame 4v+1, so a variant's fingerprint differs from its
+    * canonical ONLY in the ≤8 bits fed by frames 4v+1 and 4v+2 (all inside
+    * LSH band v), leaving the other three bands bit-identical. That is the
+    * banded-recall guarantee by CONSTRUCTION, the audio twin of
+    * [[perceptualPixel]]'s one-band confinement. Integer-only; DuckDB
+    * replays it verbatim.
+    */
+  private[graft] def audioFpSample(d: Long, i: Int): Int = {
+    val base = d - d % 4
+    val m0   = (base * 2654435761L + i * 40503L + 70051L) & 0xffffffffL
+    val m1   = ((m0 ^ (m0 >>> 16)) * 73856093L) & 0xffffffffL
+    val s0   = (((m1 ^ (m1 >>> 13)) % 2048L) - 1024L).toInt
+    val v    = (d % 4).toInt
+    if (v > 0 && i / 20 == 4 * v + 1) s0 + ((i.toLong * 7 + d) % 256L).toInt
+    else s0
+  }
+
+  /** The x89 corpus generator: a REAL 16-bit mono PCM WAV (the
+    * [[wavBytes]] container) carrying [[audioFpSample]]'s 340 samples —
+    * 17 frames of 20 samples, what [[audioFingerprintBands]] consumes.
+    */
+  def audioFpWav(d: Long): Array[Byte] = {
+    val n    = 340
+    val rate = 8000
+    val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) { b.putShort(audioFpSample(d, i).toShort); i += 1 }
+    b.array()
+  }
+
+  /** 64-bit Haitsma–Kalker-shaped audio fingerprint as 4×16-bit LSH bands:
+    * the decoded stream is cut into 17 frames × 20 samples; each frame
+    * yields 5 stride-band energies E[f][b] = Σ|s| over samples ≡ b (mod 5)
+    * (the FFT-free stand-in for the spectral bands — no DSP library in
+    * this environment; the Spark-side plumbing, bit rule, and LSH shape
+    * are the real algorithm); bit (f, b) is the sign of the time-delta of
+    * the band-delta, (E[f][b]−E[f][b+1]) − (E[f−1][b]−E[f−1][b+1]) > 0 —
+    * the exact HK bit derivation. Signs of linear forms in Σ|s| are
+    * invariant under uniform positive gain, so a volume change leaves the
+    * fingerprint UNCHANGED — the perceptual property byte hashes lack
+    * (spec-pinned), the audio analog of dHash's brightness invariance.
+    */
+  private[graft] def audioFingerprintBands(samples: Array[Int]): Array[Int] = {
+    val L = 20; val B = 5; val F = 17
+    require(samples.length >= F * L, s"fingerprint needs ${F * L} samples, got ${samples.length}")
+    val e = Array.ofDim[Long](F, B)
+    var f = 0
+    while (f < F) {
+      var j = 0
+      while (j < L) {
+        e(f)(j % B) += math.abs(samples(f * L + j))
+        j += 1
+      }
+      f += 1
+    }
+    val bands = new Array[Int](4)
+    f = 1
+    while (f < F) {
+      var b = 0
+      while (b < 4) {
+        val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+        if (d > 0) {
+          val k = (f - 1) * 4 + b
+          bands(k / 16) |= 1 << (k % 16)
+        }
+        b += 1
+      }
+      f += 1
+    }
+    bands
+  }
+
+  /** Fingerprint band table through the REAL codec: generate WAV bytes,
+    * decode with javax.sound.sampled, fingerprint the decoded stream.
+    * Same fan-out + per-partition codec-init discipline as x73/x83.
+    */
+  def audioBandTable(docs: DataFrame)(implicit spark: SparkSession): Dataset[HashBand] = {
+    import spark.implicits._
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        WavDecode.init()
+        ids.flatMap { d =>
+          val s = WavDecode.samplesOf(audioFpWav(d))
+          require(s != null && s.length == 340, s"x89: decode failed for media $d")
+          val b = audioFingerprintBands(s)
+          (0 until 4).map(i => HashBand(d, i, b(i)))
+        }
+      }
+  }
+
+  /** x89: audio fingerprint near-duplicate detection — the audio modality
+    * of the dedup family (x2/x3/x4 text, x13/x70 embeddings, x83 images):
+    * the re-encoded/re-mastered copy whose bytes differ but whose sound is
+    * the same. HK-shaped fingerprints from really-decoded PCM, candidates
+    * from the (band, value) EQUI-join (never all pairs — [[
+    * perceptualNearDupEdges]] reused verbatim), exact 64-bit hamming ≤ 10
+    * as the match rule. One row per detected pair. DuckDB replays the
+    * whole chain in closed form — sample rule, frame/band energies, the
+    * double-delta sign bits, band packing, candidate join, popcount — so
+    * the oracle checks the algorithm end to end, dead samples to pairs.
+    */
+  val x89_audio_fingerprint: Q = Q(
+    "x89_audio_fingerprint",
+    """WITH dim AS (
+      |  SELECT doc_id, doc_id - doc_id % 4 AS b, doc_id % 4 AS v FROM documents),
+      |m0 AS (
+      |  SELECT doc_id, v, i,
+      |         (b * 2654435761 + i * 40503 + 70051) % 4294967296 AS m0
+      |  FROM dim, unnest(generate_series(0, 339)) u(i)),
+      |m1 AS (
+      |  SELECT doc_id, v, i,
+      |         (xor(m0, m0 // 65536) * 73856093) % 4294967296 AS m1
+      |  FROM m0),
+      |sm AS (
+      |  SELECT doc_id, i // 20 AS f, i % 5 AS bb,
+      |         xor(m1, m1 // 8192) % 2048 - 1024 +
+      |         CASE WHEN v > 0 AND i // 20 = 4 * v + 1
+      |              THEN (i * 7 + doc_id) % 256 ELSE 0 END AS s
+      |  FROM m1),
+      |en AS (SELECT doc_id, f, bb, sum(abs(s)) AS e FROM sm GROUP BY 1, 2, 3),
+      |de AS (
+      |  SELECT a.doc_id, a.f, a.bb, a.e - c.e AS d
+      |  FROM en a JOIN en c ON c.doc_id = a.doc_id AND c.f = a.f AND c.bb = a.bb + 1
+      |  WHERE a.bb < 4),
+      |bits AS (
+      |  SELECT a.doc_id, (a.f - 1) * 4 + a.bb AS k,
+      |         CASE WHEN a.d - p.d > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM de a JOIN de p ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.bb = a.bb),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, k // 16 AS band,
+      |         CAST(sum(bit << (k % 16)) AS BIGINT) AS value
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.value = c.value AND a.doc_id < c.doc_id)
+      |SELECT src, dst, hamming FROM (
+      |  SELECT cd.src, cd.dst,
+      |         CAST(sum(bit_count(xor(x.value, y.value))) AS BIGINT) AS hamming
+      |  FROM cand cd
+      |  JOIN bands x ON x.doc_id = cd.src
+      |  JOIN bands y ON y.doc_id = cd.dst AND y.band = x.band
+      |  GROUP BY cd.src, cd.dst)
+      |WHERE hamming <= 10 ORDER BY src, dst""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    val bands = audioBandTable(t.documents)
+    perceptualNearDupEdges(bands.toDF(), maxHamming = 10)
+      .select(col("src"), col("dst"), col("hamming"))
+      .orderBy("src", "dst")
+  }
+
   val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode,
-    x82_tiff_frames, x83_phash_clusters, x83b_phash_probe, x86_audio_segments)
+    x82_tiff_frames, x83_phash_clusters, x83b_phash_probe, x86_audio_segments,
+    x89_audio_fingerprint)
 }

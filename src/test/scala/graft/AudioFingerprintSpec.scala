@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** x89: audio fingerprint near-dup — HK-shaped bits over really-decoded
+  * PCM, banded hamming LSH, the audio modality of PerceptualDedupSpec.
+  */
+class AudioFingerprintSpec extends SparkSpec {
+
+  /** Fingerprint straight off the sample RULE (no codec): the decoded-PCM
+    * fingerprint must equal it bit for bit, proving the WAV writer/decoder
+    * roundtrip is lossless where the fingerprint reads.
+    */
+  private def ruleBands(d: Long): Array[Int] =
+    Multimodal.audioFingerprintBands(
+      Array.tabulate(340)(i => Multimodal.audioFpSample(d, i)))
+
+  private def decodedBands(d: Long): Array[Int] =
+    Multimodal.audioFingerprintBands(decodeSamples(Multimodal.audioFpWav(d)))
+
+  /** Local 16-bit LE mono PCM WAV decode via javax.sound (the same
+    * library WavDecode wraps), so the roundtrip check does not depend on
+    * spark plumbing.
+    */
+  private def decodeSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val data = ais.readAllBytes()
+      Array.tabulate(data.length / 2)(i =>
+        ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt)
+    } finally ais.close()
+  }
+
+  private def hamming(a: Array[Int], b: Array[Int]): Int =
+    (0 until 4).map(i => Integer.bitCount(a(i) ^ b(i))).sum
+
+  test("decoded-PCM fingerprint equals the closed sample rule for every doc") {
+    (0L until 200L).foreach { d =>
+      assert(decodedBands(d).toSeq === ruleBands(d).toSeq, s"doc $d")
+    }
+  }
+
+  test("corpus geometry over the scaled id range: variants near canonical in ONE band, bases far apart") {
+    (0L until 2000L by 4L).foreach { b =>
+      val canon = ruleBands(b)
+      (1 to 3).foreach { v =>
+        val fp = ruleBands(b + v)
+        val hd = hamming(fp, canon)
+        assert(hd <= 8, s"variant ${b + v} is $hd bits from canonical $b")
+        // perturbation confined to band v by construction: the other three
+        // bands are bit-identical, so the banded equi-join cannot miss
+        val shared = (0 until 4).count(i => fp(i) == canon(i))
+        assert(shared >= 3, s"variant ${b + v} shares only $shared bands")
+        (0 until 4).foreach { band =>
+          if (band != v) assert(fp(band) == canon(band),
+            s"variant ${b + v} drifted outside its own band: band $band differs")
+        }
+      }
+    }
+    // distinct bases stay far apart (precision side)
+    val canons = (0L until 400L by 4L).map(ruleBands).toArray
+    for (i <- canons.indices; j <- (i + 1) until canons.length)
+      assert(hamming(canons(i), canons(j)) > 10, s"bases ${i * 4} / ${j * 4} collide")
+  }
+
+  test("volume invariance: uniform gain leaves the fingerprint unchanged (the perceptual property)") {
+    (0L until 40L).foreach { d =>
+      val s  = Array.tabulate(340)(i => Multimodal.audioFpSample(d, i))
+      val g2 = s.map(_ * 2)
+      val g5 = s.map(_ * 5)
+      assert(Multimodal.audioFingerprintBands(g2).toSeq ===
+        Multimodal.audioFingerprintBands(s).toSeq, s"doc $d gain 2x")
+      assert(Multimodal.audioFingerprintBands(g5).toSeq ===
+        Multimodal.audioFingerprintBands(s).toSeq, s"doc $d gain 5x")
+      // while the BYTE hash — what exact dedup uses — changes under gain
+      assert(java.util.Arrays.hashCode(g2) != java.util.Arrays.hashCode(s))
+    }
+  }
+
+  test("x89 end to end: every canonical-variant pair found, none cross-base") {
+    val rows = Multimodal.x89_audio_fingerprint.run(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val (s, d, h) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(s - s % 4 == d - d % 4, s"cross-base pair ($s, $d) at hamming $h")
+      assert(h <= 10)
+    }
+    // recall by construction: (canonical, variant) always detected
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    (0L until nDocs by 4L).foreach { b =>
+      (1 to 3).foreach { v =>
+        if (b + v < nDocs)
+          assert(pairs.contains((b, b + v)), s"missed pair ($b, ${b + v})")
+      }
+    }
+  }
+}

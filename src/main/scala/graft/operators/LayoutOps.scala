@@ -216,5 +216,99 @@ object LayoutOps {
       .orderBy("tile")
   }
 
-  val all: Seq[Q] = Seq(x37_zorder_tiles, x40_zorder_merge)
+  /** OPTIMIZE ZORDER BY — Delta's multi-dimensional compaction verb, the
+    * composition of [[graft.sources.MultiStore.optimize]]'s CAS-pinned
+    * snapshot commit with this file's Morton machinery: read the live
+    * version, rank-scale each dimension by its measured min/max (one
+    * 1-row aggregate), interleave, range-cluster into `targetFiles`
+    * internally-sorted files, and commit with fresh zone maps on EVERY
+    * z-dimension. A `clusterBy` (lexicographic range) layout prunes on
+    * its first column and not the rest; the z-layout's files are bounded
+    * 2-D tiles, so [[graft.sources.MultiStore.readPrunedRanges]] skips on
+    * ALL dimensions at once. CAS-pinned to the version it read — an
+    * OPTIMIZE racing a data commit loses loudly (the m14 contract).
+    */
+  def optimizeZorder(spark: org.apache.spark.sql.SparkSession, root: String,
+                     store: String, targetFiles: Int, zCols: Seq[String],
+                     bits: Int, keep: Int = 2): Map[String, Long] = {
+    import graft.sources.MultiStore
+    require(zCols.size >= 2, "optimizeZorder: z-order needs at least two dimensions")
+    val v = MultiStore.snapshot(spark, root).getOrElse(store,
+      throw new IllegalStateException(s"optimizeZorder: no committed store '$store' at $root"))
+    val data = MultiStore.read(spark, root, store)
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"mn_$c"), max(col(c)).cast("long").as(s"mx_$c")))
+    val mm = data.agg(aggs.head, aggs.tail: _*).head()
+    val scaled = zCols.zipWithIndex.map { case (c, i) =>
+      rankScale(col(c), lit(mm.getLong(2 * i)), lit(mm.getLong(2 * i + 1)), bits)
+    }
+    val shaped = clusterByZ(
+      data.withColumn("__z", interleaveBits(scaled, bits)), col("__z"), targetFiles)
+      .drop("__z") // projection after the exchange: partitioning survives
+    MultiStore.commitIf(root, Map(store -> shaped), Map(store -> Some(v)), keep,
+      stats = Map(store -> zCols))
+  }
+
+  /** m21: OPTIMIZE ZORDER driver-stamped — a hash-scattered ingest layout
+    * (every file spans the full range of BOTH dimensions, so its zone maps
+    * prune nothing) is re-clustered by [[optimizeZorder]], then a 2-D box
+    * query runs through the range-pruned read. In-row guards pin the
+    * point: the same boxed read opens at most half the files it did
+    * pre-optimize (enforced at >=500 rows; below that the box holds too
+    * few rows for skipping to be meaningful), rows are identical either
+    * way (the oracle's check), and the box bounds derive from max(doc_id)
+    * so the claim holds at every scale factor. DuckDB replays the box
+    * aggregate directly — integer-div bounds included.
+    */
+  val m21_zorder_optimize = Q(
+    "m21_zorder_optimize",
+    """WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |cur AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents, mx
+      |  WHERE doc_id BETWEEN n // 10 AND (3 * n) // 20 - 1
+      |    AND n_chars BETWEEN 150 AND 300
+      |  GROUP BY lang),
+      |tot AS (SELECT count(*) AS n_before FROM documents)
+      |SELECT lang, n_docs, chars, tot.n_before
+      |FROM cur, tot ORDER BY lang""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    SnapshotQueries.withTempStore("graft-zorderopt") { root =>
+      // hash-scattered ingest: stats committed too — the zone maps exist,
+      // they are just USELESS on this layout, which is the point
+      MultiStore.commit(root, Map("docs" ->
+        t.documents.select("doc_id", "lang", "n_chars").repartition(16, col("doc_id"))),
+        stats = Map("docs" -> Seq("doc_id", "n_chars")))
+      // box bounds from max(doc_id)+1, mirroring the oracle's mx CTE
+      val nRows = MultiStore.read(spark, root, "docs")
+        .agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val lo = nRows / 10L
+      val hi = 3L * nRows / 20L - 1L
+      val ranges = Seq(
+        ("doc_id", lit(lo), lit(hi)),
+        ("n_chars", lit(150L), lit(300L)))
+      val beforeFiles = MultiStore.readPrunedRanges(spark, root, "docs", ranges)
+        .inputFiles.length
+      optimizeZorder(spark, root, "docs", targetFiles = 16,
+        Seq("doc_id", "n_chars"), bits = 8)
+      val pruned     = MultiStore.readPrunedRanges(spark, root, "docs", ranges)
+      val afterFiles = pruned.inputFiles.length
+      require(afterFiles <= beforeFiles,
+        s"z-order made pruning WORSE: $beforeFiles -> $afterFiles files")
+      if (nRows >= 500)
+        require(afterFiles * 2 <= beforeFiles,
+          s"z-order skip too weak at $nRows rows: $beforeFiles -> $afterFiles files")
+      val nBefore = MultiStore.read(spark, root, "docs")
+        .agg(count(lit(1)).as("n_before"))
+      pruned
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .crossJoin(nBefore)
+        .orderBy("lang")
+    }
+  }
+
+  val all: Seq[Q] = Seq(x37_zorder_tiles, x40_zorder_merge, m21_zorder_optimize)
 }

@@ -494,6 +494,31 @@ class MultiStoreSpec extends SparkSpec {
       "adding the y-range must strictly tighten the file set")
   }
 
+  test("optimizeZorder: a hash-scattered grid re-clusters so a 2-D window opens few files; CAS loses loudly to a racing commit") {
+    import graft.operators.LayoutOps
+    val r = root()
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y, x * 16 + y)
+    MultiStore.commit(r, Map("g" ->
+      grid.toDF("x", "y", "payload").repartition(16, expr("payload"))),
+      stats = Map("g" -> Seq("x", "y")))
+    val ranges = Seq(("x", lit(4L), lit(7L)), ("y", lit(4L), lit(7L)))
+    val before = MultiStore.readPrunedRanges(spark, r, "g", ranges).inputFiles.length
+    assert(before > 8, s"scattered layout should defeat zone maps, opened only $before")
+    LayoutOps.optimizeZorder(spark, r, "g", targetFiles = 16, Seq("x", "y"), bits = 4)
+    val pruned = MultiStore.readPrunedRanges(spark, r, "g", ranges)
+    assert(pruned.inputFiles.length < 4,
+      s"z-order skip too weak: opened ${pruned.inputFiles.length} of 16")
+    assert(pruned.count() == 16L) // the 4x4 window, rows exact
+    // an OPTIMIZE racing a data commit must lose loudly, not clobber it
+    val vNow = MultiStore.snapshot(spark, r)("g")
+    MultiStore.commit(r, Map("g" -> grid.take(8).toDF("x", "y", "payload")))
+    intercept[java.util.ConcurrentModificationException] {
+      // stale read: re-run the optimize pinned to the pre-commit version
+      MultiStore.commitIf(r, Map("g" -> MultiStore.read(spark, r, "g")),
+        Map("g" -> Some(vNow)))
+    }
+  }
+
   test("restore rolls pointers back without rewriting data, drops the later delete set, and leaves other stores alone") {
     val r = root()
     MultiStore.commit(r, Map(

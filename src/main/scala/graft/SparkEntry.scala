@@ -46,6 +46,7 @@ object SparkEntry {
       "HybridRetrieval" -> HybridRetrieval.all,
       "SnapshotQueries" -> SnapshotQueries.all,
       "VariantEvents" -> VariantEvents.all,
+      "QualityModels" -> QualityModels.all,
     ).flatMap { case (m, qs) => qs.map(_.inModule(m)) }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Q
+
+/** Learned quality models over the curation features — the trainable half
+  * of the x24/x87 scoring story (CCNet trains a classifier on top of its
+  * LM/ratio features; fastText-style quality classifiers gate most public
+  * pretraining corpora). Two registry rows:
+  *
+  *  - x90: logistic regression trained by batch gradient descent ENTIRELY
+  *    in Spark aggregates — each step is one map-side-combined aggregate
+  *    over the checkpointed feature matrix (the kmeans/BPE driver-loop
+  *    pattern: one tiny driver scalar per round, never a corpus collect).
+  *    DuckDB replays the full 16-step trajectory as chained CTEs.
+  *  - x91: threshold-free scorer evaluation — tie-adjusted Mann-Whitney
+  *    AUC computed from score-bucket COUNTS, so the ranking stays integer
+  *    arithmetic end to end (one double division at the very end) and is
+  *    engine-exact by construction.
+  *
+  * Scale (100 TB): the feature projection is one corpus pass; GD steps
+  * and the AUC bucket aggregate run over doc-grain (features) or
+  * bucket-grain (6dp score space — BOUNDED by score range, not corpus)
+  * tables. The x91 running-sum window rides the bucket table, never the
+  * corpus.
+  */
+object QualityModels {
+
+  /** Feature matrix: label = the en slice (the trusted-reference proxy the
+    * x87 LM also uses), f1 = en-stopword ratio (x6's signal), f2 = mean
+    * chars per token / 10. The synthetic corpus shares one vocabulary
+    * across langs (the x6 caveat), so these surface ratios barely
+    * separate — which is exactly what x91 then QUANTIFIES: the
+    * machinery is the demonstration, the honest AUC is the evidence.
+    */
+  private[graft] def features(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      (size(filter(toks, x => x.isin("the", "a"))).cast("double") / size(toks)).as("f1"),
+      (col("n_chars").cast("double") / size(toks) / 10.0).as("f2"))
+  }
+
+  /** Batch-GD logistic regression over a (y, f1, f2) frame: `steps`
+    * full-batch steps at rate `lr` from zero init. Each step is ONE
+    * aggregate (three gradient averages) — the Lloyd-iteration shape:
+    * corpus-sized work stays distributed, the driver sees three doubles
+    * per round.
+    */
+  private[graft] def logregGd(feat: DataFrame, lr: Double, steps: Int): (Double, Double, Double) = {
+    var b = 0.0; var v1 = 0.0; var v2 = 0.0
+    (1 to steps).foreach { _ =>
+      val err = col("y") -
+        lit(1.0) / (lit(1.0) + exp(-(lit(b) + lit(v1) * col("f1") + lit(v2) * col("f2"))))
+      val g = feat.agg(
+        avg(err).as("gb"),
+        avg(col("f1") * err).as("g1"),
+        avg(col("f2") * err).as("g2")).head()
+      b += lr * g.getDouble(0)
+      v1 += lr * g.getDouble(1)
+      v2 += lr * g.getDouble(2)
+    }
+    (b, v1, v2)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private val GdSteps = 16
+
+  private def x90OracleSql: String = {
+    val sig = "1/(1+exp(-(b + v1*f1 + v2*f2)))"
+    val rounds = (1 to GdSteps).map { r =>
+      s"""w$r AS (
+         |  SELECT b + 1.0 * sum(y - $sig) / count(*) AS b,
+         |         v1 + 1.0 * sum(f1 * (y - $sig)) / count(*) AS v1,
+         |         v2 + 1.0 * sum(f2 * (y - $sig)) / count(*) AS v2
+         |  FROM feat, w${r - 1} GROUP BY b, v1, v2)""".stripMargin
+    }
+    s"""WITH feat AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |         CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+       |           / len(string_split(text, ' ')) AS f1,
+       |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) / 10.0 AS f2
+       |  FROM documents),
+       |w0 AS (SELECT 0.0 AS b, 0.0 AS v1, 0.0 AS v2),
+       |${rounds.mkString(",\n")}
+       |SELECT 'bias' AS metric, round(b, 6) AS value FROM w$GdSteps
+       |UNION ALL SELECT 'w_stop', round(v1, 6) FROM w$GdSteps
+       |UNION ALL SELECT 'w_mcl', round(v2, 6) FROM w$GdSteps
+       |UNION ALL SELECT 'train_acc',
+       |  round(avg(CASE WHEN (round(b + v1*f1 + v2*f2, 6) > 0) = (y > 0.5)
+       |            THEN 1.0 ELSE 0.0 END), 6)
+       |FROM feat, w$GdSteps ORDER BY metric""".stripMargin
+  }
+
+  /** x90: the trained quality classifier. Training accuracy is judged on
+    * the ROUNDED margin so both engines threshold identical values; the
+    * weak separation (~0.56 on this vocabulary-sharing corpus) is the
+    * honest outcome x91 quantifies.
+    */
+  val x90_quality_logreg = Q("x90_quality_logreg", x90OracleSql) { t =>
+    val spark = t.spark
+    import spark.implicits._
+    // one corpus pass -> checkpointed doc-grain feature matrix; every GD
+    // step aggregates THIS frame, never the corpus
+    val feat = features(t.documents).localCheckpoint()
+    val (b, v1, v2) = logregGd(feat, lr = 1.0, steps = GdSteps)
+    val margin = round(lit(b) + lit(v1) * col("f1") + lit(v2) * col("f2"), 6)
+    val acc = feat
+      .agg(round(avg(when((margin > 0) === (col("y") > 0.5), 1.0).otherwise(0.0)), 6)
+        .as("value"))
+      .select(lit("train_acc").as("metric"), col("value"))
+    Seq(("bias", r6(b)), ("w_stop", r6(v1)), ("w_mcl", r6(v2)))
+      .toDF("metric", "value")
+      .unionByName(acc)
+      .orderBy("metric")
+  }
+
+  /** x91: tie-adjusted Mann–Whitney AUC per scorer, from bucket counts.
+    * Detected class = non-en (what a quality gate drops when the trusted
+    * slice is en); scorers oriented so HIGHER = more likely non-en. The
+    * 6dp score buckets make ties exact and identical across engines, the
+    * pair count Σ np·(2·nn_below + nn) stays in integers, and the single
+    * window is a running sum over the BUCKET table. On this corpus the
+    * x87 LM scorer reaches AUC ≈ 0.83 while the stop-ratio scorer sits at
+    * ≈ 0.53 — the measured reason the LM row exists.
+    */
+  val x91_scorer_auc = Q(
+    "x91_scorer_auc",
+    """WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+      |rbg AS (SELECT array_to_string(w[i:i+1], ' ') AS bg
+      |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM (SELECT string_split(text, ' ') AS w FROM ref) WHERE len(w) >= 2)),
+      |cb0 AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY 1),
+      |model AS (SELECT bg, cb FROM (
+      |  SELECT bg, cb, row_number() OVER (ORDER BY cb DESC, bg) AS rn FROM cb0) WHERE rn <= 256),
+      |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cu FROM cb0 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT x) AS v FROM (
+      |  SELECT split_part(bg, ' ', 1) AS x FROM cb0
+      |  UNION SELECT split_part(bg, ' ', 2) FROM cb0)),
+      |dbg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, count(*) AS k
+      |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |              WHERE len(w) >= 2)
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id,
+      |              sum(d.k * (ln(coalesce(c.cu, 0) + v.v) - ln(coalesce(m.cb, 0) + 1))) / sum(d.k) AS nll
+      |       FROM dbg d LEFT JOIN model m USING (bg)
+      |                  LEFT JOIN ctx c ON c.w1 = split_part(d.bg, ' ', 1)
+      |                  CROSS JOIN v
+      |       GROUP BY 1),
+      |scored AS (
+      |  SELECT 'lm_nll' AS scorer, round(s.nll, 6) AS score,
+      |         CASE WHEN t.lang <> 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM sc s JOIN documents t USING (doc_id)
+      |  UNION ALL
+      |  SELECT 'stop_ratio',
+      |         round(-CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+      |                / len(string_split(text, ' ')), 6),
+      |         CASE WHEN lang <> 'en' THEN 1 ELSE 0 END
+      |  FROM documents),
+      |bk AS (SELECT scorer, score, CAST(sum(pos) AS BIGINT) AS np,
+      |              CAST(sum(1 - pos) AS BIGINT) AS nn
+      |       FROM scored GROUP BY 1, 2),
+      |cum AS (SELECT scorer, np, nn,
+      |               coalesce(sum(nn) OVER (PARTITION BY scorer ORDER BY score
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+      |        FROM bk)
+      |SELECT scorer,
+      |       round(CAST(sum(np * (2 * nn_below + nn)) AS DOUBLE)
+      |             / (2.0 * sum(np) * sum(nn)), 6) AS auc,
+      |       CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg
+      |FROM cum GROUP BY scorer ORDER BY scorer""".stripMargin,
+  ) { t =>
+    val lm = Curation
+      .lmQuality(t.documents, t.documents.filter(col("lang") === "en"), "doc_id", "text", 256)
+      .join(t.documents.select("doc_id", "lang"), Seq("doc_id"))
+      .select(
+        lit("lm_nll").as("scorer"),
+        col("avg_nll").as("score"), // already rounded to 6dp by lmQuality
+        when(col("lang") =!= "en", 1L).otherwise(0L).as("pos"))
+    val toks = split(col("text"), " ")
+    val stop = t.documents.select(
+      lit("stop_ratio").as("scorer"),
+      round(-(size(filter(toks, x => x.isin("the", "a"))).cast("double") / size(toks)), 6)
+        .as("score"),
+      when(col("lang") =!= "en", 1L).otherwise(0L).as("pos"))
+    val bk = lm.unionByName(stop)
+      .groupBy("scorer", "score")
+      .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+    val w = Window.partitionBy("scorer").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bk.withColumn("nn_below", coalesce(sum("nn").over(w), lit(0L)))
+      .groupBy("scorer")
+      .agg(
+        round(sum(col("np") * (lit(2L) * col("nn_below") + col("nn"))).cast("double") /
+          (lit(2.0) * sum("np") * sum("nn")), 6).as("auc"),
+        sum("np").as("n_pos"), sum("nn").as("n_neg"))
+      .orderBy("scorer")
+  }
+
+  val all: Seq[Q] = Seq(x90_quality_logreg, x91_scorer_auc)
+}

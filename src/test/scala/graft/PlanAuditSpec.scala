@@ -207,4 +207,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"the eval shingle table should broadcast at this scale:\n$plan")
   }
+
+  test("x87 LM scoring: model probe is a map literal (no join for it), no cartesian, scoring is one doc aggregate") {
+    val plan = finalPlan(TrainPrep.x87_lm_quality.run(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"LM scoring must stay keyed:\n$plan")
+    // the pruned model ships as a literal map inside the aggregate — the
+    // only joins are the vocab-sized context probe and the lang re-join
+    assert(plan.contains("keys: ["), s"expected map-literal probe in plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the scoring chain should shuffle-join at this scale:\n$plan")
+  }
+
+  test("x88 DSIR: zero joins in the scoring chain, selection is TakeOrdered (not a global sort)") {
+    val plan = finalPlan(TrainPrep.x88_dsir_select.run(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must be top-k, not a global sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("SortMergeJoin"),
+      s"both distributions are literal maps — no join should appear before selection:\n$plan")
+  }
+
+  test("x89 audio fingerprint: candidates from the band equi-join, never all-pairs") {
+    val plan = finalPlan(graft.operators.Multimodal.x89_audio_fingerprint.run(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidate generation must be the (band,value) equi-join:\n$plan")
+  }
 }

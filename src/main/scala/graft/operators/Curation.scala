@@ -643,13 +643,15 @@ object Curation {
     * guaranteed); scoring is one doc-grain aggregate. Top-K selection is
     * `orderBy.limit` (TakeOrdered — no single-partition window sort).
     */
-  def lmQuality(
-      docs: DataFrame,
-      ref: DataFrame,
-      idCol: String,
-      textCol: String,
-      topK: Int,
-  ): DataFrame = {
+  /** The FROZEN artifacts of the bigram quality LM, trained once on the
+    * reference slice: (pruned model map, context-count frame, vocabulary
+    * size). Splitting the train from the score is what lets the same
+    * model serve a batch corpus (x87) and a stream (x92) — the serving
+    * side is a pure expression chain plus one vocab-sized static join.
+    */
+  private[graft] def lmModel(
+      ref: DataFrame, idCol: String, textCol: String, topK: Int,
+  ): (Map[String, Long], DataFrame, Double) = {
     // ONE reference-corpus pass: the bigram-count aggregate feeds the
     // pruned model, the context counts, AND the vocabulary size — all
     // vocab-sized derivations of this checkpoint, never corpus re-reads.
@@ -674,6 +676,14 @@ object Curation {
         substring_index(col("bg"), " ", 1),
         substring_index(col("bg"), " ", -1))).as("w"))
       .agg(countDistinct("w")).collect()(0).getLong(0).toDouble
+    (model, ctx, v)
+  }
+
+  /** Score `docs` under a frozen LM: (idCol, n_bigrams, avg_nll@6dp). */
+  private[graft] def lmScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: Map[String, Long], ctx: DataFrame, v: Double,
+  ): DataFrame =
     bigramRows(docs, idCol, textCol)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .join(ctx, Seq("w1"), "left") // vocab-sized: AQE broadcasts when it fits
@@ -685,6 +695,16 @@ object Curation {
             log(coalesce(element_at(typedlit(model), col("bg")), lit(0L)) + lit(1L)))
             / count(lit(1)),
           6).as("avg_nll"))
+
+  def lmQuality(
+      docs: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int,
+  ): DataFrame = {
+    val (model, ctx, v) = lmModel(ref, idCol, textCol, topK)
+    lmScore(docs, idCol, textCol, model, ctx, v)
   }
 
   /** DSIR (Data Selection via Importance Resampling, Xie et al. 2023):

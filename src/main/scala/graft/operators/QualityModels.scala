@@ -204,5 +204,93 @@ object QualityModels {
       .orderBy("scorer")
   }
 
-  val all: Seq[Q] = Seq(x90_quality_logreg, x91_scorer_auc)
+  private[operators] final case class QDoc(doc_id: Long, lang: String, text: String)
+
+  /** x92: the quality gate ON THE STREAM — the serving shape of x87. The
+    * LM is trained ONCE on the trusted slice and frozen (model = literal
+    * map, contexts = a checkpointed static frame, V = a scalar); arriving
+    * micro-batches are scored by the identical expression chain — the
+    * context probe becomes a stream-static join inside foreachBatch — and
+    * verdicts land through m19's exactly-once commitBatch sink. This is
+    * curate-as-you-land for the MODEL-BASED filter: per-document ops were
+    * already proven streaming-safe (x19's spec); x92 proves the trained
+    * scorer is too, because training and serving share one code path
+    * (lmModel/lmScore). Registered as an INSTRUMENT: the MemoryStream
+    * feed and forced drain are replay harness; the oracle stamps the end
+    * state — a torn batch, a double-applied commit, or train/serve skew
+    * all break the hash. DuckDB replays the x87 chain and the 3-batch
+    * split is invisible in the final table, which is the exactly-once
+    * point.
+    */
+  val x92_stream_quality = Q.instrument(
+    "x92_stream_quality",
+    """WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+      |rbg AS (SELECT array_to_string(w[i:i+1], ' ') AS bg
+      |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM (SELECT string_split(text, ' ') AS w FROM ref) WHERE len(w) >= 2)),
+      |cb0 AS (SELECT bg, count(*) AS cb FROM rbg GROUP BY 1),
+      |model AS (SELECT bg, cb FROM (
+      |  SELECT bg, cb, row_number() OVER (ORDER BY cb DESC, bg) AS rn FROM cb0) WHERE rn <= 256),
+      |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cu FROM cb0 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT x) AS v FROM (
+      |  SELECT split_part(bg, ' ', 1) AS x FROM cb0
+      |  UNION SELECT split_part(bg, ' ', 2) FROM cb0)),
+      |dbg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, count(*) AS k
+      |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+      |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      |              WHERE len(w) >= 2)
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, sum(d.k) AS n_bigrams,
+      |              sum(d.k * (ln(coalesce(c.cu, 0) + v.v) - ln(coalesce(m.cb, 0) + 1))) / sum(d.k) AS nll
+      |       FROM dbg d LEFT JOIN model m USING (bg)
+      |                  LEFT JOIN ctx c ON c.w1 = split_part(d.bg, ' ', 1)
+      |                  CROSS JOIN v
+      |       GROUP BY 1)
+      |SELECT t.lang,
+      |       CASE WHEN round(s.nll, 6) <= 5.0 THEN 'keep' ELSE 'drop' END AS verdict,
+      |       count(*) AS n_docs, CAST(sum(s.n_bigrams) AS BIGINT) AS sum_bigrams
+      |FROM sc s JOIN documents t USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY lang, verdict""".stripMargin,
+  ) { t =>
+    implicit val spark: org.apache.spark.sql.SparkSession = t.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.MultiStore
+    SnapshotQueries.withTempStore("graft-streamq") { root =>
+      // train once, freeze: the serving contract
+      val (model, ctx0, v) = Curation.lmModel(
+        t.documents.filter(col("lang") === "en"), "doc_id", "text", 256)
+      val ctx  = ctx0.localCheckpoint() // static side of the stream-static probe
+      val docs = t.documents.select(col("doc_id"), col("lang"), col("text")).as[QDoc]
+      val batches = (0 to 2).map(b => docs.filter(col("doc_id") % 3 === b).collect())
+      val input = MemoryStream[QDoc]
+      val query = input.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[QDoc], id: Long) =>
+          val bdf = batch.toDF()
+          val scored = Curation.lmScore(bdf, "doc_id", "text", model, ctx, v)
+            .join(bdf.select("doc_id", "lang"), Seq("doc_id"))
+            .withColumn("verdict", when(col("avg_nll") <= 5.0, "keep").otherwise("drop"))
+          val merged =
+            if (MultiStore.snapshot(spark, root).contains("scores"))
+              MultiStore.read(spark, root, "scores").unionByName(scored)
+            else scored
+          MultiStore.commitBatch(root, "quality", id, Map("scores" -> merged), keep = 8)
+          ()
+        }
+        .start()
+      try {
+        batches.foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      MultiStore.read(spark, root, "scores")
+        .groupBy("lang", "verdict")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("sum_bigrams"))
+        .orderBy("lang", "verdict")
+    }
+  }
+
+  val all: Seq[Q] = Seq(x90_quality_logreg, x91_scorer_auc, x92_stream_quality)
 }

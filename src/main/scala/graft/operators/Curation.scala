@@ -171,15 +171,18 @@ object Curation {
     * tokens contribute nothing.
     */
   def wordGrams(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
+    // tokens materialized as an attribute before the lambda (the r13 x87
+    // lesson: a captured inline split() re-evaluates per element — 3x)
+    val w = col("__w")
     val sh = when(
-      size(toks) >= k,
+      size(w) >= k,
       array_distinct(
         transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => array_join(slice(toks, i, lit(k)), " "))))
+          sequence(lit(1), size(w) - (k - 1)),
+          i => array_join(slice(w, i, lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(sh).as("sh"))
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .select(col(idCol), explode(sh).as("sh"))
   }
 
   /** Near-dup decontamination: training docs whose word-k-gram Jaccard
@@ -490,9 +493,18 @@ object Curation {
     // oracle-pinned callers can't reach it (the minTokens branch fires
     // first), but the facade accepts arbitrary parameters — a 1-token doc
     // is definitionally non-repetitive, so dupFrac degrades to 0.
+    // zip_with over shifted slices, not transform(sequence): this is a
+    // Column facade (no frame to materialize a token attribute into), and
+    // a transform lambda capturing the inline split() re-evaluates it per
+    // ELEMENT (the r13 x87 lesson). zip_with's lambda touches only its
+    // two element arguments, so split() evaluates a constant number of
+    // times per row.
+    val w = split(text, " ")
     val grams = when(
       toks >= 2,
-      transform(sequence(lit(1), toks - 1), i => array_join(slice(split(text, " "), i, lit(2)), " ")))
+      zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     val meanLen = (length(text) - toks + 1).cast("double") / toks
     val dupFrac = when(

@@ -19,15 +19,20 @@ object Dedup {
 
   /** Distinct word-k-shingles per document: (doc_id, sh). */
   private def shingles(docs: DataFrame, k: Int): DataFrame = {
-    val toks = split(col("text"), " ")
+    // tokens materialized as an ATTRIBUTE before the k-gram lambda: a
+    // lambda that captures an inline split() re-evaluates it PER ELEMENT —
+    // O(tokens² · chars) per document, measured 3x slower at sf0.1 (the
+    // r13 x87 lesson, applied family-wide)
+    val w = col("__w")
     val sh = when(
-      size(toks) >= k,
+      size(w) >= k,
       array_distinct(
         transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => array_join(slice(toks, i, lit(k)), " "))))
+          sequence(lit(1), size(w) - (k - 1)),
+          i => array_join(slice(w, i, lit(k)), " "))))
       .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), explode(sh).as("sh"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), explode(sh).as("sh"))
   }
 
   /** Distinct shingle FINGERPRINTS per document: (doc_id, sh) with sh a
@@ -46,19 +51,21 @@ object Dedup {
     * exploded rendering (shingleHashes) and the per-row stateless one
     * (fastBandsStateless) so the hashing can never drift between them.
     */
-  private def shingleFpArray(k: Int): Column = {
-    val toks = split(col("text"), " ")
+  private def shingleFpArray(w: Column, k: Int): Column =
+    // `w` must be a materialized token ATTRIBUTE, not an inline split():
+    // the lambda captures it, and captured expressions re-evaluate per
+    // element (the r13 x87 lesson — measured 3x on this exact shape)
     when(
-      size(toks) >= k,
+      size(w) >= k,
       array_distinct(
         transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => xxhash64(array_join(slice(toks, i, lit(k)), " ")))))
+          sequence(lit(1), size(w) - (k - 1)),
+          i => xxhash64(array_join(slice(w, i, lit(k)), " ")))))
       .otherwise(array().cast("array<long>"))
-  }
 
   private def shingleHashes(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingleFpArray(k)).as("sh"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), explode(shingleFpArray(col("__w"), k)).as("sh"))
 
   val a5_exact_dedup = Q(
     "a5_exact_dedup",
@@ -262,7 +269,8 @@ object Dedup {
     // docs too short for one shingle have no band rows (same as the
     // explode path, where they contribute zero shingle rows)
     val sig = docs
-      .select(col("doc_id"), shingleFpArray(5).as("fps"))
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .select(col("doc_id"), shingleFpArray(col("__w"), 5).as("fps"))
       .filter(size(col("fps")) > 0)
       .select(
         col("doc_id") +: (0 until 16).map(i =>
@@ -757,12 +765,15 @@ object Dedup {
     * boundary — SpanDedupSpec pins fast==exact spans on the test corpus).
     */
   private def positionedGrams(docs: DataFrame, k: Int, fingerprints: Boolean): DataFrame = {
-    val toks = split(col("text"), " ")
+    // tokens materialized as an attribute before the lambda (the r13 x87
+    // lesson: a captured inline split() re-evaluates per element — 3x)
+    val w = col("__w")
     val grams = transform(
-      sequence(lit(1), size(toks) - (k - 1)),
-      i => struct(i.as("pos"), array_join(slice(toks, i, lit(k)), " ").as("g")))
+      sequence(lit(1), size(w) - (k - 1)),
+      i => struct(i.as("pos"), array_join(slice(w, i, lit(k)), " ").as("g")))
     docs
-      .where(size(toks) >= k) // sequence(1, n<1) would run DESCENDING in Spark
+      .select(col("doc_id"), split(col("text"), " ").as("__w"))
+      .where(size(w) >= k) // sequence(1, n<1) would run DESCENDING in Spark
       .select(col("doc_id"), explode(grams).as("s"))
       .select(col("doc_id"), col("s.pos").as("pos"),
         (if (fingerprints) xxhash64(col("s.g")) else col("s.g")).as("g"))

@@ -198,8 +198,12 @@ object TextAnalysis {
     val per = hist.groupBy("doc_id")
       .agg(sum("c").as("n_tokens"), max("c").as("top_c"))
     // gram array referenced exactly ONCE (CollapseProject inlines repeated
-    // expressions into every use site — the x2 lesson); n_g = size-1
-    val grams = transform(sequence(lit(1), size(toks) - 1), i => array_join(slice(toks, i, lit(2)), " "))
+    // expressions into every use site — the x2 lesson); n_g = size-1.
+    // zip_with, not transform(sequence): a lambda capturing the inline
+    // split() re-evaluates it per ELEMENT (the r13 x87 lesson)
+    val grams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
     val bigram = t.documents.select(
       col("doc_id"),
       when(size(toks) >= 2,

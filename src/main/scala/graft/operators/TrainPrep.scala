@@ -402,7 +402,11 @@ object TrainPrep {
     // probe and the final anti-join; without it each consumer re-runs
     // dedup + the gram expressions (the x2 shared-lineage lesson; at
     // cluster scale this is the stage write between curation phases).
-    val grams = transform(sequence(lit(1), size(toks) - 1), i => array_join(slice(toks, i, lit(2)), " "))
+    // zip_with, not transform(sequence): a lambda capturing the inline
+    // split() re-evaluates it per ELEMENT (the r13 x87 lesson)
+    val grams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
     val quality = deduped
       .withColumn("tokens", size(toks).cast("long"))
       .filter(col("tokens") >= 20)
@@ -1000,14 +1004,19 @@ object TrainPrep {
     // LSH candidate pairs: shingle -> 16 minhash slots -> 4 banded buckets
     // -> window DF-cap 200 -> banded self-join (never n^2)
     val pairs = cp.checkpoint(spark.sql(
-      """WITH fps AS (
+      """WITH tok AS (
+        |  -- tokens materialized BEFORE the shingle lambda: a lambda
+        |  -- capturing an inline split() re-evaluates it per element
+        |  -- (the r13 x87 lesson), in SQL text exactly as in the DSL
+        |  SELECT doc_id, split(text, ' ') AS w FROM documents),
+        |fps AS (
         |  SELECT doc_id,
-        |         CASE WHEN size(split(text, ' ')) >= 5 THEN
+        |         CASE WHEN size(w) >= 5 THEN
         |           array_distinct(transform(
-        |             sequence(1, size(split(text, ' ')) - 4),
-        |             i -> xxhash64(array_join(slice(split(text, ' '), i, 5), ' '))))
+        |             sequence(1, size(w) - 4),
+        |             i -> xxhash64(array_join(slice(w, i, 5), ' '))))
         |         ELSE CAST(array() AS ARRAY<BIGINT>) END AS fps
-        |  FROM documents),
+        |  FROM tok),
         |sig AS (
         |  SELECT doc_id,
         |         transform(sequence(0, 15),

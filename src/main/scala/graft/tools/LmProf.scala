@@ -53,6 +53,51 @@ object LmProf {
     }
     time("x87_full") { TrainPrep.x87_lm_quality.run(spark, sfDir) }
     time("x88_full") { TrainPrep.x88_dsir_select.run(spark, sfDir) }
+
+    // ---- shingle-form A/B: inline split in the lambda vs attribute ----
+    val k = 5
+    time("shingle5_inline") {
+      val toks = split(col("text"), " ")
+      val sh = when(
+        size(toks) >= k,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - (k - 1)),
+            i => array_join(slice(toks, i, lit(k)), " "))))
+        .otherwise(array().cast("array<string>"))
+      t.documents.select(col("doc_id"), explode(sh).as("sh"))
+    }
+    time("shingle5_attr") {
+      val w = col("__w")
+      val sh = when(
+        size(w) >= k,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(w) - (k - 1)),
+            i => array_join(slice(w, i, lit(k)), " "))))
+        .otherwise(array().cast("array<string>"))
+      t.documents.select(col("doc_id"), split(col("text"), " ").as("__w"))
+        .select(col("doc_id"), explode(sh).as("sh"))
+    }
+    time("posgrams_inline") {
+      val toks = split(col("text"), " ")
+      val grams = transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => struct(i.as("pos"), array_join(slice(toks, i, lit(k)), " ").as("g")))
+      t.documents.where(size(toks) >= k)
+        .select(col("doc_id"), explode(grams).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), xxhash64(col("s.g")).as("g"))
+    }
+    time("posgrams_attr") {
+      val w = col("__w")
+      val grams = transform(
+        sequence(lit(1), size(w) - (k - 1)),
+        i => struct(i.as("pos"), array_join(slice(w, i, lit(k)), " ").as("g")))
+      t.documents.select(col("doc_id"), split(col("text"), " ").as("__w"))
+        .where(size(w) >= k)
+        .select(col("doc_id"), explode(grams).as("s"))
+        .select(col("doc_id"), col("s.pos").as("pos"), xxhash64(col("s.g")).as("g"))
+    }
     spark.stop()
   }
 }

@@ -1146,12 +1146,91 @@ object Dedup {
       k = 8, fingerprints = true)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    * the MOSS algorithm): hash every word-k-gram, slide a window of `w`
+    * consecutive gram hashes per document, select each full window's
+    * MINIMUM as a fingerprint, and keep the distinct (doc, fp) set. The
+    * guarantee that makes it the plagiarism-detection classic: any run of
+    * ≥ k+w-1 shared tokens between two documents forces at least one
+    * SHARED fingerprint (both windows covering the run see the same
+    * minimum) — position-shift-robust, unlike fixed-stride chunk hashing,
+    * while selecting only ~1/w of all grams. Fingerprints whose document
+    * frequency exceeds `maxDf` are dropped (ubiquitous boilerplate minima
+    * — the same DF-cap discipline as x2's shingles, and the bound that
+    * keeps the pair join's buckets small at 100 TB).
+    *
+    * Plan: positioned grams (one explode), md5-nibble gram hash (the
+    * engine-portable family, so DuckDB replays it), one per-doc window
+    * min + one per-doc max (both ride a single doc-key shuffle), a
+    * DF-cap aggregate, and a semi-join — no all-pairs anywhere until the
+    * caller's fingerprint equi-join, whose buckets the cap bounds.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int, maxDf: Int): DataFrame = {
+    val g = positionedGrams(docs, k, fingerprints = false)
+      .withColumn("h", Curation.hashBucket(col("g"), "win|", 1 << 24))
+    val sliding = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    val whole   = Window.partitionBy("doc_id")
+    val fps = g
+      .withColumn("fp", min(col("h")).over(sliding))
+      .withColumn("pmax", max(col("pos")).over(whole))
+      .filter(col("pos") <= col("pmax") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+      .localCheckpoint() // feeds the DF cap AND the kept set
+    val kept = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fp")
+    // the USING-join puts fp first; restore (doc_id, fp)
+    fps.join(kept, Seq("fp"), "left_semi").select("doc_id", "fp")
+  }
+
+  /** Suspect pairs from shared winnow fingerprints: (src, dst, n_shared)
+    * for pairs sharing at least `minShared`.
+    */
+  def winnowPairs(docs: DataFrame, k: Int, w: Int, maxDf: Int, minShared: Int): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, maxDf).localCheckpoint()
+    fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  val x93_winnowing = Q(
+    "x93_winnowing",
+    s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |             ${TrainPrep.md5BucketSql("'win|' || array_to_string(w[i:i+2], ' ')")} AS h
+       |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM wd)),
+       |mx AS (SELECT doc_id, max(pos) AS pmax FROM g GROUP BY 1),
+       |win AS (SELECT g.doc_id, g.pos,
+       |               min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+       |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |        FROM g),
+       |fps AS (SELECT DISTINCT w.doc_id, w.fp
+       |        FROM win w JOIN mx ON mx.doc_id = w.doc_id WHERE w.pos <= mx.pmax - 3),
+       |kept AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY 1) WHERE df <= 50),
+       |fpk AS (SELECT f.doc_id, f.fp FROM fps f JOIN kept USING (fp))
+       |SELECT a.doc_id AS src, b.doc_id AS dst, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY src, dst""".stripMargin,
+  ) { t =>
+    // Winnowing near-dup detection at k=3 grams, window w=4 (guaranteed
+    // detection of any >= 6-token shared run), DF cap 50, report pairs
+    // sharing >= 3 fingerprints. The third TEXT dedup granularity: x2/x3
+    // score whole documents, x71 excises exact spans, winnowing flags
+    // partial-overlap pairs at ~1/w the fingerprint volume of full
+    // shingling — the MOSS shape.
+    winnowPairs(t.documents, k = 3, w = 4, maxDf = 50, minShared = 3)
+      .orderBy("src", "dst")
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
     x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
     x4_simhash, x4_simhash_pairs, x4b_simhash_md5,
     x27_incremental_neardup, x27_fast_incremental, x66_fuzzy_match,
     x71_span_dedup, x71_fast_span_dedup, x71b_span_excise,
-    x72_incremental_spans, x72_fast_incremental_spans,
+    x72_incremental_spans, x72_fast_incremental_spans, x93_winnowing,
   )
 }

@@ -33,7 +33,7 @@ object TrainPrep {
     * positional sum — DuckDB has no hex->int cast that is guaranteed
     * across versions).
     */
-  private def md5BucketSql(s: String): String =
+  private[operators] def md5BucketSql(s: String): String =
     (0 until 6)
       .map(j => s"(strpos('0123456789abcdef', substr(md5($s), ${j + 1}, 1)) - 1) * ${math.pow(16, 5 - j).toLong}")
       .mkString("(", " + ", ")")

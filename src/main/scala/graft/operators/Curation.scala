@@ -635,10 +635,17 @@ object Curation {
   }
 
   /** CCNet-style language-model quality scoring: train an add-one-smoothed
-    * bigram LM on a trusted reference slice, score every document by its
+    * bigram LM on a trusted reference slice, score each document by its
     * mean negative log-likelihood (the perplexity proxy CCNet thresholds
     * on — low = in-domain fluent text, high = boilerplate/noise/OOD).
     * Returns (idCol, n_bigrams, avg_nll) with avg_nll rounded to 6dp.
+    *
+    * PRECONDITION: a document needs >= 2 tokens to be scorable — mean NLL
+    * over zero bigrams is undefined, so <2-token docs produce NO output
+    * row (callers that must keep the token-poor tail should route it
+    * through a length gate first — x24's heuristics are the filter that
+    * tail actually needs; contrast [[dsirSelect]], whose estimator
+    * defines empty-feature docs as log-weight 0 and keeps them).
     *
     * Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V), with the bigram
     * table PRUNED to the `topK` most frequent bigrams (count-desc, bigram
@@ -768,12 +775,19 @@ object Curation {
     val ctMap = dist.map(r => r.getLong(0) -> r.getLong(2)).toMap
     val nr    = crMap.values.sum.toDouble
     val nt    = ctMap.values.sum.toDouble
-    val lw = dbg
+    val lwBg = dbg
       .groupBy(idCol)
       .agg(sum(col("k") * (
         log((coalesce(element_at(typedlit(ctMap), col("b")), lit(0L)) + lit(1.0)) / lit(nt + buckets)) -
           log((coalesce(element_at(typedlit(crMap), col("b")), lit(0L)) + lit(1.0)) / lit(nr + buckets))))
         .as("lw"))
+    // The published estimator keeps EMPTY-FEATURE documents sampleable at
+    // log-weight 0 (Σ over zero buckets): a <2-token doc produces no
+    // bigram rows, so left-join the full doc-id set back on and coalesce —
+    // without this the token-poor tail silently drops out of the pool.
+    val lw = docs.select(col(idCol))
+      .join(lwBg, Seq(idCol), "left")
+      .withColumn("lw", coalesce(col("lw"), lit(0.0)))
     val u = (hashBucket(col(idCol), "g|", 16777216).cast("double") + lit(0.5)) / lit(16777216.0)
     val scored = lw.select(
       col(idCol),

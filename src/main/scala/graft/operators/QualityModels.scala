@@ -50,8 +50,17 @@ object QualityModels {
     * aggregate (three gradient averages) — the Lloyd-iteration shape:
     * corpus-sized work stays distributed, the driver sees three doubles
     * per round.
+    *
+    * Weights are quantized to 10dp AFTER EVERY STEP (mirrored in the
+    * oracle): distributed partial-sum order makes each step's averages
+    * drift ~1e-12 ulps from a sequential engine, and an ITERATED loop
+    * compounds that drift — per-step rounding at 1e-10 (two decades above
+    * the drift, four below the final 6dp report) resets it each round, so
+    * both engines walk the identical quantized trajectory.
     */
   private[graft] def logregGd(feat: DataFrame, lr: Double, steps: Int): (Double, Double, Double) = {
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
     var b = 0.0; var v1 = 0.0; var v2 = 0.0
     (1 to steps).foreach { _ =>
       val err = col("y") -
@@ -60,9 +69,9 @@ object QualityModels {
         avg(err).as("gb"),
         avg(col("f1") * err).as("g1"),
         avg(col("f2") * err).as("g2")).head()
-      b += lr * g.getDouble(0)
-      v1 += lr * g.getDouble(1)
-      v2 += lr * g.getDouble(2)
+      b = r10(b + lr * g.getDouble(0))
+      v1 = r10(v1 + lr * g.getDouble(1))
+      v2 = r10(v2 + lr * g.getDouble(2))
     }
     (b, v1, v2)
   }
@@ -76,9 +85,9 @@ object QualityModels {
     val sig = "1/(1+exp(-(b + v1*f1 + v2*f2)))"
     val rounds = (1 to GdSteps).map { r =>
       s"""w$r AS (
-         |  SELECT b + 1.0 * sum(y - $sig) / count(*) AS b,
-         |         v1 + 1.0 * sum(f1 * (y - $sig)) / count(*) AS v1,
-         |         v2 + 1.0 * sum(f2 * (y - $sig)) / count(*) AS v2
+         |  SELECT round(b + 1.0 * sum(y - $sig) / count(*), 10) AS b,
+         |         round(v1 + 1.0 * sum(f1 * (y - $sig)) / count(*), 10) AS v1,
+         |         round(v2 + 1.0 * sum(f2 * (y - $sig)) / count(*), 10) AS v2
          |  FROM feat, w${r - 1} GROUP BY b, v1, v2)""".stripMargin
     }
     s"""WITH feat AS (
@@ -211,7 +220,10 @@ object QualityModels {
     * map, contexts = a checkpointed static frame, V = a scalar); arriving
     * micro-batches are scored by the identical expression chain — the
     * context probe becomes a stream-static join inside foreachBatch — and
-    * verdicts land through m19's exactly-once commitBatch sink. This is
+    * verdicts land through m19's exactly-once commitBatch sink into a
+    * PER-BATCH store (append semantics: each micro-batch writes O(batch)
+    * data, the accumulated table is the manifest's union of scores_*
+    * partitions — never a read-rewrite of the total). This is
     * curate-as-you-land for the MODEL-BASED filter: per-document ops were
     * already proven streaming-safe (x19's spec); x92 proves the trained
     * scorer is too, because training and serving share one code path
@@ -271,11 +283,14 @@ object QualityModels {
           val scored = Curation.lmScore(bdf, "doc_id", "text", model, ctx, v)
             .join(bdf.select("doc_id", "lang"), Seq("doc_id"))
             .withColumn("verdict", when(col("avg_nll") <= 5.0, "keep").otherwise("drop"))
-          val merged =
-            if (MultiStore.snapshot(spark, root).contains("scores"))
-              MultiStore.read(spark, root, "scores").unionByName(scored)
-            else scored
-          MultiStore.commitBatch(root, "quality", id, Map("scores" -> merged), keep = 8)
+          // APPEND semantics: each batch lands in its OWN store (the
+          // per-batch partition a production sink appends — m19's shape),
+          // so per-batch write cost is O(batch), never O(total-so-far);
+          // the txn marker still makes a crash-restart re-delivery a
+          // no-op. The accumulated table is the union of scores_* stores,
+          // all published by the same atomic manifest chain.
+          MultiStore.commitBatch(root, "quality", id,
+            Map(s"scores_$id" -> scored), keep = 8)
           ()
         }
         .start()
@@ -285,7 +300,9 @@ object QualityModels {
           query.processAllAvailable()
         }
       } finally query.stop()
-      MultiStore.read(spark, root, "scores")
+      val scoreStores = MultiStore.snapshot(spark, root).keys
+        .filter(_.startsWith("scores_")).toSeq.sorted
+      scoreStores.map(MultiStore.read(spark, root, _)).reduce(_ unionByName _)
         .groupBy("lang", "verdict")
         .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("sum_bigrams"))
         .orderBy("lang", "verdict")

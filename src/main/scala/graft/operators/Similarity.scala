@@ -1173,6 +1173,13 @@ object Similarity {
     * split across cells is missed — at scale, probe multiple cells the
     * x18 nProbe way); the oracle replays the SAME blocked semantics, so
     * the row is exact about what the operator promises.
+    *
+    * k is the 100 TB knob (the x70b rule): within-cell pairs grow as
+    * corpus×eval/k, so cell POPULATION must stay bounded, not k — the
+    * registered row computes k = max(8, N/250) from one corpus count
+    * (resolving to 8 at every driver SF, so the k=8 oracle pins the
+    * adaptive path exactly where an oracle exists; on self-scaled corpora
+    * the growth keeps cells ~250 vectors — SCALE.md decade).
     */
   def semanticDecontam(emb: DataFrame, evalPred: Column, k: Int, tau: Double): DataFrame = {
     val seeds = emb.filter(col("vec_id") < k)
@@ -1215,9 +1222,16 @@ object Similarity {
       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(sim) AS max_sim
       |FROM hits GROUP BY vec_id ORDER BY vec_id""".stripMargin,
   ) { t =>
-    // eval set = every tenth vector; k = 8 frozen cells (the x70 grid);
-    // tau = 0.35, inside the corpus's measured similarity band
-    semanticDecontam(t.embeddings, col("vec_id") % 10 === 0, k = 8, tau = 0.35)
+    // eval set = every tenth vector; ADAPTIVE k = max(8, N/250) — the
+    // x70b rule holding cell population (~250 vectors) constant as the
+    // corpus grows, so within-cell pair work stays linear in N. The count
+    // is one columnar metadata aggregate (the same AQE-class driver lookup
+    // as x70b); at every driver SF it resolves to k = 8, which is what the
+    // oracle's seed CTE pins. tau = 0.35, inside the corpus's measured
+    // similarity band.
+    val n = t.embeddings.count()
+    val k = math.max(8L, n / 250L).toInt
+    semanticDecontam(t.embeddings, col("vec_id") % 10 === 0, k = k, tau = 0.35)
   }
 
   private[operators] final case class EmbRow(vec_id: Long, embedding: Array[Float])

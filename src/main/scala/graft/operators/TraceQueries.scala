@@ -39,13 +39,14 @@ object TraceQueries {
     * the state store until a later event closes them (Append mode has no
     * EOF flush; the batch row covers the EOF-active tail).
     */
-  private def st6Sql(completedOnly: Boolean): String = {
+  private def st6Sql(completedOnly: Boolean, sliced: Boolean = false): String = {
     val where = if (completedOnly) "WHERE t.turn_status = 'completed'\n" else ""
+    val slice = if (sliced) "\n  WHERE user_id % 5 = 2" else ""
     s"""WITH ev AS (
       |  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS line,
       |         CAST(epoch_ms(ts) AS BIGINT) AS ms, event_type,
       |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS i
-      |  FROM events),
+      |  FROM events$slice),
       |seg AS (
       |  SELECT *, CAST(SUM(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
       |                 OVER (PARTITION BY sid ORDER BY line) AS BIGINT) AS seg
@@ -107,11 +108,12 @@ object TraceQueries {
     * definition shared by the batch and streaming rows so both feed the
     * state machine the byte-identical sequence.
     */
-  private def rawTraceEvents(t: Tables): Dataset[RawEvent] = {
+  private def rawTraceEvents(t: Tables, sliced: Boolean = false): Dataset[RawEvent] = {
     import t.spark.implicits._
     val typeIdx = row_number().over(
       Window.partitionBy(col("sid"), col("event_type")).orderBy(col("line")))
-    val base = t.events
+    val src = if (sliced) t.events.filter(col("user_id") % 5 === 2) else t.events
+    val base = src
       .select(
         col("user_id").cast("string").as("sid"),
         col("event_id").as("line"),
@@ -194,29 +196,39 @@ object TraceQueries {
     * session_id and keeps one open turn per session in the store — the
     * same plan that runs against a Kafka source at production scale.
     */
-  val st6_stream_replay = Q.instrument("st6_stream_replay", st6Sql(completedOnly = true)) { t =>
+  val st6_stream_replay =
+      Q.instrument("st6_stream_replay", st6Sql(completedOnly = true, sliced = true)) { t =>
     implicit val spark: org.apache.spark.sql.SparkSession = t.spark
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: SQLContext = spark.sqlContext
-    val events = rawTraceEvents(t).orderBy("lineNo").as[RawEvent].collect()
+    // The replay is CAPPED to a deterministic 1/5 session slice (user_id %
+    // 5 = 2, mirrored in the oracle) — the j3 instrument-cost rule: the
+    // row exists to drive the live flatMapGroupsWithState path through
+    // cross-batch state round trips under a driver oracle, and a 20% slice
+    // of the session keyspace exercises every one of those paths (open
+    // turns, FIFO tool state, force-close, cross-batch survival) at a
+    // fifth of the feed/collect/sink cost. The UNCAPPED batch semantics
+    // are pinned by st6_trace_turns over the full feed.
+    val events = rawTraceEvents(t, sliced = true).orderBy("lineNo").as[RawEvent].collect()
     val input  = MemoryStream[RawEvent]
     // The replay's cost is micro-batch machinery, not plan work: every
-    // batch commits one state-store delta per shuffle partition, so 32
-    // partitions x 8 batches is 256 store commits for a keyspace of a few
-    // thousand sessions. Pin the stream's partitioning to 8 for the replay
-    // (fixed at query start from the session conf; restored after) — the
-    // same sizing rule as a real deployment, where state partitions track
-    // the session keyspace, not the box.
+    // batch commits one state-store delta per shuffle partition. 4
+    // partitions x 4 batches is 16 store commits for the sliced keyspace
+    // of a few hundred sessions — state must still survive 3 cross-batch
+    // round trips. Pin the stream's partitioning for the replay (fixed at
+    // query start from the session conf; restored after) — the same
+    // sizing rule as a real deployment, where state partitions track the
+    // session keyspace, not the box.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val query =
       try TraceSessionizer.aggregateStream(input.toDS())
         .writeStream.format("memory").queryName("st6_replay_sink")
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
-      events.grouped(math.max(1, (events.length + 7) / 8)).foreach { chunk =>
+      events.grouped(math.max(1, (events.length + 3) / 4)).foreach { chunk =>
         input.addData(chunk.toIndexedSeq)
         query.processAllAvailable()
       }

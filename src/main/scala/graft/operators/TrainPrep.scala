@@ -241,7 +241,7 @@ object TrainPrep {
        |$unions) ORDER BY round""".stripMargin
   }
 
-  val x80_bpe_merges = Q(
+  val x80_bpe_merges = Q.instrument(
     "x80_bpe_merges",
     bpeOracleSql(12, bpeMergesSelect(12)),
   ) { t =>
@@ -250,8 +250,11 @@ object TrainPrep {
     // on the pair string). 12 rounds reach REAL recursive merges on this
     // corpus — later rounds merge previously-merged symbols ('p'+'ar',
     // 'jo'+'in'), exercising the multi-symbol path, not just char pairs.
-    // One corpus pass, then vocab-sized rounds — see Curation.bpeMerges
-    // for the plan and the symbol-encoding correctness argument.
+    // INSTRUMENT since x80b landed: this distributed k-round loop exists
+    // to give DuckDB a bit-identical merge trajectory (12 driver rounds ×
+    // localCheckpoint — the md5-bridge trade of speed for cross-engine
+    // determinism); the PRODUCTION trainer is x80b's collected path
+    // (Curation.bpeTrainCollected — one corpus pass, k merges driver-local).
     Curation.bpeMerges(t.documents, "text", 12)
   }
 
@@ -1279,9 +1282,11 @@ object TrainPrep {
        |       FROM dbg d LEFT JOIN tgt t USING (b) LEFT JOIN raw r USING (b)
        |            CROSS JOIN nt CROSS JOIN nr
        |       GROUP BY 1),
+       |sc0 AS (SELECT d.doc_id, coalesce(s.lw, 0.0) AS lw
+       |        FROM documents d LEFT JOIN sc s USING (doc_id)),
        |g AS (SELECT doc_id, round(lw, 6) AS log_weight,
        |             round(lw - ln(-ln((${md5BucketSql("'g|' || CAST(doc_id AS VARCHAR)")} + 0.5) / 16777216.0)), 6) AS score_r
-       |      FROM sc),
+       |      FROM sc0),
        |rk AS (SELECT doc_id, log_weight,
        |              row_number() OVER (ORDER BY score_r DESC, doc_id) AS sel_rank FROM g)
        |SELECT CAST(r.sel_rank AS INT) AS sel_rank, r.doc_id, t.lang, r.log_weight

@@ -376,9 +376,11 @@ object MultiStore {
     * keeps the pruner protecting its files. A delete set that did not
     * exist at `m` is REMOVED from the new snapshot (its rows come back);
     * stores other than `store` are carried forward untouched. Restoring
-    * past the retention horizon is impossible by construction — `m` must
-    * still be retained, which is exactly Delta's "cannot restore beyond
-    * VACUUM" rule.
+    * past the retention horizon is refused — `m` must still be retained
+    * (Delta's "cannot restore beyond VACUUM" rule), validated at snapshot
+    * AND re-validated before every publish attempt, since a concurrent
+    * commit's prune can drop m (and sweep the target version dirs) after
+    * the first check.
     *
     * Concurrency: last-writer-wins through the same manifest-name race as
     * [[commit]] — a concurrent commit landing first forces a re-read of
@@ -395,6 +397,22 @@ object MultiStore {
     var attempts = 0
     while (true) {
       val baseNums = manifestNumbers(fs, rootP)
+      // Re-validate INSIDE the retry loop (time-of-check/time-of-use): a
+      // concurrent commit that won a race may have pruned manifest m — and
+      // swept the target version dirs it alone protected — between our
+      // snapshotAt above and this publish attempt. Publishing then would
+      // resurrect pointers to deleted files; fail loudly instead (the
+      // caller re-reads history and decides, same as losing commitIf).
+      require(baseNums.contains(m),
+        s"MultiStore at $root: manifest m=$m fell past the retention horizon " +
+          "during restore (a concurrent commit pruned it) — aborting")
+      touched.foreach { s =>
+        target.get(s).foreach { v =>
+          require(fs.exists(new org.apache.hadoop.fs.Path(rootP, s"$s/v=$v")),
+            s"MultiStore at $root: restore target $s/v=$v was swept by a " +
+              "concurrent prune — aborting")
+        }
+      }
       val base     = baseNums.lastOption.map(readManifest(fs, rootP, _)).getOrElse(Map.empty[String, Long])
       val snap     = (base -- touched) ++ touched.flatMap(s => target.get(s).map(s -> _))
       val mNext    = baseNums.lastOption.getOrElse(-1L) + 1

@@ -553,4 +553,22 @@ class MultiStoreSpec extends SparkSpec {
       MultiStore.restore(spark, r, "docs", good, keep = 2)
     }
   }
+
+  test("restore re-validates inside the publish loop: a swept target version dir aborts, never resurrects") {
+    val r = root()
+    MultiStore.commit(r, Map("docs" -> Seq((1L, 10L)).toDF("id", "v")), keep = 5)
+    val good = MultiStore.manifests(spark, r).last
+    val v0   = MultiStore.snapshot(spark, r)("docs")
+    MultiStore.commit(r, Map("docs" -> Seq((1L, 11L)).toDF("id", "v")), keep = 5)
+    // simulate the concurrent prune that the entry-time snapshotAt check
+    // cannot see: the target's v= dir vanishes between validation and
+    // publish (manifest `good` itself is still listed)
+    graft.sources.AtomicFs.deleteRecursively(java.nio.file.Paths.get(r, "docs", s"v=$v0"))
+    val ex = intercept[IllegalArgumentException] {
+      MultiStore.restore(spark, r, "docs", good, keep = 5)
+    }
+    assert(ex.getMessage.contains("swept"), ex.getMessage)
+    // the head manifest still serves the LIVE version — nothing published
+    assert(MultiStore.read(spark, r, "docs").as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+  }
 }

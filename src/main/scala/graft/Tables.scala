@@ -48,6 +48,20 @@ final case class Tables(spark: SparkSession, dir: String) {
         s"events.ts arrived as unsupported parquet type $other")
     }
   }
+
+  /** The events table with `props` parsed ONCE into a VARIANT column — the
+    * ingest-typed rendering of [[events]] (same type-branching reader
+    * underneath). Downstream field access is `variant_get` on the binary
+    * encoding instead of `get_json_object` re-parsing the string per
+    * access; written through `VariantEvents.withVariantTable`, extraction
+    * moves into the scan (shredded columns). c16 proves the type on a
+    * derived frame; this is the seam the trace/window paths adopt it
+    * through (w10_variant_turns).
+    */
+  def eventsVariant: DataFrame = {
+    import org.apache.spark.sql.functions.{col, parse_json}
+    events.withColumn("props", parse_json(col("props")))
+  }
 }
 
 /** One verifiable query: a Spark plan plus (optionally) the equivalent ANSI

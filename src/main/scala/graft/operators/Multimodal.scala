@@ -1258,8 +1258,7 @@ object Multimodal {
     * [[wavBytes]] container) carrying [[audioFpSample]]'s 340 samples —
     * 17 frames of 20 samples, what [[audioFingerprintBands]] consumes.
     */
-  def audioFpWav(d: Long): Array[Byte] = {
-    val n    = 340
+  def audioFpWav(d: Long, n: Int = 340): Array[Byte] = {
     val rate = 8000
     val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1285,28 +1284,49 @@ object Multimodal {
     * fingerprint UNCHANGED — the perceptual property byte hashes lack
     * (spec-pinned), the audio analog of dHash's brightness invariance.
     */
-  private[graft] def audioFingerprintBands(samples: Array[Int]): Array[Int] = {
-    val L = 20; val B = 5; val F = 17
-    require(samples.length >= F * L, s"fingerprint needs ${F * L} samples, got ${samples.length}")
-    val e = Array.ofDim[Long](F, B)
+  private[graft] def audioFingerprintBands(samples: Array[Int]): Array[Int] =
+    audioFingerprintBandsP(samples, frames = 17, bandsPerFrame = 5, bandBits = 16)
+      .map(_.toInt)
+
+  /** The PARAMETRIC Haitsma–Kalker fingerprint kernel: `frames` frames of
+    * 20 samples, `bandsPerFrame` stride-band energies per frame, bits =
+    * (frames−1)·(bandsPerFrame−1) double-delta signs, packed into LSH
+    * bands of `bandBits` bits each. (frames=17, bandsPerFrame=5,
+    * bandBits=16) is x89's 64-bit rendering; the PRODUCTION default is
+    * x89b's (33, 9, 32) — 256 bits in 8×32-bit bands, the HK paper's
+    * sub-fingerprint width. The width is THE scale knob: a (band, value)
+    * bucket saturates once distinct fingerprints approach 2^bandBits per
+    * band, and x89's own 30× decade measured the 16-bit onset (SCALE.md);
+    * 32-bit bands push that wall out by 65536× while keeping the same
+    * equi-join plan.
+    */
+  private[graft] def audioFingerprintBandsP(
+      samples: Array[Int], frames: Int, bandsPerFrame: Int, bandBits: Int): Array[Long] = {
+    val L    = 20
+    val bits = (frames - 1) * (bandsPerFrame - 1)
+    require(bandBits >= 1 && bandBits <= 63 && bits % bandBits == 0,
+      s"fingerprint bits $bits must pack evenly into $bandBits-bit bands")
+    require(samples.length >= frames * L,
+      s"fingerprint needs ${frames * L} samples, got ${samples.length}")
+    val e = Array.ofDim[Long](frames, bandsPerFrame)
     var f = 0
-    while (f < F) {
+    while (f < frames) {
       var j = 0
       while (j < L) {
-        e(f)(j % B) += math.abs(samples(f * L + j))
+        e(f)(j % bandsPerFrame) += math.abs(samples(f * L + j))
         j += 1
       }
       f += 1
     }
-    val bands = new Array[Int](4)
+    val bands = new Array[Long](bits / bandBits)
     f = 1
-    while (f < F) {
+    while (f < frames) {
       var b = 0
-      while (b < 4) {
+      while (b < bandsPerFrame - 1) {
         val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
         if (d > 0) {
-          val k = (f - 1) * 4 + b
-          bands(k / 16) |= 1 << (k % 16)
+          val k = (f - 1) * (bandsPerFrame - 1) + b
+          bands(k / bandBits) |= 1L << (k % bandBits)
         }
         b += 1
       }
@@ -1335,6 +1355,36 @@ object Multimodal {
       }
   }
 
+  /** A band row whose value column is wide enough for 32-bit (and up to
+    * 63-bit) LSH bands — [[HashBand]]'s Int value caps the band width at
+    * 16 bits before sign trouble; the wide fingerprint path needs Long.
+    * [[perceptualNearDupEdges]] is column-typed, so both feed it as-is.
+    */
+  final case class HashBandL(media_id: Long, band: Int, value: Long)
+
+  /** Wide-fingerprint band table: the x89b production path — same decode
+    * discipline as [[audioBandTable]], parametric kernel at the HK paper's
+    * 256-bit width (33 frames, 9 stride bands, 8×32-bit LSH bands).
+    */
+  def audioBandTableWide(docs: DataFrame, frames: Int = 33, bandsPerFrame: Int = 9,
+                         bandBits: Int = 32)(implicit spark: SparkSession): Dataset[HashBandL] = {
+    import spark.implicits._
+    val n      = frames * 20
+    val nBands = (frames - 1) * (bandsPerFrame - 1) / bandBits
+    docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        WavDecode.init()
+        ids.flatMap { d =>
+          val s = WavDecode.samplesOf(audioFpWav(d, n))
+          require(s != null && s.length == n, s"x89b: decode failed for media $d")
+          val b = audioFingerprintBandsP(s, frames, bandsPerFrame, bandBits)
+          (0 until nBands).map(i => HashBandL(d, i, b(i)))
+        }
+      }
+  }
+
   /** x89: audio fingerprint near-duplicate detection — the audio modality
     * of the dedup family (x2/x3/x4 text, x13/x70 embeddings, x83 images):
     * the re-encoded/re-mastered copy whose bytes differ but whose sound is
@@ -1345,6 +1395,8 @@ object Multimodal {
     * whole chain in closed form — sample rule, frame/band energies, the
     * double-delta sign bits, band packing, candidate join, popcount — so
     * the oracle checks the algorithm end to end, dead samples to pairs.
+    * This is the NARROW (4×16-bit) rendering, retained as the compact
+    * oracle row; the production-width default is [[x89b_audio_fp_wide]].
     */
   val x89_audio_fingerprint: Q = Q(
     "x89_audio_fingerprint",
@@ -1397,7 +1449,191 @@ object Multimodal {
       .orderBy("src", "dst")
   }
 
+  /** x89b: the WIDE-fingerprint production rendering of x89 — the r13
+    * verdict's scale fix. x89's 4×16-bit pin saturates once distinct
+    * fingerprints approach 2^16 per band (its own 30× decade measured the
+    * onset: band-bucket collisions steepened wall 3.8× for 3× data); the
+    * HK paper's width is 256 bits, here 8×32-bit LSH bands from the
+    * parametric kernel over 660 really-decoded PCM samples. Same plan
+    * SHAPE as x89 (banded equi-join candidates, exact hamming ≤ 20 — the
+    * 64-bit row's 10/64 rate at 256 bits), so correctness is pinned by
+    * the same closed-form DuckDB replay; what the width buys is the
+    * candidate volume staying ~linear until 2^32 distinct per band.
+    * Variant confinement still holds by construction: variant v's bump
+    * perturbs frames 4v+1/4v+2 → bits [32v, 32v+16) — inside 32-bit band
+    * v, the other 7 bands bit-identical to the canonical.
+    */
+  val x89b_audio_fp_wide: Q = Q(
+    "x89b_audio_fp_wide",
+    """WITH dim AS (
+      |  SELECT doc_id, doc_id - doc_id % 4 AS b, doc_id % 4 AS v FROM documents),
+      |m0 AS (
+      |  SELECT doc_id, v, i,
+      |         (b * 2654435761 + i * 40503 + 70051) % 4294967296 AS m0
+      |  FROM dim, unnest(generate_series(0, 659)) u(i)),
+      |m1 AS (
+      |  SELECT doc_id, v, i,
+      |         (xor(m0, m0 // 65536) * 73856093) % 4294967296 AS m1
+      |  FROM m0),
+      |sm AS (
+      |  SELECT doc_id, i // 20 AS f, (i % 20) % 9 AS bb,
+      |         xor(m1, m1 // 8192) % 2048 - 1024 +
+      |         CASE WHEN v > 0 AND i // 20 = 4 * v + 1
+      |              THEN (i * 7 + doc_id) % 256 ELSE 0 END AS s
+      |  FROM m1),
+      |en AS (SELECT doc_id, f, bb, sum(abs(s)) AS e FROM sm GROUP BY 1, 2, 3),
+      |de AS (
+      |  SELECT a.doc_id, a.f, a.bb, a.e - c.e AS d
+      |  FROM en a JOIN en c ON c.doc_id = a.doc_id AND c.f = a.f AND c.bb = a.bb + 1
+      |  WHERE a.bb < 8),
+      |bits AS (
+      |  SELECT a.doc_id, (a.f - 1) * 8 + a.bb AS k,
+      |         CASE WHEN a.d - p.d > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM de a JOIN de p ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.bb = a.bb),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, k // 32 AS band,
+      |         CAST(sum(CAST(bit AS BIGINT) << (k % 32)) AS BIGINT) AS value
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
+      |  FROM bands a JOIN bands c
+      |    ON a.band = c.band AND a.value = c.value AND a.doc_id < c.doc_id)
+      |SELECT src, dst, hamming FROM (
+      |  SELECT cd.src, cd.dst,
+      |         CAST(sum(bit_count(xor(x.value, y.value))) AS BIGINT) AS hamming
+      |  FROM cand cd
+      |  JOIN bands x ON x.doc_id = cd.src
+      |  JOIN bands y ON y.doc_id = cd.dst AND y.band = x.band
+      |  GROUP BY cd.src, cd.dst)
+      |WHERE hamming <= 20 ORDER BY src, dst""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    val bands = audioBandTableWide(t.documents)
+    perceptualNearDupEdges(bands.toDF(), maxHamming = 20)
+      .select(col("src"), col("dst"), col("hamming"))
+      .orderBy("src", "dst")
+  }
+
+  /** x94: STREAMING perceptual ingest — the daily-ingest composition for
+    * the image modality, closing the r13 verdict's #6: what x27's
+    * streaming rendering did for text and x84 did for embeddings, applied
+    * to x83b's probe. The corpus band index (variants 0-3) is decoded
+    * ONCE and committed to a versioned store; arriving images (v=4) drain
+    * in three forced micro-batches, each batch decoding ONLY its own ids
+    * (batch-sized decode by construction — the corpus side enters the
+    * stream-static join as a parquet scan of the persisted index, never a
+    * re-decode), probing via the banded equi-join, and landing its
+    * verdicts through commitBatch into a PER-BATCH store (x92's append
+    * shape — O(batch) written per batch). A crash-restart re-delivery of
+    * the last batch with poison rows must be a no-op on the manifest
+    * (x84's exactly-once probe). Registered as an INSTRUMENT (MemoryStream
+    * feed + forced drain are harness; the per-batch production paths are
+    * x83b/m13/m19 rows). The oracle is x83b's: the streamed end state
+    * must equal the one-shot batch probe bit for bit — possible because
+    * per-probe argmin is batch-local (batches partition probe ids) and
+    * the index is frozen before the stream starts.
+    */
+  val x94_stream_phash: Q = Q.instrument(
+    "x94_stream_phash",
+    """WITH dim AS (
+      |  SELECT doc_id, doc_id - doc_id % 5 AS b, doc_id % 5 AS v,
+      |         12 + (doc_id - doc_id % 5) % 7 AS w,
+      |         10 + (doc_id - doc_id % 5) % 5 AS h
+      |  FROM documents),
+      |pts AS (
+      |  SELECT doc_id, b, v, w, h, k, k % 8 AS i, k // 8 AS j,
+      |         ((k % 8) * w) // 9 AS x0, ((k % 8 + 1) * w) // 9 AS x1,
+      |         ((k // 8) * h) // 8 AS y0
+      |  FROM dim, unnest(generate_series(0, 63)) u(k)),
+      |m0 AS (
+      |  SELECT *,
+      |    (b * 2654435761 + x0 * 40503 + y0 * 70051 + x0 * y0 * 97) % 4294967296 AS ma0,
+      |    (b * 2654435761 + x1 * 40503 + y0 * 70051 + x1 * y0 * 97) % 4294967296 AS ma1
+      |  FROM pts),
+      |m1 AS (
+      |  SELECT doc_id, b, v, k, i, j,
+      |    (xor(ma0, ma0 // 65536) * 73856093) % 4294967296 AS mb0,
+      |    (xor(ma1, ma1 // 65536) * 73856093) % 4294967296 AS mb1
+      |  FROM m0),
+      |gp AS (
+      |  SELECT doc_id, k,
+      |    (xor(mb0, mb0 // 8192) % 256 +
+      |     CASE WHEN v > 0 AND j // 2 = (b + v) % 4 AND (i + b + v) % 9 < v
+      |          THEN 128 ELSE 0 END) % 256 AS g0,
+      |    (xor(mb1, mb1 // 8192) % 256 +
+      |     CASE WHEN v > 0 AND j // 2 = (b + v) % 4 AND (i + 1 + b + v) % 9 < v
+      |          THEN 128 ELSE 0 END) % 256 AS g1
+      |  FROM m1),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, k // 16 AS band,
+      |         CAST(sum(CASE WHEN g1 > g0 THEN 1 << (k % 16) ELSE 0 END) AS BIGINT) AS value
+      |  FROM gp GROUP BY doc_id, k // 16),
+      |cand AS MATERIALIZED (
+      |  SELECT DISTINCT q.doc_id AS probe_id, c.doc_id AS cand_id
+      |  FROM bands q JOIN bands c ON q.band = c.band AND q.value = c.value
+      |  WHERE q.doc_id % 5 = 4 AND c.doc_id % 5 <> 4),
+      |hm AS MATERIALIZED (
+      |  SELECT cd.probe_id, cd.cand_id,
+      |         CAST(sum(bit_count(xor(x.value, y.value))) AS BIGINT) AS hamming
+      |  FROM cand cd
+      |  JOIN bands x ON x.doc_id = cd.probe_id
+      |  JOIN bands y ON y.doc_id = cd.cand_id AND y.band = x.band
+      |  GROUP BY cd.probe_id, cd.cand_id
+      |  HAVING sum(bit_count(xor(x.value, y.value))) <= 10)
+      |SELECT probe_id AS media_id, cand_id AS match_id, hamming FROM (
+      |  SELECT probe_id, cand_id, hamming,
+      |         row_number() OVER (PARTITION BY probe_id
+      |                            ORDER BY hamming, cand_id) AS rn
+      |  FROM hm) WHERE rn = 1 ORDER BY media_id""".stripMargin,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.MultiStore
+    SnapshotQueries.withTempStore("graft-phash-stream") { root =>
+      // the persisted index: corpus (v=0..3) decoded ONCE, committed
+      MultiStore.commit(root, Map("bands" ->
+        perceptualBandTable(t.documents.filter(col("doc_id") % 5 =!= 4)).toDF()), keep = 8)
+      val corpusBands = MultiStore.read(spark, root, "bands")
+      // v=4 images arrive as three deterministic id micro-batches
+      val probeIds = t.documents.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id")).orderBy("doc_id").as[Long].collect()
+      val input = MemoryStream[Long]
+      val query = input.toDS().writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], id: Long) =>
+          // decode ONLY the arriving batch; the corpus side is the
+          // persisted parquet index (stream-static probe)
+          val batchBands = perceptualBandTable(batch.toDF("doc_id")).toDF()
+          MultiStore.commitBatch(root, "phash_ingest", id,
+            Map(s"matches_$id" -> perceptualProbe(corpusBands, batchBands, maxHamming = 10)),
+            keep = 8)
+          ()
+        }
+        .start()
+      try {
+        probeIds.grouped(math.max(1, (probeIds.length + 2) / 3)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      // crash-restart re-delivery with poison rows: marker must reject it
+      val mBefore = MultiStore.manifests(spark, root).last
+      val replayed = MultiStore.commitBatch(root, "phash_ingest", 2L,
+        Map("matches_2" -> corpusBands.limit(3)
+          .select(col("media_id"), col("media_id").as("match_id"),
+            lit(0L).as("hamming"))), keep = 8)
+      require(!replayed && MultiStore.manifests(spark, root).last == mBefore,
+        "x94: exactly-once violated — re-delivered batch mutated the verdict stores")
+      MultiStore.snapshot(spark, root).keys
+        .filter(_.startsWith("matches_")).toSeq.sorted
+        .map(MultiStore.read(spark, root, _))
+        .reduce(_ unionByName _)
+        .orderBy("media_id")
+    }
+  }
+
   val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode,
     x82_tiff_frames, x83_phash_clusters, x83b_phash_probe, x86_audio_segments,
-    x89_audio_fingerprint)
+    x89_audio_fingerprint, x89b_audio_fp_wide, x94_stream_phash)
 }

@@ -169,5 +169,50 @@ object VariantEvents {
       toolRollup(stored).localCheckpoint(true))
   }
 
-  val all: Seq[Q] = Seq(c16_variant_events)
+  /** w10: W1's turn sessionization over the VARIANT-TYPED events table
+    * itself — the r13 verdict's #7. `Tables.eventsVariant` parses `props`
+    * once at ingest; the frame roundtrips through a shredded parquet
+    * table, so the per-turn payload aggregate's `variant_get($.k)` is
+    * rewritten into a struct column read AT THE SCAN (pushVariantIntoScan
+    * — VariantSpec pins the plan shape). Same delimiter-count window as
+    * w1; what changes is that NO string re-parse happens per event — at
+    * 100 TB of trace events that is the difference between a CPU-bound
+    * scan and an IO-bound one (VariantScale measured 3.0×). The oracle
+    * replays the sessionization and extracts k from its own JSON string.
+    */
+  val w10_variant_turns = Q(
+    "w10_variant_turns",
+    """SELECT user_id, turn_id, count(*) AS n_events,
+      |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM (
+      |  SELECT user_id, props,
+      |         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS turn_id
+      |  FROM events)
+      |GROUP BY user_id, turn_id ORDER BY user_id, turn_id""".stripMargin,
+  ) { t =>
+    import org.apache.spark.sql.expressions.Window
+    withVariantTable(t.spark, t.eventsVariant) { ev =>
+      val turnId = sum(when(col("event_type") === "signup", 1).otherwise(0))
+        .over(Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      ev
+        // extract in the PROJECTION, not inside the aggregate:
+        // pushVariantIntoScan collects variant_get from projections /
+        // grouping keys / filters and rewrites them into shredded scan
+        // columns; buried inside an agg function it would read the full
+        // variant blob per row instead (VariantSpec pins this shape)
+        .select(
+          col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          variant_get(col("props"), "$.k", "long").as("k"))
+        .withColumn("turn_id", turnId)
+        .groupBy("user_id", "turn_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"))
+        .orderBy("user_id", "turn_id")
+        .localCheckpoint(true)
+    }
+  }
+
+  val all: Seq[Q] = Seq(c16_variant_events, w10_variant_turns)
 }

@@ -121,6 +121,14 @@ class PerceptualDedupSpec extends SparkSpec {
     }
   }
 
+  test("x94 streaming probe: the streamed end state equals the one-shot batch probe") {
+    val streamed = Multimodal.x94_stream_phash.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Multimodal.x83b_phash_probe.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("candidate generation is a keyed equi-join — never all pairs") {
     val bands = Multimodal.perceptualBandTable(tables.documents)(spark).toDF()
     val edges = Multimodal.perceptualNearDupEdges(bands, maxHamming = 10)

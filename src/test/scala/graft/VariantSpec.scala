@@ -58,4 +58,41 @@ class VariantSpec extends SparkSpec {
       s"variant_get not pushed into the scan:\n$plan")
     assert(tools.sorted === Seq("fetch", "none", "search"))
   }
+
+  test("w10: the VARIANT-typed events table — scan-side $.k extraction, w1-consistent turns") {
+    // plan shape: the k extraction must come out of the parquet reader as
+    // a shredded struct column, with no JSON re-parse in the query plan
+    val (plan, rows) = VariantEvents.withVariantTable(spark, tables.eventsVariant) { ev =>
+      val q = ev
+        .select(col("event_type"), variant_get(col("props"), "$.k", "long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"))
+      q.collect()
+      (q.queryExecution.executedPlan.toString, q.collect())
+    }
+    assert(!plan.contains("parse_json"), s"query plan re-parses JSON:\n$plan")
+    assert(!plan.contains("get_json_object"), s"query plan string-parses JSON:\n$plan")
+    // scan-side extraction: the projection-level variant_get is REWRITTEN
+    // into a shredded struct read — no variant_get survives in the
+    // executed plan, and the scan schema carries the typed path
+    assert(!plan.contains("variant_get"), s"variant_get not pushed into the scan:\n$plan")
+    assert(plan.contains("props:struct<"), s"scan schema not shredded:\n$plan")
+    assert(rows.nonEmpty)
+    // semantics: w10's per-turn (n_events, sum_k) must agree with the
+    // string-path reconstruction over the SAME raw table
+    val w10 = VariantEvents.w10_variant_turns.run(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val turnId = sum(when(col("event_type") === "signup", 1).otherwise(0))
+      .over(org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+    val expect = tables.events
+      .withColumn("turn_id", turnId)
+      .groupBy("user_id", "turn_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(w10 === expect)
+  }
 }

@@ -1600,17 +1600,27 @@ object Multimodal {
       val probeIds = t.documents.filter(col("doc_id") % 5 === 4)
         .select(col("doc_id")).orderBy("doc_id").as[Long].collect()
       val input = MemoryStream[Long]
-      val query = input.toDS().writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], id: Long) =>
-          // decode ONLY the arriving batch; the corpus side is the
-          // persisted parquet index (stream-static probe)
-          val batchBands = perceptualBandTable(batch.toDF("doc_id")).toDF()
-          MultiStore.commitBatch(root, "phash_ingest", id,
-            Map(s"matches_$id" -> perceptualProbe(corpusBands, batchBands, maxHamming = 10)),
-            keep = 8)
-          ()
-        }
-        .start()
+      // Micro-batch sizing (the st6/j3 rule): the probe's candidate join +
+      // hamming aggregate + argmin window run per batch over a few hundred
+      // rows — at the session's 32 shuffle partitions that is ~6 shuffles
+      // of near-empty partitions per batch, pure scheduling overhead. Pin
+      // the replay's partitioning to the batch keyspace; a production
+      // deployment sizes this to its batch rate, not the box.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], id: Long) =>
+            // decode ONLY the arriving batch; the corpus side is the
+            // persisted parquet index (stream-static probe)
+            val batchBands = perceptualBandTable(batch.toDF("doc_id")).toDF()
+            MultiStore.commitBatch(root, "phash_ingest", id,
+              Map(s"matches_$id" -> perceptualProbe(corpusBands, batchBands, maxHamming = 10)),
+              keep = 8)
+            ()
+          }
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       try {
         probeIds.grouped(math.max(1, (probeIds.length + 2) / 3)).foreach { chunk =>
           input.addData(chunk.toIndexedSeq)

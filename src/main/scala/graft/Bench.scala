@@ -131,10 +131,14 @@ object Bench {
     // clean probe on untouched queries) and fire 52-64 triggers — an
     // otherwise-flawless 205-query record (zero stall rows, zero rel rows,
     // spread_median_rel 0.21) failed ONLY because trigger 51 found the
-    // budget dry. The budget is a wall-time bound, not a cleanliness
-    // signal (noisy_retries reports the noise; denied retries fail the
-    // gate); size it so the gate measures what it claims to.
-    var retryBudget = 160
+    // budget dry. r14's host (steal-time visible even idle) fires 92-99
+    // triggers across 230 queries — two windows whose every median was
+    // stable or successfully re-measured failed ONLY on denial again, so
+    // the r12 resize was itself stale. The budget is a wall-time bound,
+    // not a cleanliness signal (noisy_retries reports the noise; denied
+    // retries fail the gate); size it so the gate measures what it claims
+    // to: 240 covers 120 retried queries, ~25% above the worst observed.
+    var retryBudget = 240
     var retried     = 0
     var denied      = 0
     val results = selected.map { q =>
@@ -155,18 +159,39 @@ object Bench {
       // whole retry budget on 0.1 s queries' micro-variance — measured
       // 12/12 slots), while real host excursions are >=0.15 s (a 0.3 s
       // floor let a 0.16 s stall on a 0.13 s query through — measured)
-      if (times(2) - times(0) > math.max(0.5 * times(1), 0.15)) {
+      // Middle window of the current sample: drop one extreme per side
+      // beyond 3 reps, so the stall reps a retry was MEANT to reject
+      // never count against the re-measured spread.
+      def mid(ts: IndexedSeq[Double]): IndexedSeq[Double] = {
+        val d = (ts.size - 3) / 2 // 3→0, 5→1, 7→2: middle three
+        ts.slice(d, ts.size - d)
+      }
+      def stallShaped(ts: IndexedSeq[Double]): Boolean = {
+        val w = mid(ts)
+        w.last - w.head > math.max(0.5 * w(w.size / 2), 0.15)
+      }
+      // Escalating re-measure (r14: at ~97 stall triggers per 230-query
+      // window, TWO stalls landing in one query's 5 reps stopped being
+      // exceptional — each full run failed its gate on a different random
+      // such row). First trigger adds 2 reps (median-of-5, middle-3
+      // spread); if the middle-3 is still stall-shaped, one more
+      // escalation to 7 (median-of-7, middle-3-of-7). Same budget, same
+      // rejection principle — the gate's criteria are unchanged, the
+      // harness just re-measures until the stalls are outvoted or the
+      // budget says stop.
+      var escalations = 0
+      while (stallShaped(times) && escalations < 2) {
         if (retryBudget >= 2) {
           retryBudget -= 2
-          retried += 1
+          if (escalations == 0) retried += 1
+          escalations += 1
           times = (times ++ (1 to 2).map(_ => rep())).sorted
-        } else denied += 1
+        } else { denied += 1; escalations = 2 }
       }
       betweenQueries()
-      val median = times(times.size / 2)
-      val spread =
-        if (times.size == 3) times(2) - times(0)
-        else times(3) - times(1) // middle-3 of 5: extremes are the stalls
+      val w      = mid(times)
+      val median = w(w.size / 2)
+      val spread = w.last - w.head
       R(q.name, median, spread, q.instrument)
     }
     val total = results.map(_.median).sum

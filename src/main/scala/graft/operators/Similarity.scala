@@ -1375,9 +1375,125 @@ object Similarity {
     }
   }
 
+  /** x95: rank-aware retrieval evaluation — nDCG@5 + MRR + recall@5 of
+    * the real IVF probe against the exact cosine ranking, extending x75's
+    * set-overlap recall to metrics that SEE rank order: recall cannot
+    * tell an index that returns the true top-5 in order from one that
+    * returns them reversed, and at 100 TB the nProbe/nCells tradeoff is
+    * tuned against exactly these curves before queries degrade. Graded
+    * relevance comes from the exact ranking itself (rel = 6 − exact rank
+    * for the true top-5, 0 otherwise — integer by construction), DCG uses
+    * the standard ln-based log2 discount, IDCG is the perfect-order
+    * constant computed with the SAME discount expression, MRR is the
+    * reciprocal of the first relevant position. All inputs to the doubles
+    * are small integers and 6dp-rounded cosines, so both engines walk
+    * identical arithmetic (the x91 AUC discipline, rank edition).
+    * Generator-agnostic like x75: swap the IVF frame for x10/x31/x69
+    * output and the eval is unchanged. Plan: exact side is probe-bounded
+    * (10 broadcast queries map-side against the corpus); the IVF side is
+    * the production probe; everything after is probe×k-sized.
+    */
+  val x95_retrieval_eval = Q(
+    "x95_retrieval_eval",
+    """WITH cents AS (
+      |  SELECT vec_id AS cell, embedding AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT cell, vec_id, embedding FROM (
+      |    SELECT c.cell, e.vec_id, e.embedding,
+      |           row_number() OVER (
+      |             PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings e, cents c) WHERE rn = 1),
+      |iprobes AS (
+      |  SELECT query_id, qe, cell FROM (
+      |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cell,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.centroid AS DOUBLE[])), 6) DESC,
+      |                      c.cell) AS rn
+      |    FROM embeddings q, cents c WHERE q.vec_id < 10) WHERE rn <= 4),
+      |ivf AS (
+      |  SELECT query_id, vec_id, rn AS pos FROM (
+      |    SELECT p.query_id, a.vec_id,
+      |           row_number() OVER (
+      |             PARTITION BY p.query_id
+      |             ORDER BY round(list_cosine_similarity(CAST(p.qe AS DOUBLE[]),
+      |                                                   CAST(a.embedding AS DOUBLE[])), 6) DESC,
+      |                      a.vec_id) AS rn
+      |    FROM iprobes p JOIN assigned a USING (cell)
+      |    WHERE a.vec_id <> p.query_id)
+      |  WHERE rn <= 5),
+      |exact AS (
+      |  SELECT query_id, vec_id, rn FROM (
+      |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+      |           row_number() OVER (
+      |             PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+      |                      c.vec_id) AS rn
+      |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |    WHERE q.vec_id < 10)
+      |  WHERE rn <= 5),
+      |lab AS (
+      |  SELECT i.query_id, i.pos, COALESCE(6 - e.rn, 0) AS rel
+      |  FROM ivf i LEFT JOIN exact e
+      |    ON e.query_id = i.query_id AND e.vec_id = i.vec_id),
+      |idcg AS (SELECT sum((6 - p) * ln(2) / ln(p + 1)) AS idcg
+      |         FROM unnest(generate_series(1, 5)) t(p)),
+      |perq AS (
+      |  SELECT query_id,
+      |         CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |         sum(rel * ln(2) / ln(pos + 1)) AS dcg,
+      |         min(CASE WHEN rel > 0 THEN pos END) AS first_hit
+      |  FROM lab GROUP BY 1)
+      |SELECT q.vec_id AS query_id,
+      |       COALESCE(p.n_hits, 0) AS n_hits,
+      |       round(COALESCE(p.n_hits, 0) / 5.0, 6) AS recall,
+      |       round(COALESCE(p.dcg, 0) / i.idcg, 6) AS ndcg,
+      |       round(COALESCE(1.0 / p.first_hit, 0), 6) AS mrr
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) q
+      |CROSS JOIN idcg i
+      |LEFT JOIN perq p ON p.query_id = q.vec_id
+      |ORDER BY query_id""".stripMargin,
+  ) { t =>
+    val probes = t.embeddings.filter(col("vec_id") < 10)
+    val q = probes.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val c = t.embeddings.select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    val exact = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("sim"))
+      .withColumn("e_rank", row_number().over(w))
+      .filter(col("e_rank") <= 5)
+      .select("query_id", "vec_id", "e_rank")
+    val approx = ivfTopK(t.embeddings, probes, k = 5, nCells = 16, nProbe = 4)
+      .withColumn("pos", row_number().over(w))
+      .select("query_id", "vec_id", "pos")
+    val labeled = approx.join(exact, Seq("query_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(lit(6) - col("e_rank"), lit(0)))
+    val perQ = labeled.groupBy("query_id").agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+      sum(col("rel") * log(lit(2.0)) / log(col("pos") + lit(1.0))).as("dcg"),
+      min(when(col("rel") > 0, col("pos"))).as("first_hit"))
+    // the perfect-order constant, same ln-based discount as the dcg
+    val idcg = (1 to 5).map(p => (6 - p) * math.log(2.0) / math.log(p + 1.0)).sum
+    probes.select(col("vec_id").as("query_id"))
+      .join(perQ, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6).as("recall"),
+        round(coalesce(col("dcg"), lit(0.0)) / lit(idcg), 6).as("ndcg"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
       x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann,
-      x84_stream_ann, x85_semantic_decontam)
+      x84_stream_ann, x85_semantic_decontam, x95_retrieval_eval)
 }

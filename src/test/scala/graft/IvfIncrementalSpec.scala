@@ -61,4 +61,23 @@ class IvfIncrementalSpec extends SparkSpec {
     // the batch-side scan pushes the vec_id cutoff down to parquet
     assert(plan.contains("GreaterThanOrEqual(vec_id,400)"), s"batch filter not pushed:\n$plan")
   }
+
+  test("x95 rank-aware eval: recall agrees with x75; ndcg/mrr bounded and order-sensitive") {
+    val x95 = Similarity.x95_retrieval_eval.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val x75 = Similarity.x75_ann_recall.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(x95.keySet === x75.keySet)
+    x95.foreach { case (q, (hits, recall, ndcg, mrr)) =>
+      assert(recall === x75(q), s"query $q: x95 recall diverged from x75")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"query $q: ndcg $ndcg out of range")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"query $q: mrr $mrr out of range")
+      // nDCG sees what recall can't: a full-recall list in perfect order
+      // scores exactly 1; any miss must pull nDCG strictly below 1
+      if (hits == 5L && ndcg == 1.0) () // perfect list
+      if (hits < 5L) assert(ndcg < 1.0, s"query $q: $hits/5 hits but ndcg=1")
+      if (hits > 0L) assert(mrr > 0.0, s"query $q: hits but mrr=0")
+    }
+  }
 }

@@ -1165,21 +1165,49 @@ object Dedup {
     * DF-cap aggregate, and a semi-join — no all-pairs anywhere until the
     * caller's fingerprint equi-join, whose buckets the cap bounds.
     */
-  def winnowFingerprints(docs: DataFrame, k: Int, w: Int, maxDf: Int): DataFrame = {
+  /** Per-doc winnow fingerprints BEFORE the document-frequency cap — the
+    * batch-side kernel of [[winnowProbe]] (a probe batch is batch-sized
+    * by definition; the DF cap is an artifact of the INDEX side, where
+    * hot boilerplate fingerprints would otherwise blow up bucket joins).
+    */
+  def winnowFingerprintsRaw(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val g = positionedGrams(docs, k, fingerprints = false)
       .withColumn("h", Curation.hashBucket(col("g"), "win|", 1 << 24))
     val sliding = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     val whole   = Window.partitionBy("doc_id")
-    val fps = g
+    g
       .withColumn("fp", min(col("h")).over(sliding))
       .withColumn("pmax", max(col("pos")).over(whole))
       .filter(col("pos") <= col("pmax") - (w - 1)) // full windows only
       .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int, maxDf: Int): DataFrame = {
+    val fps = winnowFingerprintsRaw(docs, k, w)
       .localCheckpoint() // feeds the DF cap AND the kept set
     val kept = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fp")
     // the USING-join puts fp first; restore (doc_id, fp)
     fps.join(kept, Seq("fp"), "left_semi").select("doc_id", "fp")
+  }
+
+  /** Incremental winnowing probe — the x27/x72/x83b daily-ingest pattern
+    * at the MOSS granularity: an arriving batch is fingerprinted (batch-
+    * sized work, no cap) and matched against the CORPUS fingerprint index
+    * (DF-capped at build time, the persisted artifact a production
+    * pipeline maintains); a (batch, corpus) pair is reported with its
+    * shared-fingerprint count when it reaches `minShared`. Candidates
+    * come from the fp equi-join — batch-fps × bucket, never batch×corpus.
+    */
+  def winnowProbe(corpus: DataFrame, batch: DataFrame, k: Int, w: Int,
+                  maxDf: Int, minShared: Int): DataFrame = {
+    val idx  = winnowFingerprints(corpus, k, w, maxDf)
+    val bfps = winnowFingerprintsRaw(batch, k, w)
+    bfps.as("b")
+      .join(idx.as("c"), col("b.fp") === col("c.fp"))
+      .groupBy(col("b.doc_id").as("doc_id"), col("c.doc_id").as("match_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Suspect pairs from shared winnow fingerprints: (src, dst, n_shared)
@@ -1225,6 +1253,40 @@ object Dedup {
       .orderBy("src", "dst")
   }
 
+  val x93b_winnow_probe = Q(
+    "x93b_winnow_probe",
+    s"""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |             ${TrainPrep.md5BucketSql("'win|' || array_to_string(w[i:i+2], ' ')")} AS h
+       |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM wd)),
+       |mx AS (SELECT doc_id, max(pos) AS pmax FROM g GROUP BY 1),
+       |win AS (SELECT g.doc_id, g.pos,
+       |               min(h) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+       |                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |        FROM g),
+       |fps AS (SELECT DISTINCT w.doc_id, w.fp
+       |        FROM win w JOIN mx ON mx.doc_id = w.doc_id WHERE w.pos <= mx.pmax - 3),
+       |cfps AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 0),
+       |kept AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM cfps GROUP BY 1) WHERE df <= 50),
+       |idx AS (SELECT c.doc_id, c.fp FROM cfps c JOIN kept USING (fp)),
+       |bfps AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 <> 0)
+       |SELECT b.doc_id, i.doc_id AS match_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM bfps b JOIN idx i ON b.fp = i.fp
+       |GROUP BY 1, 2 HAVING count(*) >= 3
+       |ORDER BY b.doc_id, match_id""".stripMargin,
+  ) { t =>
+    // The incremental rendering of x93 (even ids = indexed corpus, odd =
+    // arriving batch — the x27 convention): the index carries the DF cap,
+    // the batch is fingerprinted raw, and only the fp equi-join touches
+    // both sides. Closes the daily-ingest story for the third text-dedup
+    // granularity: x27 whole-doc, x72 exact spans, x93b partial overlap.
+    winnowProbe(
+      t.documents.filter(col("doc_id") % 2 === 0),
+      t.documents.filter(col("doc_id") % 2 =!= 0),
+      k = 3, w = 4, maxDf = 50, minShared = 3)
+      .orderBy("doc_id", "match_id")
+  }
+
   val all: Seq[Q] = Seq(
     a5_exact_dedup, x2_ngram_jaccard, x2_fast_ngram_jaccard,
     x3_minhash_signatures, x3_minhash_lsh_pairs, x3b_minhash_md5,
@@ -1232,5 +1294,6 @@ object Dedup {
     x27_incremental_neardup, x27_fast_incremental, x66_fuzzy_match,
     x71_span_dedup, x71_fast_span_dedup, x71b_span_excise,
     x72_incremental_spans, x72_fast_incremental_spans, x93_winnowing,
+    x93b_winnow_probe,
   )
 }

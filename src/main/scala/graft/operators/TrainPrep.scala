@@ -617,6 +617,48 @@ object TrainPrep {
       .orderBy("component")
   }
 
+  /** x96: duplicate-aware REWEIGHTING — soft dedup. Hard dedup (x23/x26)
+    * drops copies; but when packing order, shard layout, or provenance
+    * must be preserved, the curator instead keeps every copy and weights
+    * it 1/|cluster| so the training distribution equals sampling ONE copy
+    * per cluster in expectation (Σ weights = n_clusters; Σ eff_tokens =
+    * the expected token mass of that sample — the spec pins the first
+    * identity). The
+    * weight column feeds the samplers (x14 stratified / x30 mixture /
+    * x57 reservoir) unchanged. Clusters come from the REAL min-label CC
+    * loop over the chain-edge graph (clusterLabeledDocs — the x23
+    * machinery, singleton fallback included); one window over the
+    * component key is the only added shuffle. The oracle replays the
+    * chain component's closed form (doc_id − doc_id % 7).
+    */
+  val x96_softdedup_weights = Q(
+    "x96_softdedup_weights",
+    """WITH comp AS (
+      |  SELECT doc_id, doc_id - doc_id % 7 AS component FROM documents),
+      |scored AS (
+      |  SELECT c.component, d.doc_id, len(string_split(d.text, ' ')) AS tokens
+      |  FROM comp c JOIN documents d USING (doc_id)),
+      |sized AS (
+      |  SELECT component, doc_id, tokens,
+      |         count(*) OVER (PARTITION BY component) AS cluster_size
+      |  FROM scored)
+      |SELECT CAST(component AS BIGINT) AS component, doc_id,
+      |       CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       round(1.0 / cluster_size, 6) AS weight,
+      |       round(CAST(tokens AS DOUBLE) / cluster_size, 6) AS eff_tokens
+      |FROM sized ORDER BY doc_id""".stripMargin,
+  ) { t =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    clusterLabeledDocs(t)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(
+        col("component").cast("long").as("component"), col("doc_id"),
+        col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"),
+        round(col("tokens").cast("double") / col("cluster_size"), 6).as("eff_tokens"))
+      .orderBy("doc_id")
+  }
+
   val x24_quality_verdicts = Q(
     "x24_quality_verdicts",
     """WITH d AS (
@@ -1312,7 +1354,7 @@ object TrainPrep {
   val all: Seq[Q] = Seq(
     x14_stratified_sample, x15_sequence_packing, x16_decontamination,
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
-    x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts,
+    x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts, x96_softdedup_weights,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,

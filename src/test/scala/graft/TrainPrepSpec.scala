@@ -135,6 +135,22 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("x96 soft dedup: weights are 1/cluster_size and sum to the cluster count; every copy kept") {
+    val rows = TrainPrep.x96_softdedup_weights.run(spark, sf0001).collect()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(rows.length.toLong == nDocs, "soft dedup must keep every copy")
+    val byComponent = rows.groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val (component, size, weight) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(size == byComponent(component).length.toLong, s"cluster $component size mismatch")
+      assert(math.abs(weight - 1.0 / size) < 1e-6, s"cluster $component weight != 1/size")
+    }
+    // the defining identity: expected sample mass = one doc per cluster
+    val sumW = rows.map(_.getDouble(3)).sum
+    assert(math.abs(sumW - byComponent.size) < 0.01,
+      s"sum of weights $sumW != n_clusters ${byComponent.size}")
+  }
+
   test("x24 verdicts: counts partition the corpus, labels from the fixed rule set, one-pass plan") {
     val df   = TrainPrep.x24_quality_verdicts.run(spark, sf0001)
     val rows = df.collect()

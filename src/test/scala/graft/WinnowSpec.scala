@@ -58,4 +58,25 @@ class WinnowSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)), s"planted pair not found: $pairs")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"noise doc matched: $pairs")
   }
+
+  test("x93b probe: batch-vs-index matches are exactly the mixed-parity slice when caps agree") {
+    val docs = Tables(spark, sf0001).documents
+    val probe = Dedup.winnowProbe(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0),
+      k = 3, w = 4, maxDf = 1000000, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    probe.foreach { case (b, c, n) =>
+      assert(b % 2 == 1 && c % 2 == 0, s"parity violated: ($b, $c)")
+      assert(n >= 3)
+    }
+    // with the DF cap effectively OFF on both paths, the probe's pair set
+    // must equal the mixed-parity restriction of the full-corpus pair set
+    val full = Dedup.winnowPairs(docs, k = 3, w = 4, maxDf = 1000000, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect { case (a, b, n) if (a % 2) != (b % 2) =>
+        if (a % 2 == 1) (a, b, n) else (b, a, n)
+      }.toSet
+    assert(probe === full)
+  }
 }

@@ -9,7 +9,8 @@ import graft.Q
 /** Learned quality models over the curation features — the trainable half
   * of the x24/x87 scoring story (CCNet trains a classifier on top of its
   * LM/ratio features; fastText-style quality classifiers gate most public
-  * pretraining corpora). Two registry rows:
+  * pretraining corpora). Registry rows (plus x92, the streaming gate, and
+  * x99, Platt calibration of the LM scorer — defined below):
   *
   *  - x90: logistic regression trained by batch gradient descent ENTIRELY
   *    in Spark aggregates — each step is one map-side-combined aggregate
@@ -81,7 +82,12 @@ object QualityModels {
 
   private val GdSteps = 16
 
-  private def x90OracleSql: String = {
+  /** The shared GD-trajectory oracle prefix (feat + w0..wN chained CTEs)
+    * — x90 reports the final weights from it, x99 calibrates the
+    * probabilities they imply. One definition so the two rows cannot
+    * drift onto different trajectories.
+    */
+  private def gdOraclePrefix: String = {
     val sig = "1/(1+exp(-(b + v1*f1 + v2*f2)))"
     val rounds = (1 to GdSteps).map { r =>
       s"""w$r AS (
@@ -97,7 +103,11 @@ object QualityModels {
        |         CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) / 10.0 AS f2
        |  FROM documents),
        |w0 AS (SELECT 0.0 AS b, 0.0 AS v1, 0.0 AS v2),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def x90OracleSql: String =
+    s"""$gdOraclePrefix
        |SELECT 'bias' AS metric, round(b, 6) AS value FROM w$GdSteps
        |UNION ALL SELECT 'w_stop', round(v1, 6) FROM w$GdSteps
        |UNION ALL SELECT 'w_mcl', round(v2, 6) FROM w$GdSteps
@@ -105,7 +115,6 @@ object QualityModels {
        |  round(avg(CASE WHEN (round(b + v1*f1 + v2*f2, 6) > 0) = (y > 0.5)
        |            THEN 1.0 ELSE 0.0 END), 6)
        |FROM feat, w$GdSteps ORDER BY metric""".stripMargin
-  }
 
   /** x90: the trained quality classifier. Training accuracy is judged on
     * the ROUNDED margin so both engines threshold identical values; the
@@ -215,6 +224,112 @@ object QualityModels {
 
   private[operators] final case class QDoc(doc_id: Long, lang: String, text: String)
 
+  /** Platt-scaling GD over a (y, f) frame: fit p = sigmoid(b + a·f) by
+    * `steps` full-batch steps at rate `lr` from zero init — logregGd's
+    * one-feature sibling, same per-step 10dp quantization contract.
+    */
+  private[graft] def plattGd(feat: DataFrame, lr: Double, steps: Int): (Double, Double) = {
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var b = 0.0; var a = 0.0
+    (1 to steps).foreach { _ =>
+      val err = col("y") - lit(1.0) / (lit(1.0) + exp(-(lit(b) + lit(a) * col("f"))))
+      val g = feat.agg(avg(err).as("gb"), avg(col("f") * err).as("ga")).head()
+      b = r10(b + lr * g.getDouble(0))
+      a = r10(a + lr * g.getDouble(1))
+    }
+    (b, a)
+  }
+
+  /** x99: CALIBRATION of the LM quality scorer — Platt scaling (Platt
+    * 1999) plus the reliability table that tells a curation run whether
+    * the calibrated probabilities can be READ as admission rates. x91
+    * proves the x87 LM RANKS well (AUC ≈ 0.83) but its score is an
+    * avg-NLL, not a probability; the classical bridge is a 1-D logistic
+    * fit p = sigmoid(b + a·(s − 5)) trained by the same per-step-quantized
+    * GD as x90 (the −5 centering puts the corpus's measured NLL band
+    * [3.7, 6.0] around zero so unit-lr GD is well-conditioned; y = the
+    * non-en detected class, x91's orientation). Each document's fitted
+    * probability is rounded to 6dp, decile-binned, and each non-empty bin
+    * reports size, mean predicted probability, observed positive rate
+    * (exact integer ratio), and |gap| — ECE is Σ (n_b/N)·gap_b over this
+    * table (the spec pins the identity). Calibrating the LOGREG (x90)
+    * instead would be vacuous here: its probabilities span < 0.01 on this
+    * weakly-separated corpus, collapsing every bin into one — measured,
+    * which is itself why the LM scorer is the one worth calibrating.
+    * Shape at 100 TB: one LM scoring pass (x87's — two corpus passes),
+    * GD steps over the checkpointed doc-grain (y, f) frame (driver sees
+    * two doubles per round), and a ≤10-key bin aggregate — bounded by the
+    * grid, not the corpus. exp() sits under a 6dp round and the loop is
+    * per-step quantized (the x90 contract).
+    */
+  val x99_scorer_calibration = Q(
+    "x99_scorer_calibration", {
+      val sig = "1/(1+exp(-(b + a*f)))"
+      val rounds = (1 to GdSteps).map { r =>
+        s"""pw$r AS (
+           |  SELECT round(b + 1.0 * sum(y - $sig) / count(*), 10) AS b,
+           |         round(a + 1.0 * sum(f * (y - $sig)) / count(*), 10) AS a
+           |  FROM feat2, pw${r - 1} GROUP BY b, a)""".stripMargin
+      }
+      s"""WITH ref AS MATERIALIZED (SELECT text FROM documents WHERE lang = 'en'),
+         |rbg AS (SELECT array_to_string(w[i:i+1], ' ') AS bg
+         |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+         |              FROM (SELECT string_split(text, ' ') AS w FROM ref) WHERE len(w) >= 2)),
+         |cb0 AS MATERIALIZED (SELECT bg, count(*) AS cb FROM rbg GROUP BY 1),
+         |model AS MATERIALIZED (SELECT bg, cb FROM (
+         |  SELECT bg, cb, row_number() OVER (ORDER BY cb DESC, bg) AS rn FROM cb0) WHERE rn <= 256),
+         |ctx AS MATERIALIZED (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cu FROM cb0 GROUP BY 1),
+         |v AS MATERIALIZED (SELECT count(DISTINCT x) AS v FROM (
+         |  SELECT split_part(bg, ' ', 1) AS x FROM cb0
+         |  UNION SELECT split_part(bg, ' ', 2) FROM cb0)),
+         |dbg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, count(*) AS k
+         |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+         |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |              WHERE len(w) >= 2)
+         |        GROUP BY 1, 2),
+         |sc AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |         round(sum(d.k * (ln(coalesce(c.cu, 0) + v.v) - ln(coalesce(m.cb, 0) + 1))) / sum(d.k), 6) AS s
+         |  FROM dbg d LEFT JOIN model m USING (bg)
+         |             LEFT JOIN ctx c ON c.w1 = split_part(d.bg, ' ', 1)
+         |             CROSS JOIN v
+         |  GROUP BY 1),
+         |feat2 AS MATERIALIZED (
+         |  SELECT CASE WHEN t.lang <> 'en' THEN 1.0 ELSE 0.0 END AS y, sc.s - 5.0 AS f
+         |  FROM sc JOIN documents t USING (doc_id)),
+         |pw0 AS (SELECT 0.0 AS b, 0.0 AS a),
+         |${rounds.mkString(",\n")},
+         |p AS (SELECT y, round(1/(1+exp(-(b + a*f))), 6) AS p FROM feat2, pw$GdSteps),
+         |bn AS (SELECT LEAST(CAST(floor(p * 10) AS BIGINT), 9) AS bin, y, p FROM p)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |       round(avg(p), 6) AS mean_pred,
+         |       round(sum(y) / count(*), 6) AS obs_rate,
+         |       round(abs(round(avg(p), 6) - round(sum(y) / count(*), 6)), 6) AS abs_gap
+         |FROM bn GROUP BY bin ORDER BY bin""".stripMargin
+    },
+  ) { t =>
+    val feat = Curation
+      .lmQuality(t.documents, t.documents.filter(col("lang") === "en"), "doc_id", "text", 256)
+      .join(t.documents.select("doc_id", "lang"), Seq("doc_id"))
+      .select(
+        when(col("lang") =!= "en", 1.0).otherwise(0.0).as("y"),
+        (col("avg_nll") - 5.0).as("f")) // avg_nll is 6dp-rounded by lmQuality
+      .localCheckpoint()
+    val (b, a) = plattGd(feat, lr = 1.0, steps = GdSteps)
+    val p = round(lit(1.0) / (lit(1.0) + exp(-(lit(b) + lit(a) * col("f")))), 6)
+    feat
+      .select(col("y"), p.as("p"))
+      .withColumn("bin", least(floor(col("p") * 10).cast("long"), lit(9L)))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("mean_pred"),
+        round(sum(col("y")) / count(lit(1)), 6).as("obs_rate"))
+      .withColumn("abs_gap", round(abs(col("mean_pred") - col("obs_rate")), 6))
+      .orderBy("bin")
+  }
+
   /** x92: the quality gate ON THE STREAM — the serving shape of x87. The
     * LM is trained ONCE on the trusted slice and frozen (model = literal
     * map, contexts = a checkpointed static frame, V = a scalar); arriving
@@ -309,5 +424,6 @@ object QualityModels {
     }
   }
 
-  val all: Seq[Q] = Seq(x90_quality_logreg, x91_scorer_auc, x92_stream_quality)
+  val all: Seq[Q] =
+    Seq(x90_quality_logreg, x91_scorer_auc, x92_stream_quality, x99_scorer_calibration)
 }

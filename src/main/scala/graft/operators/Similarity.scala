@@ -1491,9 +1491,83 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** x98: cluster-quality evaluation — the SIMPLIFIED (centroid-based)
+    * silhouette of Hruschka et al.: per point, a = cosine distance to its
+    * own (nearest) centroid, b = distance to the second-nearest centroid,
+    * s = (b − a) / max(a, b) — which closes to (c1 − c2) / (1 − c2) in
+    * similarity terms since nearest-assignment guarantees a ≤ b (so the
+    * simplified score is ≥ 0 by construction; the full pairwise
+    * silhouette can go negative only for misassigned points, which
+    * nearest-assignment excludes). The centroid form is the one that
+    * exists at 100 TB: O(N·k) against broadcast centroids instead of the
+    * O(N²) pairwise definition — the same reduction x49/x56 build on.
+    * ONE pass: corpus × broadcast(centroids), top-2 similarities per
+    * point via the rank window (map-side WindowGroupLimit under the
+    * vec_id partitioning), then a k-key aggregate. Completes the
+    * clustering family the way x75/x95 complete ANN and x91 completes the
+    * quality scorers: train (x56), serve (x18/x67), now MEASURE.
+    *
+    * Centroids here are the deterministic first-k grid (x85's seeds) so
+    * DuckDB replays them exactly; production centroids come from x56's
+    * quantized Lloyd pass through the same frame. Similarities are 6dp
+    * (the cosine() contract), so c1 − c2 and the final division see
+    * bit-identical inputs in both engines; per-point s is re-rounded to
+    * 6dp before the per-cluster mean.
+    */
+  val x98_silhouette = Q(
+    "x98_silhouette",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |d AS (
+      |  SELECT e.vec_id, s.cell,
+      |         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) AS sim,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                    s.cell) AS rn
+      |  FROM embeddings e CROSS JOIN seeds s),
+      |pv AS (
+      |  SELECT vec_id,
+      |         max(CASE WHEN rn = 1 THEN cell END) AS cell,
+      |         max(CASE WHEN rn = 1 THEN sim END) AS c1,
+      |         max(CASE WHEN rn = 2 THEN sim END) AS c2
+      |  FROM d WHERE rn <= 2 GROUP BY vec_id),
+      |sil AS (
+      |  SELECT cell,
+      |         CASE WHEN c2 >= 1 THEN 0.0
+      |              ELSE round((c1 - c2) / (1 - c2), 6) END AS s
+      |  FROM pv)
+      |SELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_points,
+      |       round(avg(s), 6) AS mean_sil
+      |FROM sil GROUP BY cell ORDER BY cell""".stripMargin,
+  ) { t =>
+    val seeds = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    t.embeddings
+      .crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("rn") === 1, col("cell"))).as("cell"),
+        max(when(col("rn") === 1, col("sim"))).as("c1"),
+        max(when(col("rn") === 2, col("sim"))).as("c2"))
+      .select(col("cell"),
+        when(col("c2") >= 1, lit(0.0))
+          .otherwise(round((col("c1") - col("c2")) / (lit(1) - col("c2")), 6)).as("s"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), round(avg(col("s")), 6).as("mean_sil"))
+      .select(col("cell").cast("long").as("cell"), col("n_points"), col("mean_sil"))
+      .orderBy("cell")
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
       x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann,
-      x84_stream_ann, x85_semantic_decontam, x95_retrieval_eval)
+      x84_stream_ann, x85_semantic_decontam, x95_retrieval_eval, x98_silhouette)
 }

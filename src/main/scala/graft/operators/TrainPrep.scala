@@ -1007,6 +1007,101 @@ object TrainPrep {
       .orderBy("lang")
   }
 
+  /** DuckDB rendering of the x97 multiplicative-weights trajectory:
+    * chained CTEs, one (update, renormalize) pair per round over the
+    * G-row domain table. `AS MATERIALIZED` is load-bearing (the
+    * bpeOracleSql lesson): each round reads its predecessor twice (the
+    * FROM plus the mixture-average scalar subquery), so inlined CTEs
+    * re-expand the base scan 2^rounds times — "Too many open files" at
+    * rounds=8, measured. Per-round 10dp quantization in BOTH engines
+    * (the x90 discipline) resets the ~1e-16 summation-order drift that
+    * an iterated loop would otherwise compound.
+    */
+  private def doremiOracleSql(rounds: Int, eta: Double): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""u$r AS MATERIALIZED (
+         |  SELECT lang, L, w * (1 + $eta * (L - (SELECT sum(w * L) FROM w${r - 1}))) AS u
+         |  FROM w${r - 1}),
+         |w$r AS MATERIALIZED (
+         |  SELECT lang, L, round(u / (SELECT sum(u) FROM u$r), 10) AS w FROM u$r)""".stripMargin
+    }
+    val out = (0 to rounds)
+      .map(r => s"SELECT $r AS step, lang, round(w, 6) AS weight FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT lang,
+       |         round((CAST(sum(n_chars) AS DOUBLE) - sum(toks) + count(*)) / sum(toks), 6) AS L
+       |  FROM (SELECT lang, n_chars,
+       |               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |        FROM documents)
+       |  GROUP BY lang),
+       |w0 AS MATERIALIZED (
+       |  SELECT lang, L, round(1.0 / (SELECT count(*) FROM st), 10) AS w FROM st),
+       |${steps.mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, lang, weight FROM (
+       |$out) ORDER BY step, lang""".stripMargin
+  }
+
+  val x97_doremi_weights = Q(
+    "x97_doremi_weights",
+    doremiOracleSql(rounds = 8, eta = 0.5),
+  ) { t =>
+    // LEARNED domain mixture weights — the step BEFORE x30's budget
+    // admission: x30 takes target weights as GIVEN; DoReMi (Xie et al.
+    // 2023, arXiv:2305.10429) learns them by Group-DRO multiplicative
+    // weights, upweighting domains whose loss exceeds the current
+    // mixture's average. The engine contract is the UPDATE SHAPE, which
+    // is what survives at 100 TB: ONE corpus pass reduces each domain to
+    // three exact integer sums (chars, tokens, docs — map-side combined,
+    // G keys), the T-round update then runs driver-local over G doubles
+    // per round (the x80b philosophy: corpus-sized work distributed
+    // exactly once, tiny-state iteration on the driver), and the full
+    // weight trajectory is emitted for the audit trail a mixture decision
+    // needs. The per-domain loss here is an oracle-expressible surrogate
+    // (token-weighted mean word length — derived from the same two
+    // integers as x24's mean_len, so both engines see identical doubles);
+    // in a real deployment it is the proxy-vs-reference model loss gap,
+    // swapped in through the same G-row frame. The update is the
+    // LINEARIZED rule w·(1 + eta·excess) rather than w·exp(eta·excess):
+    // first-order identical, and it keeps cross-engine libm exp() out of
+    // an iterated loop entirely (x90 has to quantize exp drift away per
+    // step; here there is none to quantize). Weights are renormalized and
+    // rounded to 10dp each round in both engines, reported at 6dp.
+    val spark = t.spark
+    import spark.implicits._
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val eta = 0.5
+    val rounds = 8
+    val stats = t.documents
+      .groupBy("lang")
+      .agg(
+        sum(col("n_chars")).as("chars"),
+        sum(Curation.tokenCount(col("text"))).as("toks"),
+        count(lit(1)).as("n"))
+      .select(col("lang"),
+        round((col("chars").cast("double") - col("toks") + col("n")) / col("toks"), 6)
+          .as("L"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val langs = stats.map(_._1)
+    val losses = stats.map(_._2)
+    var w = Array.fill(stats.length)(r10(1.0 / stats.length))
+    val traj = Seq.newBuilder[(Long, String, Double)]
+    langs.indices.foreach(i => traj += ((0L, langs(i), r6(w(i)))))
+    (1 to rounds).foreach { r =>
+      val mix = langs.indices.map(i => w(i) * losses(i)).sum
+      val u = langs.indices.map(i => w(i) * (1 + eta * (losses(i) - mix)))
+      val z = u.sum
+      w = u.map(x => r10(x / z)).toArray
+      langs.indices.foreach(i => traj += ((r.toLong, langs(i), r6(w(i)))))
+    }
+    traj.result().toDF("step", "lang", "weight").orderBy("step", "lang")
+  }
+
   val x57_reservoir_sample = Q(
     "x57_reservoir_sample",
     """SELECT lang, source, doc_id FROM (
@@ -1356,7 +1451,7 @@ object TrainPrep {
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts, x96_softdedup_weights,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
-    x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
+    x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget, x97_doremi_weights,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
     x79_fuzzy_decontam, x80_bpe_merges, x80b_bpe_local, x81_bpe_encode,
     x87_lm_quality, x88_dsir_select)

@@ -71,4 +71,60 @@ class QualityModelsSpec extends SparkSpec {
     assert(out("lm_nll")._2 + out("lm_nll")._3 == docs.length.toLong)
     assert(out("stop_ratio")._2 == out("lm_nll")._2)
   }
+
+  test("x99 calibration bins match a from-scratch reference and satisfy the ECE identity") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r10(x: Double) = BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val feat = graft.operators.Curation
+      .lmQuality(docs, docs.filter(col("lang") === "en"), "doc_id", "text", 256)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .select(
+        when(col("lang") =!= "en", 1.0).otherwise(0.0).as("y"),
+        (col("avg_nll") - 5.0).as("f"))
+      .localCheckpoint()
+    val rows = feat.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // independent reference: plain-Scala Platt GD, same init/lr/steps/quantization
+    var b = 0.0; var a = 0.0
+    (1 to 16).foreach { _ =>
+      var gb = 0.0; var ga = 0.0
+      rows.foreach { case (y, f) =>
+        val e = y - 1.0 / (1.0 + math.exp(-(b + a * f)))
+        gb += e; ga += f * e
+      }
+      b = r10(b + gb / rows.length); a = r10(a + ga / rows.length)
+    }
+    val got2 = QualityModels.plattGd(feat, lr = 1.0, steps = 16)
+    assert(math.abs(got2._1 - b) < 1e-8, s"platt b ${got2._1} vs $b")
+    assert(math.abs(got2._2 - a) < 1e-8, s"platt a ${got2._2} vs $a")
+    // from-scratch: same fitted params, probability per doc, decile bins
+    val binned = rows.map { case (y, f) =>
+      val p = r6(1.0 / (1.0 + math.exp(-(b + a * f))))
+      (math.min(math.floor(p * 10).toLong, 9L), y, p)
+    }
+    val ref = binned.groupBy(_._1).map { case (bin, g) =>
+      val mp = r6(g.map(_._3).sum / g.length)
+      val or = r6(g.map(_._2).sum / g.length)
+      bin -> (g.length.toLong, mp, or, r6(math.abs(mp - or)))
+    }
+
+    val got = QualityModels.x99_scorer_calibration.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == ref.keySet, s"bins ${got.keySet} vs ${ref.keySet}")
+    assert(got.size > 1, "LM-scorer calibration must spread over multiple bins")
+    assert(got.values.map(_._1).sum == rows.length.toLong, "bins partition the corpus")
+    ref.foreach { case (bin, (n, mp, or, gap)) =>
+      assert(got(bin)._1 == n, s"bin $bin n ${got(bin)._1} vs $n")
+      assert(math.abs(got(bin)._2 - mp) < 2e-6, s"bin $bin mean_pred")
+      assert(math.abs(got(bin)._3 - or) < 2e-6, s"bin $bin obs_rate")
+      assert(math.abs(got(bin)._4 - gap) < 4e-6, s"bin $bin abs_gap")
+    }
+    // ECE identity: sum over the table's own columns reproduces the direct ECE
+    val n = rows.length.toDouble
+    val eceTable = got.values.map { case (nb, _, _, gap) => nb / n * gap }.sum
+    val eceDirect = ref.values.map { case (nb, mp, or, _) => nb / n * math.abs(mp - or) }.sum
+    assert(math.abs(eceTable - eceDirect) < 1e-6, s"ECE $eceTable vs $eceDirect")
+    assert(eceTable >= 0.0 && eceTable <= 1.0)
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** x98: simplified (centroid-based) silhouette, pinned against a
+  * from-scratch plain-Scala computation over the real sf0.001 embeddings.
+  */
+class SilhouetteSpec extends SparkSpec {
+
+  private def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    r6(d / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  test("x98 per-cluster silhouette matches the from-scratch reference") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val seeds = emb.filter(_._1 < 8)
+    // per point: similarities to all centroids, top-2 with (sim desc, cell asc)
+    val perPoint = emb.map { case (_, v) =>
+      val sims = seeds.map { case (cell, c) => (cell, cos(v, c)) }
+        .sortBy { case (cell, s) => (-s, cell) }
+      val (cell, c1) = sims(0)
+      val c2 = sims(1)._2
+      val s = if (c2 >= 1.0) 0.0 else r6((c1 - c2) / (1.0 - c2))
+      (cell, s)
+    }
+    val ref = perPoint.groupBy(_._1).map { case (cell, g) =>
+      cell -> (g.length.toLong, r6(g.map(_._2).sum / g.length))
+    }
+
+    val got = Similarity.x98_silhouette.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    assert(got.keySet == ref.keySet, s"cells ${got.keySet} vs ${ref.keySet}")
+    assert(got.values.map(_._1).sum == emb.length.toLong, "points partition the corpus")
+    ref.foreach { case (cell, (n, m)) =>
+      assert(got(cell)._1 == n, s"cell $cell count ${got(cell)._1} vs $n")
+      assert(math.abs(got(cell)._2 - m) < 2e-6, s"cell $cell mean ${got(cell)._2} vs $m")
+    }
+    // simplified silhouette over nearest-assignment is >= 0 by construction
+    assert(got.values.forall(_._2 >= 0.0))
+  }
+}

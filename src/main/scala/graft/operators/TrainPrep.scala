@@ -1017,7 +1017,7 @@ object TrainPrep {
     * (the x90 discipline) resets the ~1e-16 summation-order drift that
     * an iterated loop would otherwise compound.
     */
-  private def doremiOracleSql(rounds: Int, eta: Double): String = {
+  private def doremiCtes(rounds: Int, eta: Double): String = {
     val steps = (1 to rounds).map { r =>
       s"""u$r AS MATERIALIZED (
          |  SELECT lang, L, w * (1 + $eta * (L - (SELECT sum(w * L) FROM w${r - 1}))) AS u
@@ -1025,9 +1025,6 @@ object TrainPrep {
          |w$r AS MATERIALIZED (
          |  SELECT lang, L, round(u / (SELECT sum(u) FROM u$r), 10) AS w FROM u$r)""".stripMargin
     }
-    val out = (0 to rounds)
-      .map(r => s"SELECT $r AS step, lang, round(w, 6) AS weight FROM w$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH st AS MATERIALIZED (
        |  SELECT lang,
        |         round((CAST(sum(n_chars) AS DOUBLE) - sum(toks) + count(*)) / sum(toks), 6) AS L
@@ -1037,9 +1034,52 @@ object TrainPrep {
        |  GROUP BY lang),
        |w0 AS MATERIALIZED (
        |  SELECT lang, L, round(1.0 / (SELECT count(*) FROM st), 10) AS w FROM st),
-       |${steps.mkString(",\n")}
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  private def doremiOracleSql(rounds: Int, eta: Double): String = {
+    val out = (0 to rounds)
+      .map(r => s"SELECT $r AS step, lang, round(w, 6) AS weight FROM w$r")
+      .mkString("\nUNION ALL\n")
+    s"""${doremiCtes(rounds, eta)}
        |SELECT CAST(step AS BIGINT) AS step, lang, weight FROM (
        |$out) ORDER BY step, lang""".stripMargin
+  }
+
+  /** The x97 MWU loop: one corpus pass to G (lang, loss) rows, then
+    * `rounds` driver-local linearized multiplicative-weight updates with
+    * per-round 10dp quantization. Returns the FULL-PRECISION (10dp)
+    * trajectory — x97 renders it at 6dp, x97b consumes the final step's
+    * weights. Shared so the two rows cannot walk different trajectories.
+    */
+  private def doremiTrajectory(t: Tables, rounds: Int, eta: Double): Seq[(Long, String, Double)] = {
+    def r10(x: Double): Double =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val stats = t.documents
+      .groupBy("lang")
+      .agg(
+        sum(col("n_chars")).as("chars"),
+        sum(Curation.tokenCount(col("text"))).as("toks"),
+        count(lit(1)).as("n"))
+      .select(col("lang"),
+        round((col("chars").cast("double") - col("toks") + col("n")) / col("toks"), 6)
+          .as("L"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(_._1)
+    val langs = stats.map(_._1)
+    val losses = stats.map(_._2)
+    var w = Array.fill(stats.length)(r10(1.0 / stats.length))
+    val traj = Seq.newBuilder[(Long, String, Double)]
+    langs.indices.foreach(i => traj += ((0L, langs(i), w(i))))
+    (1 to rounds).foreach { r =>
+      val mix = langs.indices.map(i => w(i) * losses(i)).sum
+      val u = langs.indices.map(i => w(i) * (1 + eta * (losses(i) - mix)))
+      val z = u.sum
+      w = u.map(x => r10(x / z)).toArray
+      langs.indices.foreach(i => traj += ((r.toLong, langs(i), w(i))))
+    }
+    traj.result()
   }
 
   val x97_doremi_weights = Q(
@@ -1069,37 +1109,72 @@ object TrainPrep {
     // rounded to 10dp each round in both engines, reported at 6dp.
     val spark = t.spark
     import spark.implicits._
-    def r10(x: Double): Double =
-      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val eta = 0.5
-    val rounds = 8
-    val stats = t.documents
-      .groupBy("lang")
-      .agg(
-        sum(col("n_chars")).as("chars"),
-        sum(Curation.tokenCount(col("text"))).as("toks"),
-        count(lit(1)).as("n"))
-      .select(col("lang"),
-        round((col("chars").cast("double") - col("toks") + col("n")) / col("toks"), 6)
-          .as("L"))
-      .collect()
-      .map(r => (r.getString(0), r.getDouble(1)))
-      .sortBy(_._1)
-    val langs = stats.map(_._1)
-    val losses = stats.map(_._2)
-    var w = Array.fill(stats.length)(r10(1.0 / stats.length))
-    val traj = Seq.newBuilder[(Long, String, Double)]
-    langs.indices.foreach(i => traj += ((0L, langs(i), r6(w(i)))))
-    (1 to rounds).foreach { r =>
-      val mix = langs.indices.map(i => w(i) * losses(i)).sum
-      val u = langs.indices.map(i => w(i) * (1 + eta * (losses(i) - mix)))
-      val z = u.sum
-      w = u.map(x => r10(x / z)).toArray
-      langs.indices.foreach(i => traj += ((r.toLong, langs(i), r6(w(i)))))
-    }
-    traj.result().toDF("step", "lang", "weight").orderBy("step", "lang")
+    doremiTrajectory(t, rounds = 8, eta = 0.5)
+      .map { case (s, l, w) => (s, l, r6(w)) }
+      .toDF("step", "lang", "weight")
+      .orderBy("step", "lang")
+  }
+
+  val x97b_mixture_from_learned = Q(
+    "x97b_mixture_from_learned",
+    s"""${doremiCtes(rounds = 8, eta = 0.5)},
+       |wpm AS (SELECT lang, CAST(round(w * 1000, 0) AS BIGINT) AS w_pm FROM w8),
+       |toks AS (
+       |  SELECT doc_id, lang,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |avail AS (
+       |  SELECT lang, CAST(SUM(tokens) AS BIGINT) AS avail_tokens
+       |  FROM toks GROUP BY lang),
+       |rates AS (
+       |  SELECT a.lang, a.avail_tokens,
+       |         LEAST(10000, (((CAST(20000 AS BIGINT) * COALESCE(w.w_pm, 0)) // 1000) * 10000)
+       |                        // a.avail_tokens) AS rate_bp
+       |  FROM avail a LEFT JOIN wpm w ON a.lang = w.lang),
+       |adm AS (
+       |  SELECT t.lang, t.tokens
+       |  FROM toks t JOIN rates r ON t.lang = r.lang
+       |  WHERE ${md5BucketSql("'m|' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp)
+       |SELECT r.lang, r.avail_tokens, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+       |       CAST(COALESCE(g.n_admitted, 0) AS BIGINT) AS n_admitted,
+       |       CAST(COALESCE(g.admitted_tokens, 0) AS BIGINT) AS admitted_tokens
+       |FROM rates r LEFT JOIN (
+       |  SELECT lang, count(*) AS n_admitted,
+       |         CAST(SUM(tokens) AS BIGINT) AS admitted_tokens
+       |  FROM adm GROUP BY lang) g ON r.lang = g.lang
+       |ORDER BY r.lang""".stripMargin,
+  ) { t =>
+    // The COMPOSITION: x97's learned weights driving x30's budget
+    // admission end to end — optimizer output becomes sampler input with
+    // no human in between, which is how a mixture decision actually ships.
+    // The final-step 10dp weights quantize to per-mille integers (the
+    // mixtureRates contract; both engines round the same 10dp doubles, so
+    // the integer weights — and therefore every admission bit — agree),
+    // then the two x30 passes run unchanged: a G-key measure aggregate
+    // and a broadcast per-row hash admit. Same plan shape as x30 plus the
+    // one G-row stats aggregate the optimizer needs — learning the
+    // mixture adds nothing corpus-sized over being told the mixture.
+    val weightsPm: Map[String, Long] = doremiTrajectory(t, rounds = 8, eta = 0.5)
+      .filter(_._1 == 8L)
+      .map { case (_, lang, w) => lang -> math.round(w * 1000) }
+      .toMap
+    val toks = t.documents.select(
+      col("doc_id"), col("lang"), Curation.tokenCount(col("text")).as("tokens"))
+    val rates = Curation.mixtureRates(toks, "lang", col("tokens"), weightsPm, budgetTokens = 20000L)
+    val admitted = Curation.admitByMixture(toks, "lang", col("doc_id"), rates)
+    rates
+      .join(
+        admitted.groupBy("lang").agg(
+          count(lit(1)).as("n_admitted"),
+          sum(col("tokens")).as("admitted_tokens")),
+        Seq("lang"), "left")
+      .select(
+        col("lang"), col("avail_tokens"), col("rate_bp"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("admitted_tokens"), lit(0L)).as("admitted_tokens"))
+      .orderBy("lang")
   }
 
   val x57_reservoir_sample = Q(
@@ -1451,7 +1526,8 @@ object TrainPrep {
     x19_curation_pipeline, x20_pii_redact, x21_domain_blocklist,
     x22_boilerplate_ngrams, x23_cluster_canonical, x24_quality_verdicts, x96_softdedup_weights,
     x25_pack_shards, x26_neardup_pipeline, x26_fast_neardup,
-    x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget, x97_doremi_weights,
+    x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
+    x97_doremi_weights, x97b_mixture_from_learned,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
     x79_fuzzy_decontam, x80_bpe_merges, x80b_bpe_local, x81_bpe_encode,
     x87_lm_quality, x88_dsir_select)

@@ -14,7 +14,8 @@ class MixtureWeightsSpec extends SparkSpec {
 
   /** Independent reference: per-lang integer stats collected raw, the
     * linearized MWU loop re-derived from scratch with the same rounding
-    * contract (10dp store, 6dp report).
+    * contract. Returns the 10dp-quantized trajectory (the engine's
+    * stored precision); callers round to 6dp where they compare reports.
     */
   private def refTrajectory(): Seq[(Long, String, Double)] = {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -30,13 +31,13 @@ class MixtureWeightsSpec extends SparkSpec {
     val l = stats.map(_._2)
     var w = Array.fill(stats.length)(r10(1.0 / stats.length))
     val out = Seq.newBuilder[(Long, String, Double)]
-    langs.indices.foreach(i => out += ((0L, langs(i), r6(w(i)))))
+    langs.indices.foreach(i => out += ((0L, langs(i), w(i))))
     (1 to 8).foreach { r =>
       val mix = langs.indices.map(i => w(i) * l(i)).sum
       val u = langs.indices.map(i => w(i) * (1 + 0.5 * (l(i) - mix)))
       val z = u.sum
       w = u.map(x => r10(x / z)).toArray
-      langs.indices.foreach(i => out += ((r.toLong, langs(i), r6(w(i)))))
+      langs.indices.foreach(i => out += ((r.toLong, langs(i), w(i))))
     }
     out.result()
   }
@@ -48,7 +49,7 @@ class MixtureWeightsSpec extends SparkSpec {
     assert(got.size == ref.size, s"${got.size} rows vs ${ref.size}")
     got.zip(ref).foreach { case ((gs, gl, gw), (rs, rl, rw)) =>
       assert(gs == rs && gl == rl, s"row order: ($gs,$gl) vs ($rs,$rl)")
-      assert(math.abs(gw - rw) < 1e-9, s"step $gs lang $gl: $gw vs $rw")
+      assert(math.abs(gw - r6(rw)) < 1e-9, s"step $gs lang $gl: $gw vs ${r6(rw)}")
     }
   }
 
@@ -85,5 +86,31 @@ class MixtureWeightsSpec extends SparkSpec {
     assert(dn.zip(dn.tail).forall { case (a, b) => b <= a + 1e-9 }, s"$minLang not non-increasing: ${dn.toSeq}")
     assert(up.last > up.head, s"max-loss domain $maxLang never moved")
     assert(trajFirst.nonEmpty)
+  }
+
+  test("x97b wires the learned weights into x30's admission machinery exactly") {
+    val got = graft.operators.TrainPrep.x97b_mixture_from_learned.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // weights come from the final MWU step; per-mille integers partition ~1000
+    val wpm = refTrajectory().filter(_._1 == 8L)
+      .map { case (_, lang, w) => lang -> math.round(w * 1000) }.toMap
+    val wpmSum = wpm.values.sum
+    assert(math.abs(wpmSum - 1000L) <= wpm.size / 2 + 1, s"w_pm sum $wpmSum")
+    // the admitted sets must be exactly admitByMixture under those weights
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.operators.Curation.tokenCount(col("text")).as("tokens"))
+    val rates = graft.operators.Curation
+      .mixtureRates(toks, "lang", col("tokens"), wpm, budgetTokens = 20000L)
+    val refAdm = graft.operators.Curation
+      .admitByMixture(toks, "lang", col("doc_id"), rates)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("tokens").as("tk"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (lang, avail, rateBp, nAdm, admTok) =>
+      assert(rateBp >= 0 && rateBp <= 10000, s"$lang rate $rateBp")
+      assert(admTok <= avail, s"$lang admitted $admTok > avail $avail")
+      val (rn, rt) = refAdm.getOrElse(lang, (0L, 0L))
+      assert(nAdm == rn && admTok == rt, s"$lang admitted ($nAdm,$admTok) vs ref ($rn,$rt)")
+    }
   }
 }

@@ -233,4 +233,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
       s"candidate generation must be the (band,value) equi-join:\n$plan")
   }
+
+  test("x97 learned mixture: the corpus reduction is one join-free aggregate chain") {
+    // The flat-decade claim (SCALE.md): everything corpus-sized is the
+    // single (lang)-keyed aggregate feeding the driver loop; no join, no
+    // window, no sort touches the corpus.
+    val plan = finalPlan(TrainPrep.x97_doremi_weights.run(spark, sf0001))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"the stats pass must be join-free:\n$plan")
+    assert(!plan.contains("Window"), s"no window in the stats pass:\n$plan")
+  }
+
+  test("x97b admission: rates broadcast onto the corpus, corpus itself never shuffle-joined") {
+    // admitByMixture's promised shape: the G-row rates frame reaches the
+    // corpus as a broadcast build; a SortMergeJoin here would shuffle the
+    // whole corpus to join against 5 rows.
+    val plan = finalPlan(TrainPrep.x97b_mixture_from_learned.run(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle against the G-row rates:\n$plan")
+  }
+
+  test("x98 silhouette: centroids broadcast, no pairwise join, one k-key aggregate") {
+    // The O(N·k) claim: the only join-like operator is the broadcast
+    // nested-loop cross of corpus × 8 centroids (k-sized build side by
+    // construction); the pairwise O(N²) shape this replaces would appear
+    // as a corpus-sized join or exchange-heavy plan.
+    val plan = finalPlan(operators.Similarity.x98_silhouette.run(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids must reach the corpus as a broadcast build:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-sized join may appear:\n$plan")
+  }
 }

@@ -1514,6 +1514,34 @@ object Similarity {
     * bit-identical inputs in both engines; per-point s is re-rounded to
     * 6dp before the per-cluster mean.
     */
+  /** The x98 kernel over an arbitrary (cell, centroid) frame: per-point
+    * top-2 centroid similarities via the rank window, s = (c1−c2)/(1−c2),
+    * aggregated per owning cell. Exposed so the spec can measure the SAME
+    * metric over x56's Lloyd-trained centroids and compare against the
+    * raw seed grid (train → measure, one code path).
+    */
+  def silhouetteByCell(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
+    emb
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        cosine(col("embedding"), col("centroid")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("rn") === 1, col("cell"))).as("cell"),
+        max(when(col("rn") === 1, col("sim"))).as("c1"),
+        max(when(col("rn") === 2, col("sim"))).as("c2"))
+      .select(col("cell"),
+        when(col("c2") >= 1, lit(0.0))
+          .otherwise(round((col("c1") - col("c2")) / (lit(1) - col("c2")), 6)).as("s"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_points"), round(avg(col("s")), 6).as("mean_sil"))
+      .select(col("cell").cast("long").as("cell"), col("n_points"), col("mean_sil"))
+      .orderBy("cell")
+  }
+
   val x98_silhouette = Q(
     "x98_silhouette",
     """WITH seeds AS (
@@ -1544,25 +1572,7 @@ object Similarity {
     val seeds = t.embeddings.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cell"),
         transform(col("embedding"), v => v.cast("double")).as("centroid"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
-    t.embeddings
-      .crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("cell"),
-        cosine(col("embedding"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
-      .groupBy("vec_id")
-      .agg(
-        max(when(col("rn") === 1, col("cell"))).as("cell"),
-        max(when(col("rn") === 1, col("sim"))).as("c1"),
-        max(when(col("rn") === 2, col("sim"))).as("c2"))
-      .select(col("cell"),
-        when(col("c2") >= 1, lit(0.0))
-          .otherwise(round((col("c1") - col("c2")) / (lit(1) - col("c2")), 6)).as("s"))
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n_points"), round(avg(col("s")), 6).as("mean_sil"))
-      .select(col("cell").cast("long").as("cell"), col("n_points"), col("mean_sil"))
-      .orderBy("cell")
+    silhouetteByCell(t.embeddings, seeds)
   }
 
   val all: Seq[Q] =

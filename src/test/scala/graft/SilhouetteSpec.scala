@@ -50,4 +50,29 @@ class SilhouetteSpec extends SparkSpec {
     // simplified silhouette over nearest-assignment is >= 0 by construction
     assert(got.values.forall(_._2 >= 0.0))
   }
+
+  test("x56's Lloyd-trained centroids score a better silhouette than the raw seed grid") {
+    // train -> measure through one code path: the quality metric x98
+    // computes must IMPROVE when the centroids come from the Lloyd pass
+    // instead of the arbitrary first-k grid — the empirical reason the
+    // trainer exists, asserted rather than assumed.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    val trained = Similarity.quantizedMeanCentroids(
+      Similarity.assignToCentroids(emb, seeds))
+
+    def overall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val rows = Similarity.silhouetteByCell(emb, cents).collect()
+        .map(r => (r.getLong(1), r.getDouble(2)))
+      val n = rows.map(_._1).sum.toDouble
+      rows.map { case (nc, m) => nc * m }.sum / n
+    }
+    val sSeed = overall(seeds)
+    val sTrained = overall(trained)
+    assert(sTrained > sSeed,
+      s"one Lloyd update must improve the weighted silhouette: trained $sTrained vs seeds $sSeed")
+  }
 }

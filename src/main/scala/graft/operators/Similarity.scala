@@ -1575,9 +1575,60 @@ object Similarity {
     silhouetteByCell(t.embeddings, seeds)
   }
 
+  /** x100 kernel: embedding-distribution drift as PSI over frozen-centroid
+    * cell populations — the "retrain the index?" ops signal. Both
+    * populations assign to the SAME frozen centroids (one broadcast pass),
+    * collapse to k cell counts, and the drift math is x59's smoothed PSI
+    * verbatim (DataQuality.psiByBucket — one discipline for tabular and
+    * embedding drift). At 100 TB: populations never meet row-wise; the
+    * only state that crosses days is the k-row centroid frame, and the
+    * comparison is k-keyed regardless of corpus size.
+    */
+  def embeddingDriftPsi(emb: DataFrame, centroids: DataFrame, isRef: Column): DataFrame = {
+    val k = centroids.count().toInt
+    DataQuality.psiByBucket(assignToCentroids(emb, centroids), isRef, col("cell"), nBuckets = k)
+  }
+
+  val x100_embedding_drift = Q(
+    "x100_embedding_drift",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |asn AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, s.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                      s.cell) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |c AS (
+      |  SELECT cell AS bucket,
+      |         CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_ref,
+      |         CAST(count(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS n_cur
+      |  FROM asn GROUP BY cell),
+      |t AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM c)
+      |SELECT bucket, n_ref, n_cur,
+      |       round(((n_ref + 0.5) / (tot_ref + 4.0) - (n_cur + 0.5) / (tot_cur + 4.0))
+      |             * ln(((n_ref + 0.5) / (tot_ref + 4.0)) / ((n_cur + 0.5) / (tot_cur + 4.0))), 6)
+      |         AS psi_contrib
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+  ) { t =>
+    // Even vec_ids are the "reference" corpus, odd the "current" batch
+    // (production: yesterday's index population vs today's arrivals);
+    // centroids are the frozen first-8 grid (production: the stored x56/
+    // x77 centroids — frozen is the point: drift is measured against the
+    // geometry the index was BUILT with, the same reason x67/x84 assign
+    // incrementally under frozen centroids).
+    val seeds = t.embeddings.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    embeddingDriftPsi(t.embeddings, seeds, col("vec_id") % 2 === 0)
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
       x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann,
-      x84_stream_ann, x85_semantic_decontam, x95_retrieval_eval, x98_silhouette)
+      x84_stream_ann, x85_semantic_decontam, x95_retrieval_eval, x98_silhouette,
+      x100_embedding_drift)
 }

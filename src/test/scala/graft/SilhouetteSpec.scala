@@ -75,4 +75,32 @@ class SilhouetteSpec extends SparkSpec {
     assert(sTrained > sSeed,
       s"one Lloyd update must improve the weighted silhouette: trained $sTrained vs seeds $sSeed")
   }
+
+  test("x100 embedding drift: same-distribution split is near zero, planted cell drift spikes") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+
+    def psi(frame: org.apache.spark.sql.DataFrame, isRef: org.apache.spark.sql.Column): Double =
+      Similarity.embeddingDriftPsi(frame, seeds, isRef).collect().map(_.getDouble(3)).sum
+
+    // even/odd halves of ONE corpus: no real drift, PSI stays under the
+    // classic 0.1 "no action" threshold
+    val same = psi(emb, col("vec_id") % 2 === 0)
+    assert(same >= 0.0 && same < 0.1, s"same-distribution PSI should be ~0, got $same")
+
+    // planted drift: the "current" batch only contains vectors from the
+    // first half of the cell space (ref = the full corpus)
+    val assigned = Similarity.assignToCentroids(emb, seeds).select("vec_id", "cell")
+    val biasedIds = assigned.filter(col("cell") < 4).select("vec_id")
+    val drifted = emb.as("e")
+      .join(biasedIds.withColumn("keep", lit(1)).as("b"), Seq("vec_id"), "left")
+      .filter(col("vec_id") % 2 === 0 || col("keep").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val shifted = psi(drifted, col("vec_id") % 2 === 0)
+    assert(shifted > same + 0.05 && shifted > 0.1,
+      s"planted cell drift must spike PSI: $shifted vs baseline $same")
+  }
 }

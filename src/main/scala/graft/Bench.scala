@@ -141,6 +141,13 @@ object Bench {
     var retryBudget = 240
     var retried     = 0
     var denied      = 0
+    // Every escalation step, counted globally (r14 verdict ask #4):
+    // `retried` counts QUERIES whose trigger fired (the noisy-window
+    // indicator the r12-r14 records report), while a query that escalated
+    // twice (5 → 7 reps) consumed two budget units but one `retried` — so
+    // the record also reports total escalation STEPS, making budget
+    // arithmetic (240 = 120 steps) auditable from the JSON alone.
+    var escalated = 0
     val results = selected.map { q =>
       def rep(): Double = {
         val t0 = System.nanoTime()
@@ -185,6 +192,7 @@ object Bench {
           retryBudget -= 2
           if (escalations == 0) retried += 1
           escalations += 1
+          escalated += 1
           times = (times ++ (1 to 2).map(_ => rep())).sorted
         } else { denied += 1; escalations = 2 }
       }
@@ -256,7 +264,7 @@ object Bench {
     if (only.isEmpty) {
       try {
         val w = new java.io.PrintWriter("BENCH_FULL.json")
-        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"retry_denied":$denied,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
+        try w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"escalations":$escalated,"retry_denied":$denied,"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":$full,"spread":$fullSpread,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"sf":"$sfDir"}""")
         finally w.close()
       } catch { case _: Throwable => }
     }
@@ -275,7 +283,7 @@ object Bench {
         else full_ = true
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"retry_denied":$denied,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_production":${fmt(totalProduction)},"total_instruments":${fmt(totalInstruments)},"clean":$clean,"repeats":3,"noisy_retries":$retried,"escalations":$escalated,"retry_denied":$denied,"spread_max_rel":${fmt(spreadMax)},"spread_median_rel":${fmt(spreadMed)},"n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries_slowest":$taken,"queries":{${sb.toString}},"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

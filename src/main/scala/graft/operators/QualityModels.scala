@@ -82,10 +82,11 @@ object QualityModels {
 
   private val GdSteps = 16
 
-  /** The shared GD-trajectory oracle prefix (feat + w0..wN chained CTEs)
-    * — x90 reports the final weights from it, x99 calibrates the
-    * probabilities they imply. One definition so the two rows cannot
-    * drift onto different trajectories.
+  /** The x90 GD-trajectory oracle (feat + w0..wN chained CTEs), built in
+    * two parts only so the step generator reads separately from the
+    * closed-form feature CTE. x99 does NOT consume this trajectory: it
+    * deliberately calibrates the x87 LM scorer (calibrating x90's own
+    * sigmoid would be vacuous — see x99's doc).
     */
   private def gdOraclePrefix: String = {
     val sig = "1/(1+exp(-(b + v1*f1 + v2*f2)))"
@@ -347,7 +348,10 @@ object QualityModels {
     * state — a torn batch, a double-applied commit, or train/serve skew
     * all break the hash. DuckDB replays the x87 chain and the 3-batch
     * split is invisible in the final table, which is the exactly-once
-    * point.
+    * point. Store growth: the per-batch scores_* partitions accumulate
+    * one per micro-batch by design; the compaction path is m14's OPTIMIZE
+    * (bin-pack the small partitions into one CAS-pinned snapshot commit),
+    * run on the maintenance cadence, not inside the ingest loop.
     */
   val x92_stream_quality = Q.instrument(
     "x92_stream_quality",

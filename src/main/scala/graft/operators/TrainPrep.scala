@@ -1017,6 +1017,14 @@ object TrainPrep {
     * (the x90 discipline) resets the ~1e-16 summation-order drift that
     * an iterated loop would otherwise compound.
     */
+  /** The one place the x97 round count lives: the oracle builders, the
+    * trajectory loop, and x97b's final-step selection all derive from it
+    * (an ADVICE r14 fix — a literal `8` in any one of those four sites
+    * would let a round-count change silently hand x97b a non-final step).
+    */
+  private val DoremiRounds = 8
+  private val DoremiEta    = 0.5
+
   private def doremiCtes(rounds: Int, eta: Double): String = {
     val steps = (1 to rounds).map { r =>
       s"""u$r AS MATERIALIZED (
@@ -1084,7 +1092,7 @@ object TrainPrep {
 
   val x97_doremi_weights = Q(
     "x97_doremi_weights",
-    doremiOracleSql(rounds = 8, eta = 0.5),
+    doremiOracleSql(rounds = DoremiRounds, eta = DoremiEta),
   ) { t =>
     // LEARNED domain mixture weights — the step BEFORE x30's budget
     // admission: x30 takes target weights as GIVEN; DoReMi (Xie et al.
@@ -1111,7 +1119,7 @@ object TrainPrep {
     import spark.implicits._
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    doremiTrajectory(t, rounds = 8, eta = 0.5)
+    doremiTrajectory(t, rounds = DoremiRounds, eta = DoremiEta)
       .map { case (s, l, w) => (s, l, r6(w)) }
       .toDF("step", "lang", "weight")
       .orderBy("step", "lang")
@@ -1119,8 +1127,8 @@ object TrainPrep {
 
   val x97b_mixture_from_learned = Q(
     "x97b_mixture_from_learned",
-    s"""${doremiCtes(rounds = 8, eta = 0.5)},
-       |wpm AS (SELECT lang, CAST(round(w * 1000, 0) AS BIGINT) AS w_pm FROM w8),
+    s"""${doremiCtes(rounds = DoremiRounds, eta = DoremiEta)},
+       |wpm AS (SELECT lang, CAST(round(w * 1000, 0) AS BIGINT) AS w_pm FROM w$DoremiRounds),
        |toks AS (
        |  SELECT doc_id, lang,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
@@ -1156,8 +1164,8 @@ object TrainPrep {
     // and a broadcast per-row hash admit. Same plan shape as x30 plus the
     // one G-row stats aggregate the optimizer needs — learning the
     // mixture adds nothing corpus-sized over being told the mixture.
-    val weightsPm: Map[String, Long] = doremiTrajectory(t, rounds = 8, eta = 0.5)
-      .filter(_._1 == 8L)
+    val weightsPm: Map[String, Long] = doremiTrajectory(t, rounds = DoremiRounds, eta = DoremiEta)
+      .filter(_._1 == DoremiRounds.toLong)
       .map { case (_, lang, w) => lang -> math.round(w * 1000) }
       .toMap
     val toks = t.documents.select(

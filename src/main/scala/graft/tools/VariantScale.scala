@@ -55,6 +55,46 @@ object VariantScale {
         println(f"variant_get rollup       $varWall%8.3f s (median of 5)")
         println(f"speedup                  ${strWall / varWall}%8.2f x")
       }
+
+      // j8-shaped A/B: the pre/post range join whose purchase side carries
+      // $.k — the trace family's highest-traffic shape. Copies get disjoint
+      // user_id ranges so widening scales the join's INPUT, not its
+      // pair space.
+      import org.apache.spark.sql.functions._
+      val wideJoin = (1 to copies).map(i =>
+        events
+          .withColumn("event_id", col("event_id") + i * 10000000L)
+          .withColumn("user_id", col("user_id") + i * 10000000L))
+        .reduce(_ unionByName _)
+        .select("user_id", "event_id", "event_type", "ts", "props")
+      def prePost(e: DataFrame): DataFrame = {
+        val views = e.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ms").as("vms"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ms").as("pms"), col("k"))
+        views.join(purchases, Seq("user_id"))
+          .filter(col("pms") > col("vms") && col("pms") <= col("vms") + 3600000L)
+          .groupBy("user_id", "view_id")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      }
+      val strJoinDir = tmp.toString + "/strjoin"
+      wideJoin.write.mode("overwrite").parquet(strJoinDir)
+      val strJoinWall = medianOf5(() => prePost(
+        spark.read.parquet(strJoinDir).select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_millis(col("ts")).as("ms"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))))
+      println(f"string re-parse prepost  $strJoinWall%8.3f s (median of 5)")
+      VariantEvents.withVariantTable(spark,
+        wideJoin.withColumn("props", parse_json(col("props")))) { stored =>
+        val varJoinWall = medianOf5(() => prePost(
+          stored.select(
+            col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"),
+            variant_get(col("props"), "$.k", "long").as("k"))))
+        println(f"variant_get prepost      $varJoinWall%8.3f s (median of 5)")
+        println(f"prepost speedup          ${strJoinWall / varJoinWall}%8.2f x")
+      }
     } finally graft.sources.AtomicFs.deleteRecursively(tmp)
     spark.stop()
   }

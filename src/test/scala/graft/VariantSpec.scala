@@ -95,4 +95,40 @@ class VariantSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(w10 === expect)
   }
+
+  test("j8: pre/post join over the VARIANT table — scan-side k, no reparse, equals the string path") {
+    // plan shape on the exact j8 projection: the purchase-side k must come
+    // out of the parquet reader shredded, with no JSON machinery surviving
+    val plan = VariantEvents.withVariantTable(spark, tables.eventsVariant) { ev =>
+      val q = ev
+        .select(col("user_id"), col("event_type"),
+          variant_get(col("props"), "$.k", "long").as("k"))
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(sum(col("k")).as("sum_k"))
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("parse_json"), s"query plan re-parses JSON:\n$plan")
+    assert(!plan.contains("get_json_object"), s"query plan string-parses JSON:\n$plan")
+    assert(!plan.contains("variant_get"), s"variant_get not pushed into the scan:\n$plan")
+    assert(plan.contains("props:struct<"), s"scan schema not shredded:\n$plan")
+    // semantics: the registry row must agree with an independent
+    // string-path (get_json_object) rendering of the same correlation
+    val j8 = VariantEvents.j8_variant_prepost.run(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val e = tables.events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ms").as("vms"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("pms"), col("k"))
+    val expect = views.join(purchases, Seq("user_id"))
+      .filter(col("pms") > col("vms") && col("pms") <= col("vms") + 3600000L)
+      .groupBy("user_id", "view_id")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(j8.nonEmpty && j8 === expect)
+  }
 }

@@ -1460,32 +1460,48 @@ object Similarity {
       |LEFT JOIN perq p ON p.query_id = q.vec_id
       |ORDER BY query_id""".stripMargin,
   ) { t =>
-    val probes = t.embeddings.filter(col("vec_id") < 10)
+    retrievalEval(t.embeddings, nQueries = 10, k = 5, nCells = 16, nProbe = 4)
+  }
+
+  /** The x95 eval kernel with its grid EXPOSED (the r14 verdict's #5):
+    * per-query recall@k / nDCG@k / MRR of the IVF probe vs the exact
+    * cosine ranking, for any (nQueries, k, nCells, nProbe). The registry
+    * row pins (10, 5, 16, 4) for oracle compactness; the eval's value at
+    * scale is SWEEPING nProbe against these curves before queries degrade
+    * — `graft.tools.RetrievalSweep` runs the sweep and SCALE.md records
+    * the recall/nDCG-vs-nProbe table at the 30× decade. Plan shape is
+    * grid-independent: exact side is probe-bounded (nQueries broadcast
+    * queries map-side against the corpus), the IVF side is the production
+    * probe, everything after is nQueries×k-sized.
+    */
+  def retrievalEval(emb: DataFrame, nQueries: Int, k: Int,
+                    nCells: Int, nProbe: Int): DataFrame = {
+    val probes = emb.filter(col("vec_id") < nQueries)
     val q = probes.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val c = t.embeddings.select(col("vec_id"), col("embedding").as("ce"))
+    val c = emb.select(col("vec_id"), col("embedding").as("ce"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     val exact = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosine(col("qe"), col("ce")).as("sim"))
       .withColumn("e_rank", row_number().over(w))
-      .filter(col("e_rank") <= 5)
+      .filter(col("e_rank") <= k)
       .select("query_id", "vec_id", "e_rank")
-    val approx = ivfTopK(t.embeddings, probes, k = 5, nCells = 16, nProbe = 4)
+    val approx = ivfTopK(emb, probes, k = k, nCells = nCells, nProbe = nProbe)
       .withColumn("pos", row_number().over(w))
       .select("query_id", "vec_id", "pos")
     val labeled = approx.join(exact, Seq("query_id", "vec_id"), "left")
-      .withColumn("rel", coalesce(lit(6) - col("e_rank"), lit(0)))
+      .withColumn("rel", coalesce(lit(k + 1) - col("e_rank"), lit(0)))
     val perQ = labeled.groupBy("query_id").agg(
       sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
       sum(col("rel") * log(lit(2.0)) / log(col("pos") + lit(1.0))).as("dcg"),
       min(when(col("rel") > 0, col("pos"))).as("first_hit"))
     // the perfect-order constant, same ln-based discount as the dcg
-    val idcg = (1 to 5).map(p => (6 - p) * math.log(2.0) / math.log(p + 1.0)).sum
+    val idcg = (1 to k).map(p => (k + 1 - p) * math.log(2.0) / math.log(p + 1.0)).sum
     probes.select(col("vec_id").as("query_id"))
       .join(perQ, Seq("query_id"), "left")
       .select(
         col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6).as("recall"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6).as("recall"),
         round(coalesce(col("dcg"), lit(0.0)) / lit(idcg), 6).as("ndcg"),
         round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"))
       .orderBy("query_id")
@@ -1521,6 +1537,12 @@ object Similarity {
     * raw seed grid (train → measure, one code path).
     */
   def silhouetteByCell(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    // k = 1 has no second-nearest centroid: c2 is null, the c2 >= 1 guard
+    // falls through to the otherwise branch with a null operand, and every
+    // s (and mean_sil) comes back silently null. Misuse must fail loudly
+    // (an ADVICE r14 fix); the count is a k-row metadata collect.
+    require(centroids.count() >= 2,
+      "silhouetteByCell needs >= 2 centroids (k = 1 has no second-nearest)")
     val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell"))
     emb
       .crossJoin(broadcast(centroids))
@@ -1625,10 +1647,82 @@ object Similarity {
     embeddingDriftPsi(t.embeddings, seeds, col("vec_id") % 2 === 0)
   }
 
+  /** x102: the drift loop COMPOSED end to end — the r14 verdict's #6,
+    * closing the ops cycle x100's scaladoc describes: x56's quantized
+    * Lloyd pass TRAINS the centroids, they are committed to a versioned
+    * store (the x77 discipline — the index geometry an ops loop owns,
+    * snapshot-isolated), and x100's PSI runs against the centroids READ
+    * BACK FROM THE STORE — genuinely stored output, not a recompute, so
+    * the row certifies the handoff every "retrain the index?" monitor
+    * depends on: drift is measured against the exact geometry the serving
+    * index was built with, via the store both sides share. At 100 TB: the
+    * train pass is one broadcast-expand + keyed aggregate per iteration,
+    * the store traffic is a k-row frame, and the drift compare is k-keyed
+    * — nothing corpus-sized crosses days. DuckDB replays the trajectory
+    * (seed assign, micro-quantized mean) and the PSI over it in closed
+    * form, so a store that corrupted so much as one centroid component
+    * would break the hash.
+    */
+  val x102_drift_loop = Q(
+    "x102_drift_loop",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, s.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                      s.cell) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |m AS (
+      |  SELECT cell, pos,
+      |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS cv
+      |  FROM (SELECT a1.cell, unnest(e.embedding) AS v, unnest(range(len(e.embedding))) AS pos
+      |        FROM a1 JOIN embeddings e USING (vec_id))
+      |  GROUP BY cell, pos),
+      |c1 AS (SELECT cell, list(cv ORDER BY pos) AS c FROM m GROUP BY cell),
+      |asn AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c1.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c1.c), 6) DESC,
+      |                      c1.cell) AS rn
+      |    FROM embeddings e CROSS JOIN c1) WHERE rn = 1),
+      |c AS (
+      |  SELECT cell AS bucket,
+      |         CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_ref,
+      |         CAST(count(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS n_cur
+      |  FROM asn GROUP BY cell),
+      |t AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM c)
+      |SELECT bucket, n_ref, n_cur,
+      |       round(((n_ref + 0.5) / (tot_ref + 4.0) - (n_cur + 0.5) / (tot_cur + 4.0))
+      |             * ln(((n_ref + 0.5) / (tot_ref + 4.0)) / ((n_cur + 0.5) / (tot_cur + 4.0))), 6)
+      |         AS psi_contrib
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
+  ) { t =>
+    import graft.sources.MultiStore
+    val spark = t.spark
+    SnapshotQueries.withTempStore("graft-drift-loop") { root =>
+      // TRAIN: one quantized Lloyd update from the x56 seeds (= the
+      // oracle's c1 frame — x56's own trajectory, first update)
+      val seeds = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"),
+          transform(col("embedding"), v => v.cast("double")).as("centroid"))
+      val trained = quantizedMeanCentroids(assignToCentroids(t.embeddings, seeds))
+      // STORE: the geometry the serving index was built with, committed
+      MultiStore.commit(root, Map("centroids" -> trained), keep = 8)
+      // MEASURE: drift of today's arrivals (odd vec_ids) vs the index
+      // population (even), under the STORED centroids read back
+      val stored = MultiStore.read(spark, root, "centroids")
+      embeddingDriftPsi(t.embeddings, stored, col("vec_id") % 2 === 0)
+    }
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
       x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann,
       x84_stream_ann, x85_semantic_decontam, x95_retrieval_eval, x98_silhouette,
-      x100_embedding_drift)
+      x100_embedding_drift, x102_drift_loop)
 }

@@ -103,4 +103,57 @@ class SilhouetteSpec extends SparkSpec {
     assert(shifted > same + 0.05 && shifted > 0.1,
       s"planted cell drift must spike PSI: $shifted vs baseline $same")
   }
+
+  test("x102 drift loop: train -> store -> measure matches the from-scratch chain, store roundtrip lossless") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val seeds = emb.filter(_._1 < 8).map { case (id, v) => id -> v }
+    def assign(cents: Seq[(Long, Array[Double])]): Map[Long, Long] =
+      emb.map { case (id, v) =>
+        id -> cents.map { case (cell, c) => (cell, cos(v, c)) }
+          .minBy { case (cell, s) => (-s, cell) }._1
+      }.toMap
+    // one quantized-mean Lloyd update (micro units, exact integer sums)
+    val a1 = assign(seeds.toSeq)
+    val trained = seeds.map(_._1).map { cell =>
+      val members = emb.filter(p => a1(p._1) == cell).map(_._2)
+      cell -> Array.tabulate(64)(pos =>
+        members.map(v => math.floor(v(pos) * 1e6).toLong).sum.toDouble / members.length)
+    }
+    // drift: cell counts by parity under the trained centroids, smoothed PSI
+    val a2 = assign(trained.toSeq)
+    val cells = trained.map(_._1).sorted
+    val nRef = cells.map(c => emb.count(p => a2(p._1) == c && p._1 % 2 == 0).toLong)
+    val nCur = cells.map(c => emb.count(p => a2(p._1) == c && p._1 % 2 != 0).toLong)
+    val (tr, tc) = (nRef.sum.toDouble, nCur.sum.toDouble)
+    val refPsi = cells.indices.map { i =>
+      val pr = (nRef(i) + 0.5) / (tr + 4.0)
+      val pc = (nCur(i) + 0.5) / (tc + 4.0)
+      cells(i) -> (nRef(i), nCur(i), r6((pr - pc) * math.log(pr / pc)))
+    }.toMap
+
+    val got = Similarity.x102_drift_loop.run(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet === refPsi.keySet)
+    refPsi.foreach { case (cell, (r0, c0, p0)) =>
+      val (r1, c1v, p1) = got(cell)
+      assert(r1 == r0 && c1v == c0, s"cell $cell counts ($r1,$c1v) vs ($r0,$c0)")
+      assert(math.abs(p1 - p0) < 2e-6, s"cell $cell psi $p1 vs $p0")
+    }
+    // the store roundtrip is lossless: measuring against freshly-trained
+    // (never-stored) centroids must give the identical table
+    val embDf = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val seedsDf = embDf.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    val fresh = Similarity.embeddingDriftPsi(embDf,
+      Similarity.quantizedMeanCentroids(Similarity.assignToCentroids(embDf, seedsDf)),
+      col("vec_id") % 2 === 0).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(fresh === got, "stored-centroid drift differs from fresh-centroid drift")
+  }
 }

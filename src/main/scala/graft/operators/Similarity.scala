@@ -1475,8 +1475,19 @@ object Similarity {
     * probe, everything after is nQueries×k-sized.
     */
   def retrievalEval(emb: DataFrame, nQueries: Int, k: Int,
-                    nCells: Int, nProbe: Int): DataFrame = {
-    val probes = emb.filter(col("vec_id") < nQueries)
+                    nCells: Int, nProbe: Int): DataFrame =
+    retrievalEvalProbes(emb, emb.filter(col("vec_id") < nQueries), k, nCells, nProbe)
+
+  /** [[retrievalEval]] with the probe frame EXPLICIT — (vec_id, embedding)
+    * rows that need not be corpus members (probe ids outside the corpus id
+    * space no-op the self-exclusion). `RetrievalSweep --mixed` feeds
+    * cross-cluster midpoints through this: corpus-member probes saturate
+    * recall on a tightly-clustered corpus (their top-k cohabits their own
+    * cell), while a midpoint's exact top-k straddles two cells — the query
+    * class an nProbe curve exists to price.
+    */
+  def retrievalEvalProbes(emb: DataFrame, probes: DataFrame, k: Int,
+                          nCells: Int, nProbe: Int): DataFrame = {
     val q = probes.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val c = emb.select(col("vec_id"), col("embedding").as("ce"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))

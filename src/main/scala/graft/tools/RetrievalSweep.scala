@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * kernel the oracle-checked registry row pins at (10, 5, 16, 4).
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.RetrievalSweep
-  *        [nQueries] [k] [nCells] [nProbe,nProbe,...]
-  * Defaults: 40 queries, k=10, 16 cells, nProbe 1,2,4,8,16. Prints, per
-  * nProbe: mean recall@k / nDCG@k / MRR over the query set and the wall
-  * seconds (median of 3) of the full eval.
+  *        [nQueries] [k] [nCells] [nProbe,nProbe,...] [corpus|mixed]
+  * Defaults: 40 queries, k=10, 16 cells, nProbe 1,2,4,8,16, corpus
+  * probes. `mixed` probes are midpoints of far-apart corpus pairs
+  * (vector i blended with vector i + N/2): on a tightly-clustered
+  * corpus, corpus-member probes saturate recall from nProbe=1 (their
+  * exact top-k cohabits their own cell), while a cross-cluster midpoint's
+  * top-k straddles two cells — the query class the nProbe curve prices.
+  * Prints, per nProbe: mean recall@k / nDCG@k / MRR over the query set
+  * and the wall seconds (median of 3) of the full eval.
   */
 object RetrievalSweep {
   def main(args: Array[String]): Unit = {
@@ -23,12 +28,31 @@ object RetrievalSweep {
     val nCells   = args.lift(2).map(_.toInt).getOrElse(16)
     val probesAt = args.lift(3).map(_.split(",").map(_.trim.toInt).toSeq)
       .getOrElse(Seq(1, 2, 4, 8, 16))
+    val mixed    = args.lift(4).contains("mixed")
     val spark = graft.Graft.session()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = graft.Tables(spark, sfDir).embeddings
 
+    val probes =
+      if (!mixed) emb.filter(col("vec_id") < nQueries)
+      else {
+        val half = emb.agg(max("vec_id")).head().getLong(0) / 2
+        val a = emb.filter(col("vec_id") < nQueries)
+          .select(col("vec_id"), col("embedding").as("ea"))
+        val b = emb.filter(col("vec_id") >= half && col("vec_id") < half + nQueries)
+          .select((col("vec_id") - half).as("vec_id"), col("embedding").as("eb"))
+        a.join(b, "vec_id").select(
+          // ids far outside the corpus id space: self-exclusion no-ops
+          (col("vec_id") + 1000000000L).as("vec_id"),
+          zip_with(col("ea"), col("eb"),
+            (x, y) => ((x + y) / lit(2.0)).cast("float")).as("embedding"))
+        // deterministic by construction (no sampling), so safe to recompute
+        // per repeat — a localCheckpoint here would be swept away by the
+        // between-repeat Checkpoints.sweepAll
+      }
+
     def eval(nProbe: Int) =
-      graft.operators.Similarity.retrievalEval(emb, nQueries, k, nCells, nProbe)
+      graft.operators.Similarity.retrievalEvalProbes(emb, probes, k, nCells, nProbe)
 
     // untimed warmup so the first swept point doesn't absorb codegen/JIT
     eval(probesAt.head).write.format("noop").mode("overwrite").save()
@@ -46,7 +70,7 @@ object RetrievalSweep {
         .agg(avg("recall").as("recall"), avg("ndcg").as("ndcg"), avg("mrr").as("mrr"))
         .head()
       graft.Checkpoints.sweepAll(spark)
-      println(f"RETRIEVALSWEEP nProbe=$nProbe%-3d nCells=$nCells k=$k nQueries=$nQueries " +
+      println(f"RETRIEVALSWEEP nProbe=$nProbe%-3d nCells=$nCells k=$k nQueries=$nQueries mode=${if (mixed) "mixed" else "corpus"} " +
         f"recall=${m.getDouble(0)}%.4f ndcg=${m.getDouble(1)}%.4f mrr=${m.getDouble(2)}%.4f " +
         f"median=${times(1)}%.3f s spread=${times(2) - times(0)}%.3f ($sfDir)")
     }

@@ -576,7 +576,76 @@ object SnapshotQueries {
     }
   }
 
+  /** m22: compaction of a streaming sink's per-batch stores — the
+    * maintenance-cadence answer to the question the x92/x94/x101 scaladocs
+    * raise (per-batch `flags_*`/`scores_*`/`matches_*` tables accumulate
+    * one per micro-batch FOREVER unless something folds them). Every run
+    * executes the full lifecycle: (1) three exactly-once `commitBatch`
+    * ingests, each landing its own per-batch store (x92's append shape,
+    * deliberately fragmented at 8 files/batch — what a real micro-batch
+    * sink leaves); (2) the FOLD — one CAS commit replacing the N
+    * per-batch tables with a single `flags` table (the fold reads
+    * O(accumulated) once, on the maintenance cadence, never inside the
+    * ingest loop); (3) m14's OPTIMIZE verb on the folded store —
+    * bin-packed to 2 range-clustered files with fresh zone-map sidecars,
+    * guarded in-row; (4) time travel back to the pre-fold manifest proving
+    * the fragmented per-batch view is still a readable snapshot (its row
+    * count rides the output as `n_rows`); (5) the final answer served
+    * through `readPruned` over the compacted layout, so the oracle checks
+    * content survived ingest → fold → rewrite → pruned read bit for bit.
+    * At 100 TB: the fold+OPTIMIZE cost is one pass over the accumulated
+    * verdicts (data that had to be written once anyway), and retention
+    * eventually sweeps the fragmented versions — bounded store growth
+    * with unbounded streaming ingest.
+    */
+  val m22_ingest_compaction = Q(
+    "m22_ingest_compaction",
+    """WITH cur AS (
+      |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+      |  FROM documents WHERE doc_id >= 100 AND doc_id <= 399 GROUP BY lang),
+      |tot AS (SELECT count(*) AS n_rows FROM documents)
+      |SELECT lang, n_docs, chars, tot.n_rows
+      |FROM cur, tot ORDER BY lang""".stripMargin,
+  ) { t =>
+    val spark = t.spark
+    import graft.sources.MultiStore
+    withTempStore("graft-ingest-compact") { root =>
+      // (1) micro-batch ingest: one per-batch store per commitBatch, each
+      // fragmented the way a real streaming sink fragments
+      (0L to 2L).foreach { id =>
+        MultiStore.commitBatch(root, "ingest", id,
+          Map(s"flags_$id" -> t.documents.filter(col("doc_id") % 3 === id)
+            .select("doc_id", "lang", "n_chars").repartition(8)), keep = 8)
+      }
+      val batchStores = MultiStore.snapshot(spark, root).keys
+        .filter(_.startsWith("flags_")).toSeq.sorted
+      val frag = batchStores.map(MultiStore.read(spark, root, _)).reduce(_ unionByName _)
+      val nFrag = frag.inputFiles.length
+      val preM  = MultiStore.manifests(spark, root).last
+      // (2) the fold: N per-batch tables -> one table, one CAS commit
+      MultiStore.commit(root, Map("flags" -> frag), keep = 8)
+      // (3) m14's OPTIMIZE on the folded store: bin-pack + fresh zone maps
+      MultiStore.optimize(spark, root, "flags", targetFiles = 2,
+        clusterBy = Seq("doc_id"), stats = Seq("doc_id"), keep = 8)
+      val nAfter = MultiStore.read(spark, root, "flags").inputFiles.length
+      require(nAfter <= 2 && nAfter < nFrag,
+        s"compaction did not compact: $nFrag fragmented files -> $nAfter")
+      // (4) the pre-fold manifest still serves the fragmented view
+      require(!MultiStore.snapshotAt(spark, root, preM).contains("flags"),
+        "pre-fold snapshot must not see the folded table")
+      val travel = batchStores
+        .map(MultiStore.readAt(spark, root, _, preM)).reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n_rows"))
+      // (5) serve the range query through the compacted layout's zone maps
+      MultiStore.readPruned(spark, root, "flags", "doc_id", lit(100L), lit(399L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .crossJoin(travel)
+        .orderBy("lang")
+    }
+  }
+
   val all: Seq[Q] = Seq(m10_time_travel, m11_row_delete, m12_stats_pruning,
     m13_txn_ingest, m14_optimize, m15_bloom_index, m16_change_feed,
-    m18_schema_evolution, m19_stream_sink, m20_restore)
+    m18_schema_evolution, m19_stream_sink, m20_restore, m22_ingest_compaction)
 }

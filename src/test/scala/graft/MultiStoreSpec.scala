@@ -571,4 +571,37 @@ class MultiStoreSpec extends SparkSpec {
     // the head manifest still serves the LIVE version — nothing published
     assert(MultiStore.read(spark, r, "docs").as[(Long, Long)].collect().toSet == Set((1L, 11L)))
   }
+
+  test("m22 lifecycle: per-batch stores fold into one, OPTIMIZE compacts it, rows survive exactly, time travel keeps the fragmented view") {
+    val r = root()
+    // three exactly-once per-batch ingests, deliberately fragmented
+    val rows = (0L until 90L).map(i => (i, s"v$i"))
+    (0L to 2L).foreach { id =>
+      assert(MultiStore.commitBatch(r, "ingest", id,
+        Map(s"flags_$id" -> rows.filter(_._1 % 3 == id).toDF("k", "v").repartition(6)),
+        keep = 8))
+    }
+    val frag = (0L to 2L).map(id => MultiStore.read(spark, r, s"flags_$id"))
+      .reduce(_ unionByName _)
+    val nFrag = frag.inputFiles.length
+    assert(nFrag >= 9, s"ingest should fragment: $nFrag files")
+    val preM = MultiStore.manifests(spark, r).last
+    // the fold + the OPTIMIZE verb
+    MultiStore.commit(r, Map("flags" -> frag), keep = 8)
+    MultiStore.optimize(spark, r, "flags", targetFiles = 2,
+      clusterBy = Seq("k"), stats = Seq("k"), keep = 8)
+    val compacted = MultiStore.read(spark, r, "flags")
+    assert(compacted.inputFiles.length <= 2)
+    // exact row survival through fold + rewrite (independent of any oracle)
+    assert(compacted.as[(Long, String)].collect().toSet == rows.toSet)
+    // the pre-fold manifest: no folded table, per-batch stores intact
+    assert(!MultiStore.snapshotAt(spark, r, preM).contains("flags"))
+    val travel = (0L to 2L).map(id => MultiStore.readAt(spark, r, s"flags_$id", preM))
+      .reduce(_ unionByName _).as[(Long, String)].collect().toSet
+    assert(travel == rows.toSet)
+    // the compacted layout's zone maps actually skip: a narrow range opens 1 of 2 files
+    val hit = MultiStore.readPruned(spark, r, "flags", "k", lit(0L), lit(10L))
+    assert(hit.as[(Long, String)].collect().toSet == rows.filter(_._1 <= 10).toSet)
+    assert(hit.inputFiles.length == 1, s"zone maps did not skip: ${hit.inputFiles.length} of 2")
+  }
 }

@@ -108,7 +108,7 @@ object TraceQueries {
     * definition shared by the batch and streaming rows so both feed the
     * state machine the byte-identical sequence.
     */
-  private def rawTraceEvents(t: Tables, sliced: Boolean = false): Dataset[RawEvent] = {
+  private[graft] def rawTraceEvents(t: Tables, sliced: Boolean = false): Dataset[RawEvent] = {
     import t.spark.implicits._
     val typeIdx = row_number().over(
       Window.partitionBy(col("sid"), col("event_type")).orderBy(col("line")))
@@ -154,7 +154,7 @@ object TraceQueries {
     * by both rows so the streaming and batch outputs are compared through
     * the identical column surface.
     */
-  private def flattenTurns(turns: Dataset[TraceTurn]): DataFrame =
+  private[graft] def flattenTurns(turns: Dataset[TraceTurn]): DataFrame =
     turns
       .toDF()
       .withColumn("turn_idx", regexp_extract(col("id"), ":t(\\d+)$", 1).cast("long"))
@@ -177,6 +177,70 @@ object TraceQueries {
 
   val st6_trace_turns = Q("st6_trace_turns", st6Sql(completedOnly = false)) { t =>
     flattenTurns(TraceSessionizer.aggregate(rawTraceEvents(t))(t.spark))
+  }
+
+  /** st6 with the payload as a stored VARIANT column — the r14 verdict's
+    * remaining VARIANT thread (w10 covered W1, j8 the pre/post join; this
+    * covers the trace family's flagship, the sessionizer itself). The
+    * string path Jackson-parses `data` once per EVENT inside
+    * flatMapGroups — per-row CPU that at 100 TB of trace logs dominates
+    * the scan. Here the same synthesized payloads are `parse_json`'d once
+    * at ingest, roundtrip a shredded parquet table, and every field the
+    * state machine reads (prompt, tool_name, parallel_group_id,
+    * result.{success,output,error.message}, delta — the reference's
+    * access surface, trace_aggregator.py:94-199) is extracted in the
+    * PROJECTION, where `pushVariantIntoScan` rewrites it into a struct
+    * column read AT THE SCAN. The state machine consumes the typed
+    * columns via `TraceSessionizer.aggregateTyped` — stepFields is the
+    * SAME transition function the string path runs, so the renderings
+    * cannot drift (TraceSessionizerSpec additionally asserts path
+    * equality; VariantSpec pins no variant_get / no JSON parse in the
+    * executed plan). Oracle: identical reconstruction as st6_trace_turns —
+    * the row claims the same answer through a parse-free plan.
+    */
+  val st6_variant_turns = Q("st6_variant_turns", st6Sql(completedOnly = false)) { t =>
+    VariantEvents.withVariantTable(t.spark, variantIngest(t)) { stored =>
+      flattenTurns(
+        TraceSessionizer.aggregateTyped(typedTraceEvents(stored)(t.spark))(t.spark))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** The trace feed with its payload parsed ONCE into a VARIANT `data`
+    * column and the timestamp parsed once into epoch ms — everything the
+    * string path re-derives per event, derived at ingest.
+    */
+  private[graft] def variantIngest(t: Tables): DataFrame =
+    rawTraceEvents(t).toDF()
+      .select(
+        col("sessionId"),
+        unix_millis(to_timestamp(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")).as("ms"),
+        col("event"), parse_json(col("data")).as("data"), col("lineNo"))
+
+  /** Scan-side typed projection over the stored (shredded) variant table:
+    * each field the state machine reads becomes a struct column read out
+    * of the parquet scan (pushVariantIntoScan — VariantSpec pins that no
+    * variant_get and no JSON parse survives in the executed plan).
+    * `hasResult` keys result presence on the dict's own fields, per the
+    * reference's result contract (a dict with success/output when present).
+    */
+  private[graft] def typedTraceEvents(stored: DataFrame)(
+      implicit spark: org.apache.spark.sql.SparkSession): Dataset[TraceSessionizer.TypedEvent] = {
+    import spark.implicits._
+    stored.select(
+      col("sessionId"), col("ms"), col("event"), col("lineNo"),
+      coalesce(variant_get(col("data"), "$.prompt", "string"), lit("")).as("prompt"),
+      coalesce(variant_get(col("data"), "$.tool_name", "string"), lit("")).as("toolName"),
+      coalesce(variant_get(col("data"), "$.parallel_group_id", "string"), lit("")).as("groupId"),
+      when(lower(coalesce(variant_get(col("data"), "$.tool_name", "string"), lit(""))) === "task",
+        variant_get(col("data"), "$.tool_input.agent", "string")).as("subAgentName"),
+      (variant_get(col("data"), "$.result.success", "boolean").isNotNull ||
+        variant_get(col("data"), "$.result.output", "string").isNotNull).as("hasResult"),
+      coalesce(variant_get(col("data"), "$.result.success", "boolean"), lit(true)).as("resultSuccess"),
+      coalesce(variant_get(col("data"), "$.result.output", "string"), lit("")).as("resultOutput"),
+      coalesce(variant_get(col("data"), "$.result.error.message", "string"), lit("{}")).as("resultErrorMsg"),
+      coalesce(variant_get(col("data"), "$.delta", "string"), lit("")).as("delta"),
+    ).as[TraceSessionizer.TypedEvent]
   }
 
   /** ST6 as a driver-oracle'd MICRO-BATCH REPLAY (VERDICT r9 ask #2): the
@@ -236,5 +300,5 @@ object TraceQueries {
     flattenTurns(spark.table("st6_replay_sink").as[TraceTurn])
   }
 
-  val all: Seq[Q] = Seq(st6_trace_turns, st6_stream_replay)
+  val all: Seq[Q] = Seq(st6_trace_turns, st6_variant_turns, st6_stream_replay)
 }

@@ -71,6 +71,83 @@ object TraceSessionizer {
       if (n == null || !n.isObject) mapper.createObjectNode() else n
     } catch { case _: Exception => mapper.createObjectNode() }
 
+  /** The extracted-field view of one event payload — every field the state
+    * machine reads (the reference's access surface,
+    * trace_aggregator.py:94-199: `data["prompt"]`, `data["tool_name"]`,
+    * `data["parallel_group_id"]`, `data["tool_input"]`,
+    * `data["result"]{success, output, error.message}`, `data["delta"]`).
+    * `step` consumes ONLY this view, so the state machine has exactly one
+    * definition with two front-ends: [[fieldsOf]] (Jackson over the raw
+    * JSON string — the byte-exact historical path the golden tests pin)
+    * and the scan-side shredded-VARIANT projection (st6_variant_turns),
+    * where each of these fields arrives as a typed column extracted at the
+    * parquet scan and NO per-event JSON parse happens anywhere.
+    */
+  final case class EventFields(
+      prompt: String = "",
+      toolName: String = "",
+      groupId: String = "",
+      toolInputJson: Option[String] = None,
+      subAgentName: Option[String] = None,
+      resultIsObject: Boolean = false,
+      resultRaw: String = "",
+      resultSuccess: Boolean = true,
+      resultOutput: String = "",
+      resultErrorMsg: String = "{}",
+      childSessionId: Option[String] = None,
+      delta: String = "",
+  )
+
+  /** Jackson front-end: raw JSON payload string -> [[EventFields]],
+    * preserving every historical edge semantic (non-object results render
+    * raw, a failure result's missing error node reads as "{}", non-string
+    * error payloads render as compact JSON — a documented deviation from
+    * Python's str(dict) repr; quotes/spacing differ, content identical).
+    */
+  def fieldsOf(dataJson: String): EventFields = {
+    val data  = parseData(dataJson)
+    val name  = str(data, "tool_name")
+    val input = data.get("tool_input")
+    val isSub = name.toLowerCase == "task"
+    val result = data.get("result")
+    val resultIsObject = result != null && result.isObject
+    val (success, output, errMsg, childId) =
+      if (resultIsObject) {
+        val childId =
+          if (isSub && result.has("output") && result.get("output").isObject &&
+            result.get("output").has("session_id"))
+            Some(str(result.get("output"), "session_id"))
+          else None
+        val success = !result.has("success") || result.get("success").asBoolean(true)
+        val err = result.get("error")
+        val msg =
+          if (err == null || err.isNull) "{}"
+          else if (err.isObject && err.has("message")) str(err, "message")
+          else if (err.isTextual) err.asText()
+          else err.toString
+        (success, str(result, "output"), msg, childId)
+      } else (true, "", "{}", None)
+    EventFields(
+      prompt = str(data, "prompt"),
+      toolName = name,
+      groupId = str(data, "parallel_group_id"),
+      toolInputJson = Option(input).filter(n => n != null && !n.isNull).map(_.toString),
+      subAgentName =
+        if (isSub && input != null && input.isObject && input.has("agent"))
+          Some(str(input, "agent"))
+        else None,
+      resultIsObject = resultIsObject,
+      resultRaw =
+        if (result == null || result.isNull) ""
+        else if (result.isTextual) result.asText()
+        else result.toString,
+      resultSuccess = success,
+      resultOutput = output,
+      resultErrorMsg = errMsg,
+      childSessionId = childId,
+      delta = str(data, "delta"))
+  }
+
   /** Mutable per-session state: the currently open turn, if any. */
   final case class OpenTurn(
       var turn: TraceTurn,
@@ -83,108 +160,97 @@ object TraceSessionizer {
 
   /** Feed one event through the state machine. Returns (completed turn if
     * one closed, new open state). Pure aside from buffer mutation inside
-    * the passed state.
+    * the passed state. Delegates to [[stepFields]] after one Jackson parse
+    * of the payload — the only place the string path touches JSON.
     */
   def step(
       state: Option[OpenTurn],
       e: RawEvent,
       turnIndex: Int,
+  ): (Option[TraceTurn], Option[OpenTurn], Int) =
+    stepFields(state, e.sessionId, parseTimestampMs(e.ts), e.event, e.lineNo,
+      fieldsOf(e.data), turnIndex)
+
+  /** The state machine proper, over the extracted-field view — shared
+    * verbatim by the string path ([[step]]) and the shredded-VARIANT path
+    * (st6_variant_turns / aggregateTyped), so the two renderings cannot
+    * drift: there is one transition function and the front-ends differ
+    * only in WHERE the payload fields were extracted (per-event Jackson
+    * parse vs typed columns read off the parquet scan).
+    */
+  def stepFields(
+      state: Option[OpenTurn],
+      sessionId: String,
+      ms: Long,
+      event: String,
+      lineNo: Long,
+      f: EventFields,
+      turnIndex: Int,
   ): (Option[TraceTurn], Option[OpenTurn], Int) = {
-    val data = parseData(e.data)
-    e.event match {
+    event match {
       case "prompt:submit" =>
         // force-close any unclosed turn (completed, no endTime)
         val flushed = state.map(_.closed("completed", None))
         val opened = OpenTurn(
           TraceTurn(
-            id = s"${e.sessionId}:t$turnIndex",
-            sessionId = e.sessionId,
-            userMessage = str(data, "prompt"),
+            id = s"$sessionId:t$turnIndex",
+            sessionId = sessionId,
+            userMessage = f.prompt,
             status = "active",
-            startTime = parseTimestampMs(e.ts)),
+            startTime = ms),
           ArrayBuffer.empty,
           ArrayBuffer.empty)
         (flushed, Some(opened), turnIndex + 1)
 
       case "tool:pre" if state.isDefined =>
-        val name    = str(data, "tool_name")
-        val groupId = str(data, "parallel_group_id")
-        val input   = data.get("tool_input")
-        val isSub   = name.toLowerCase == "task"
-        val subName =
-          if (isSub && input != null && input.isObject && input.has("agent"))
-            Some(str(input, "agent"))
-          else None
         state.get.tools += TraceTool(
-          id = if (groupId.nonEmpty) groupId else s"${e.sessionId}:l${e.lineNo}",
-          name = name,
-          parallelGroupId = groupId,
+          id = if (f.groupId.nonEmpty) f.groupId else s"$sessionId:l$lineNo",
+          name = f.toolName,
+          parallelGroupId = f.groupId,
           status = "running",
-          startTime = parseTimestampMs(e.ts),
-          arguments = Option(input).filter(n => n != null && !n.isNull).map(_.toString),
-          isSubAgent = isSub,
-          subAgentName = subName)
+          startTime = ms,
+          arguments = f.toolInputJson,
+          isSubAgent = f.toolName.toLowerCase == "task",
+          subAgentName = f.subAgentName)
         (None, state, turnIndex)
 
       case "tool:post" if state.isDefined =>
-        val name    = str(data, "tool_name")
-        val groupId = str(data, "parallel_group_id")
-        val tools   = state.get.tools
+        val tools = state.get.tools
         val idx = tools.indexWhere(t =>
-          t.name == name && t.parallelGroupId == groupId &&
+          t.name == f.toolName && t.parallelGroupId == f.groupId &&
             (t.status == "starting" || t.status == "running"))
         if (idx >= 0) {
           val t       = tools(idx)
-          val endTime = parseTimestampMs(e.ts)
+          val endTime = ms
           val dur     = if (t.startTime != 0) Some((endTime - t.startTime).toDouble) else None
-          val result  = data.get("result")
           val updated =
-            if (result != null && result.isObject) {
-              val childId =
-                if (t.isSubAgent && result.has("output") && result.get("output").isObject &&
-                  result.get("output").has("session_id"))
-                  Some(str(result.get("output"), "session_id"))
-                else None
-              val success = !result.has("success") || result.get("success").asBoolean(true)
-              if (success)
+            if (f.resultIsObject) {
+              val childId = if (t.isSubAgent) f.childSessionId else None
+              if (f.resultSuccess)
                 t.copy(
                   status = "completed", endTime = Some(endTime), duration = dur,
                   childSessionId = childId,
-                  result = Some(truncate(str(result, "output"))))
-              else {
-                val err = result.get("error")
-                // missing error node -> "{}" like the reference's
-                // result.get("error", {}) rendered through str(). Non-string
-                // error payloads render as compact JSON here vs Python's
-                // str(dict) repr — a documented deviation (quotes/spacing
-                // differ; content is identical).
-                val msg =
-                  if (err == null || err.isNull) "{}"
-                  else if (err.isObject && err.has("message")) str(err, "message")
-                  else if (err.isTextual) err.asText()
-                  else err.toString
+                  result = Some(truncate(f.resultOutput)))
+              else
                 t.copy(
                   status = "error", endTime = Some(endTime), duration = dur,
-                  childSessionId = childId, error = Some(truncate(msg)))
-              }
-            } else {
-              val raw = if (result == null || result.isNull) "" else if (result.isTextual) result.asText() else result.toString
+                  childSessionId = childId, error = Some(truncate(f.resultErrorMsg)))
+            } else
               t.copy(status = "completed", endTime = Some(endTime), duration = dur,
-                result = Some(truncate(raw)))
-            }
+                result = Some(truncate(f.resultRaw)))
           tools.update(idx, updated)
         } // else: unmatched post, dropped (reference logs at debug)
         (None, state, turnIndex)
 
       case "thinking:delta" if state.isDefined =>
         state.get.thinking += TraceThinking(
-          id = s"${e.sessionId}:l${e.lineNo}",
-          content = str(data, "delta"),
-          timestamp = parseTimestampMs(e.ts))
+          id = s"$sessionId:l$lineNo",
+          content = f.delta,
+          timestamp = ms)
         (None, state, turnIndex)
 
       case "session:end" if state.isDefined =>
-        val done = state.get.closed("completed", Some(parseTimestampMs(e.ts)))
+        val done = state.get.closed("completed", Some(ms))
         (Some(done), None, turnIndex)
 
       case _ => (None, state, turnIndex) // unknown types / events before first turn
@@ -223,6 +289,73 @@ object TraceSessionizer {
       .flatMapGroups { (_, it) =>
         val sorted = it.toArray.sortBy(_.lineNo)
         assemble(sorted.iterator)
+      }
+  }
+
+  /** One pre-extracted event for the parse-free sessionizer path: the
+    * payload arrives as typed COLUMNS (each an [[EventFields]] member the
+    * state machine reads), not as a JSON string. Built by a scan-side
+    * projection over a shredded-VARIANT event table, where
+    * `pushVariantIntoScan` has rewritten every extraction into a struct
+    * column read — so between parquet and the state machine NO JSON text
+    * exists at all. `ms` is the already-parsed timestamp for the same
+    * reason. The contract narrows `data` to the reference's documented
+    * payload shape (`result` is a dict when present; sub-agent fields ride
+    * `tool_input`) — heterogeneous/adversarial payloads stay on the
+    * string path, and TraceSessionizerSpec asserts the two paths agree on
+    * the trace family's event stream.
+    */
+  final case class TypedEvent(
+      sessionId: String,
+      ms: Long,
+      event: String,
+      lineNo: Long,
+      prompt: String = "",
+      toolName: String = "",
+      groupId: String = "",
+      subAgentName: Option[String] = None,
+      hasResult: Boolean = false,
+      resultSuccess: Boolean = true,
+      resultOutput: String = "",
+      resultErrorMsg: String = "{}",
+      delta: String = "",
+  ) {
+    def fields: EventFields = EventFields(
+      prompt = prompt, toolName = toolName, groupId = groupId,
+      toolInputJson = None, subAgentName = subAgentName,
+      resultIsObject = hasResult, resultRaw = "",
+      resultSuccess = resultSuccess, resultOutput = resultOutput,
+      resultErrorMsg = resultErrorMsg, childSessionId = None, delta = delta)
+  }
+
+  /** [[assemble]] over pre-extracted events — same loop, same EOF flush,
+    * zero parses.
+    */
+  def assembleTyped(events: Iterator[TypedEvent]): Seq[TraceTurn] = {
+    val out                     = ArrayBuffer.empty[TraceTurn]
+    var state: Option[OpenTurn] = None
+    var idx                     = 0
+    events.foreach { e =>
+      val (done, next, nextIdx) = stepFields(state, e.sessionId, e.ms, e.event, e.lineNo, e.fields, idx)
+      done.foreach(out += _)
+      state = next
+      idx = nextIdx
+    }
+    state.foreach(out += _.closed("active", None)) // EOF: still in progress
+    out.toSeq
+  }
+
+  /** [[aggregate]] for the parse-free path: identical shuffle/sort/state
+    * machine, consuming [[TypedEvent]]s whose payload fields were
+    * extracted once at the parquet scan.
+    */
+  def aggregateTyped(events: Dataset[TypedEvent])(implicit spark: SparkSession): Dataset[TraceTurn] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.sessionId)
+      .flatMapGroups { (_, it) =>
+        val sorted = it.toArray.sortBy(_.lineNo)
+        assembleTyped(sorted.iterator)
       }
   }
 

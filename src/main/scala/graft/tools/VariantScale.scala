@@ -95,6 +95,36 @@ object VariantScale {
         println(f"variant_get prepost      $varJoinWall%8.3f s (median of 5)")
         println(f"prepost speedup          ${strJoinWall / varJoinWall}%8.2f x")
       }
+
+      // st6-shaped A/B: the sessionizer feed itself. Both sides run the
+      // SAME transition function (stepFields); what differs is where the
+      // payload fields come from — per-event Jackson parse of the stored
+      // JSON string (+ per-event timestamp parse) vs typed columns read
+      // off the shredded scan with zero parses. Copies get disjoint
+      // session ids so widening scales the session count, not turn width.
+      import spark.implicits._
+      val t = Tables(spark, sfDir)
+      val strTraceDir = tmp.toString + "/strtrace"
+      (1 to copies).map(i =>
+        graft.operators.TraceQueries.rawTraceEvents(t).toDF()
+          .withColumn("sessionId", concat(col("sessionId"), lit(s"-$i"))))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(strTraceDir)
+      val strTraceWall = medianOf5(() =>
+        graft.streaming.TraceSessionizer.aggregate(
+          spark.read.parquet(strTraceDir).as[graft.model.RawEvent])(spark).toDF())
+      println(f"string re-parse sessionize $strTraceWall%6.3f s (median of 5)")
+      val varTraceWide = (1 to copies).map(i =>
+        graft.operators.TraceQueries.variantIngest(t)
+          .withColumn("sessionId", concat(col("sessionId"), lit(s"-$i"))))
+        .reduce(_ unionByName _)
+      VariantEvents.withVariantTable(spark, varTraceWide) { stored =>
+        val varTraceWall = medianOf5(() =>
+          graft.streaming.TraceSessionizer.aggregateTyped(
+            graft.operators.TraceQueries.typedTraceEvents(stored)(spark))(spark).toDF())
+        println(f"typed-scan sessionize    $varTraceWall%8.3f s (median of 5)")
+        println(f"sessionize speedup       ${strTraceWall / varTraceWall}%8.2f x")
+      }
     } finally graft.sources.AtomicFs.deleteRecursively(tmp)
     spark.stop()
   }

@@ -131,4 +131,31 @@ class VariantSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     assert(j8.nonEmpty && j8 === expect)
   }
+
+  test("st6: typed sessionizer feed off the shredded scan — parse-free plan, turn-for-turn equal to the Jackson path") {
+    import graft.operators.TraceQueries
+    import graft.streaming.TraceSessionizer
+    val t = tables
+    // plan shape: the typed projection the registry row feeds the state
+    // machine must be pure struct reads out of the parquet scan — every
+    // payload field the sessionizer touches, with no variant_get and no
+    // JSON machinery surviving in the executed plan
+    val (plan, typedTurns) = VariantEvents.withVariantTable(spark, TraceQueries.variantIngest(t)) { stored =>
+      val typed = TraceQueries.typedTraceEvents(stored)(spark)
+      typed.collect()
+      (typed.queryExecution.executedPlan.toString,
+        TraceQueries.flattenTurns(TraceSessionizer.aggregateTyped(typed)(spark)).collect())
+    }
+    assert(!plan.contains("parse_json"), s"query plan re-parses JSON:\n$plan")
+    assert(!plan.contains("get_json_object"), s"query plan string-parses JSON:\n$plan")
+    assert(!plan.contains("variant_get"), s"variant_get not pushed into the scan:\n$plan")
+    assert(plan.contains("data:struct<"), s"scan schema not shredded:\n$plan")
+    // path equality: one transition function (stepFields), two front-ends —
+    // the typed rendering must reproduce the Jackson path's nested output
+    // field for field on the same synthesized feed
+    val stringTurns = TraceQueries.flattenTurns(
+      TraceSessionizer.aggregate(TraceQueries.rawTraceEvents(t))(spark)).collect()
+    assert(typedTurns.nonEmpty)
+    assert(typedTurns.map(_.toSeq).toSet === stringTurns.map(_.toSeq).toSet)
+  }
 }

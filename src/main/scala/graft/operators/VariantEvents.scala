@@ -264,5 +264,42 @@ object VariantEvents {
     }
   }
 
-  val all: Seq[Q] = Seq(c16_variant_events, w10_variant_turns, j8_variant_prepost)
+  /** f13: a FILTER whose predicate sits on a shredded VARIANT path — the
+    * last scan-side placement after projection (w10), join build side
+    * (j8), and aggregate feed (st6_variant_turns). `pushVariantIntoScan`
+    * rewrites the predicate's `variant_get($.k)` into a struct column
+    * read, so the filter runs on a typed column straight out of the
+    * parquet reader — no per-row parse to DECIDE whether to keep a row,
+    * which at 100 TB is the difference between a selective scan and a
+    * full-decode-then-discard. The struct column is a real column to the
+    * reader, so ordinary row-group statistics apply to it the way they
+    * apply to any typed column (VariantSpec pins the plan: the filter
+    * compares a scan output attribute, zero variant machinery).
+    */
+  val f13_variant_filter = Q(
+    "f13_variant_filter",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) BETWEEN 10 AND 200
+      |  AND event_type <> 'error'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  ) { t =>
+    withVariantTable(t.spark, t.eventsVariant) { ev =>
+      ev
+        // the w10 rule again: extract in the projection so BOTH the
+        // filter below and the aggregate read the rewritten struct
+        // column — a variant_get buried inside agg() stays a per-row
+        // blob decode even when the filter's copy is rewritten
+        .select(col("event_type"), variant_get(col("props"), "$.k", "long").as("k"))
+        .filter(col("k").between(10, 200) && col("event_type") =!= "error")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+        .localCheckpoint(true)
+    }
+  }
+
+  val all: Seq[Q] = Seq(c16_variant_events, w10_variant_turns, j8_variant_prepost,
+    f13_variant_filter)
 }

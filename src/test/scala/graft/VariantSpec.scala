@@ -132,6 +132,36 @@ class VariantSpec extends SparkSpec {
     assert(j8.nonEmpty && j8 === expect)
   }
 
+  test("f13: predicate on a shredded variant path — typed scan column in the filter, equals the string path") {
+    val (plan, rows) = VariantEvents.withVariantTable(spark, tables.eventsVariant) { ev =>
+      val q = ev
+        .select(col("event_type"), variant_get(col("props"), "$.k", "long").as("k"))
+        .filter(col("k").between(10, 200) && col("event_type") =!= "error")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      q.collect()
+      (q.queryExecution.executedPlan.toString,
+        q.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap)
+    }
+    // the predicate must compare a scan output attribute — no variant
+    // machinery deciding row survival
+    assert(!plan.contains("variant_get"), s"filter not rewritten to struct column:\n$plan")
+    assert(!plan.contains("get_json_object") && !plan.contains("parse_json"),
+      s"filter re-parses JSON:\n$plan")
+    assert(plan.contains("props:struct<"), s"scan schema not shredded:\n$plan")
+    // and the range predicate reaches the parquet reader as a PUSHED
+    // filter on the shredded field — row-group statistics apply to a
+    // variant path exactly as to any typed column
+    assert(plan.contains("GreaterThanOrEqual(props."),
+      s"range predicate not pushed to the parquet reader:\n$plan")
+    val expect = tables.events
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").between(10, 200) && col("event_type") =!= "error")
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.nonEmpty && rows === expect)
+  }
+
   test("st6: typed sessionizer feed off the shredded scan — parse-free plan, turn-for-turn equal to the Jackson path") {
     import graft.operators.TraceQueries
     import graft.streaming.TraceSessionizer

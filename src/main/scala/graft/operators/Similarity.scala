@@ -1730,10 +1730,154 @@ object Similarity {
     }
   }
 
+  /** The drift-triggered retrain cycle as one function — measure PSI of
+    * the current arrivals against the SERVING centroid version read from
+    * the store, retrain + commit a new version only when the trigger
+    * fires, then serve through whatever version is current. Returns
+    * (psiTotal rounded 6dp, number of store versions, serving answer).
+    * The row drives the fire branch (the synthetic odd/even split drifts
+    * structurally, PSI ≈ 0.09 at sf0.01); DriftRetrainSpec drives the
+    * no-fire branch with a duplicated-population feed (PSI 0) and pins
+    * that nothing was committed and serving stayed on v1. Driver-side
+    * state is two scalars (the PSI sum over k buckets and a manifest
+    * count) — the corpus never leaves the cluster.
+    */
+  def driftRetrainServe(
+      root: String,
+      emb: DataFrame,
+      seeds: DataFrame,
+      isRef: Column,
+      threshold: Double,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int,
+  ): (Double, Int, DataFrame) = {
+    import graft.sources.MultiStore
+    val spark = emb.sparkSession
+    // v1: the serving geometry, committed before anything is measured
+    MultiStore.commit(root, Map("centroids" -> seeds), keep = 8)
+    val v1 = MultiStore.read(spark, root, "centroids")
+    // MEASURE against the stored serving version (k-row drift frame; the
+    // sum over k buckets is the only driver-side value)
+    val psiRaw = embeddingDriftPsi(emb, v1, isRef)
+      .agg(sum(col("psi_contrib")).as("s")).head.getDouble(0)
+    val psiTotal = BigDecimal(psiRaw)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (psiTotal > threshold) {
+      // RETRAIN: one quantized Lloyd update from the serving centroids
+      // over the full current population; COMMIT as the next version —
+      // the store's CAS swap is the serve-path cutover
+      val trained = quantizedMeanCentroids(assignToCentroids(emb, v1))
+      MultiStore.commit(root, Map("centroids" -> trained), keep = 8)
+    }
+    val nVersions = MultiStore.manifests(spark, root).length
+    // SERVE through whatever version is now current, read back
+    val cur = MultiStore.read(spark, root, "centroids")
+    val answer = probeTopK(assignToCentroids(emb, cur), queries, cur, k, nProbe)
+    (psiTotal, nVersions, answer)
+  }
+
+  /** x103: the self-healing index — x102 ends at the drift NUMBER; this
+    * row closes the actuation: PSI of today's arrivals (odd vec_ids)
+    * against the stored serving centroids (v1 = the x56 seeds) crosses
+    * the ops threshold, ONE quantized Lloyd retrain commits as v2, and
+    * the final top-k probe serves through v2 READ BACK FROM THE STORE —
+    * detect → retrain → version → serve, each stage through the store
+    * both sides share. The output carries the trigger evidence
+    * (psi_total) and the served version alongside every neighbor row, so
+    * the oracle certifies the cutover happened AND the post-cutover
+    * answers: DuckDB replays seed assignment, the PSI sum, the
+    * micro-quantized retrain, re-assignment under the retrained
+    * centroids, and the nProbe=2/k=5 probe in closed form. At 100 TB:
+    * the measure is one assignment pass (broadcast k centroids), the
+    * retrain one more + a k-row commit, the serve probe-bounded — the
+    * whole loop prices at two corpus scans on the retrain day and zero
+    * extra on quiet days (the x100/x102 rows are the quiet-day cost).
+    */
+  val x103_drift_retrain = Q(
+    "x103_drift_retrain",
+    """WITH seeds AS (
+      |  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS c
+      |  FROM embeddings WHERE vec_id < 8),
+      |asn0 AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, s.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), s.c), 6) DESC,
+      |                      s.cell) AS rn
+      |    FROM embeddings e CROSS JOIN seeds s) WHERE rn = 1),
+      |c0 AS (
+      |  SELECT cell,
+      |         CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_ref,
+      |         CAST(count(*) FILTER (WHERE vec_id % 2 <> 0) AS BIGINT) AS n_cur
+      |  FROM asn0 GROUP BY cell),
+      |t0 AS (SELECT sum(n_ref) AS tot_ref, sum(n_cur) AS tot_cur FROM c0),
+      |psi AS (
+      |  SELECT round(sum(round(((n_ref + 0.5) / (tot_ref + 4.0) - (n_cur + 0.5) / (tot_cur + 4.0))
+      |           * ln(((n_ref + 0.5) / (tot_ref + 4.0)) / ((n_cur + 0.5) / (tot_cur + 4.0))), 6)), 6)
+      |           AS psi_total
+      |  FROM c0 CROSS JOIN t0),
+      |m AS (
+      |  SELECT cell, pos,
+      |         CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / count(*) AS cv
+      |  FROM (SELECT asn0.cell, unnest(e.embedding) AS v, unnest(range(len(e.embedding))) AS pos
+      |        FROM asn0 JOIN embeddings e USING (vec_id))
+      |  GROUP BY cell, pos),
+      |c1 AS MATERIALIZED (SELECT cell, list(cv ORDER BY pos) AS c FROM m GROUP BY cell),
+      |asn1 AS MATERIALIZED (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c1.cell,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c1.c), 6) DESC,
+      |                      c1.cell) AS rn
+      |    FROM embeddings e CROSS JOIN c1) WHERE rn = 1),
+      |probes AS (
+      |  SELECT query_id, cell FROM (
+      |    SELECT q.vec_id AS query_id, c1.cell,
+      |           row_number() OVER (PARTITION BY q.vec_id
+      |             ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c1.c), 6) DESC,
+      |                      c1.cell) AS rn
+      |    FROM embeddings q CROSS JOIN c1 WHERE q.vec_id % 97 = 5) WHERE rn <= 2)
+      |SELECT query_id, vec_id, sim, served_version, psi.psi_total FROM (
+      |  SELECT p.query_id, a.vec_id,
+      |         round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+      |                                      CAST(ce.embedding AS DOUBLE[])), 6) AS sim,
+      |         CAST(2 AS BIGINT) AS served_version,
+      |         row_number() OVER (
+      |           PARTITION BY p.query_id
+      |           ORDER BY round(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+      |                                                 CAST(ce.embedding AS DOUBLE[])), 6) DESC,
+      |                    a.vec_id) AS rn
+      |  FROM probes p
+      |  JOIN asn1 a USING (cell)
+      |  JOIN embeddings qe ON qe.vec_id = p.query_id
+      |  JOIN embeddings ce ON ce.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.query_id)
+      |CROSS JOIN psi WHERE rn <= 5 ORDER BY query_id, vec_id""".stripMargin,
+  ) { t =>
+    SnapshotQueries.withTempStore("graft-drift-retrain") { root =>
+      val seeds = t.embeddings.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell"),
+          transform(col("embedding"), v => v.cast("double")).as("centroid"))
+      val (psiTotal, nVersions, answer) = driftRetrainServe(
+        root, t.embeddings, seeds,
+        isRef = col("vec_id") % 2 === 0, threshold = 0.001,
+        queries = t.embeddings.filter(col("vec_id") % 97 === 5),
+        k = 5, nProbe = 2)
+      require(nVersions == 2,
+        s"drift trigger must have fired and committed v2 (psi=$psiTotal, versions=$nVersions)")
+      answer
+        .withColumn("served_version", lit(nVersions.toLong))
+        .withColumn("psi_total", lit(psiTotal))
+        .orderBy("query_id", "vec_id")
+        .localCheckpoint(true)
+    }
+  }
+
   val all: Seq[Q] =
     Seq(x9_cosine_topk, x10_ann_lsh_pairs, x10b_ann_md5, x13_cosine_neardup, x18_ivf_topk,
       x31_sq8_topk, x49_embed_centroid, x56_kmeans_lloyd, x67_ivf_incremental,
       x69_pq_topk, x70_semdedup, x70b_semdedup_scaled, x75_ann_recall, x77_versioned_ann,
       x84_stream_ann, x85_semantic_decontam, x95_retrieval_eval, x98_silhouette,
-      x100_embedding_drift, x102_drift_loop)
+      x100_embedding_drift, x102_drift_loop, x103_drift_retrain)
 }

@@ -259,4 +259,44 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
     }
   }
+
+  test("x103 no-fire branch: zero drift leaves v1 serving, nothing committed") {
+    // duplicated population: every odd vec_id carries the SAME vector as
+    // its even predecessor, so ref (even) and cur (odd) land identically
+    // and PSI is exactly 0 under the smoothed formula
+    val emb  = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val mirrored = base.unionByName(
+      base.select((col("vec_id") + 1).as("vec_id"), col("embedding")))
+    val seeds = mirrored.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cell"),
+        transform(col("embedding"), v => v.cast("double")).as("centroid"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-drift-nofire")
+    try {
+      val root = tmp.toString + "/store"
+      val (psi, nVersions, answer) = Similarity.driftRetrainServe(
+        root, mirrored, seeds,
+        isRef = col("vec_id") % 2 === 0, threshold = 0.001,
+        queries = mirrored.filter(col("vec_id") % 97 === 5), k = 3, nProbe = 2)
+      assert(psi == 0.0, s"mirrored populations must have zero PSI, got $psi")
+      assert(nVersions == 1, "no drift -> no retrain commit, store stays at v1")
+      // serving really went through v1: the answer equals a probe under
+      // the SEED centroids directly (no retrained geometry anywhere)
+      val expect = Similarity.probeTopK(
+        Similarity.assignToCentroids(mirrored, seeds),
+        mirrored.filter(col("vec_id") % 97 === 5), seeds, k = 3, nProbe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(answer.collect().map(_.toSeq).toSet === expect)
+    } finally graft.sources.AtomicFs.deleteRecursively(tmp)
+  }
+
+  test("x103 fire branch: the row's registry rendering commits v2 and serves different geometry than v1") {
+    val out = Similarity.x103_drift_retrain.run(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // every row carries the trigger evidence and the post-cutover version
+    assert(out.forall(_.getLong(3) == 2L))
+    val psi = out.head.getDouble(4)
+    assert(psi > 0.001, s"synthetic drift must exceed the ops threshold, got $psi")
+    assert(out.forall(_.getDouble(4) == psi))
+  }
 }

@@ -1483,6 +1483,93 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** x104: the quality-ANNEALED training schedule — the published
+    * end-of-training practice (Llama 3 / MiniCPM tech reports: the final
+    * fraction of the token budget trains on an upsampled high-quality
+    * slice) composed from machinery the registry already certifies. x30
+    * answers WHAT to mix and x97 LEARNS the mixture; this row answers
+    * WHEN: main-phase epochs shuffle the full corpus (x74's salted-hash
+    * deal, one hash shuffle per epoch, no global sort), then the anneal
+    * epoch draws ONLY documents at or below the corpus's exact
+    * interpolated 25th-percentile mean-NLL under the x87 CCNet-style LM
+    * scorer — the cut is a 1-row percentile aggregate (a11's
+    * Spark-percentile ≡ DuckDB-quantile_cont parity) broadcast into a
+    * filter, never a global rank. Output is the loader's contract: per
+    * (phase, epoch, shard) doc counts, the order checksum that pins the
+    * exact within-shard sequence, and the phase's mean NLL in quantized
+    * integer space (the a12 discipline — double sums flap under 32-way
+    * partial aggregation) proving the anneal slice is strictly
+    * higher-quality. At 100 TB: the score pass is x87's (bounded model
+    * broadcast), each phase is map-side tagging + ONE hash shuffle, and
+    * the anneal filter is a broadcast scalar compare.
+    */
+  val x104_anneal_schedule = Q(
+    "x104_anneal_schedule",
+    s"""WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+       |rbg AS (SELECT array_to_string(w[i:i+1], ' ') AS bg
+       |        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+       |              FROM (SELECT string_split(text, ' ') AS w FROM ref) WHERE len(w) >= 2)),
+       |cb0 AS MATERIALIZED (SELECT bg, count(*) AS cb FROM rbg GROUP BY 1),
+       |model AS (SELECT bg, cb FROM (
+       |  SELECT bg, cb, row_number() OVER (ORDER BY cb DESC, bg) AS rn FROM cb0) WHERE rn <= 256),
+       |ctx AS (SELECT split_part(bg, ' ', 1) AS w1, sum(cb) AS cu FROM cb0 GROUP BY 1),
+       |v AS (SELECT count(DISTINCT x) AS v FROM (
+       |  SELECT split_part(bg, ' ', 1) AS x FROM cb0
+       |  UNION SELECT split_part(bg, ' ', 2) FROM cb0)),
+       |dbg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bg, count(*) AS k
+       |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+       |              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+       |              WHERE len(w) >= 2)
+       |        GROUP BY 1, 2),
+       |sc2 AS MATERIALIZED (
+       |  SELECT d.doc_id,
+       |         round(sum(d.k * (ln(coalesce(c.cu, 0) + v.v) - ln(coalesce(m.cb, 0) + 1))) / sum(d.k), 6) AS avg_nll
+       |  FROM dbg d LEFT JOIN model m USING (bg)
+       |             LEFT JOIN ctx c ON c.w1 = split_part(d.bg, ' ', 1)
+       |             CROSS JOIN v
+       |  GROUP BY 1),
+       |thr AS (SELECT quantile_cont(avg_nll, 0.25) AS thr FROM sc2),
+       |d0 AS (SELECT 'main' AS phase, 0 AS epoch, doc_id, avg_nll FROM sc2),
+       |d1 AS (SELECT 'main' AS phase, 1 AS epoch, doc_id, avg_nll FROM sc2),
+       |d2 AS (SELECT 'anneal' AS phase, 2 AS epoch, s.doc_id, s.avg_nll
+       |       FROM sc2 s CROSS JOIN thr WHERE s.avg_nll <= thr.thr),
+       |d AS (
+       |  SELECT phase, epoch, doc_id, avg_nll,
+       |         md5('e' || epoch || '|' || CAST(doc_id AS VARCHAR)) AS tag,
+       |         ${md5BucketSql("'e' || epoch || '|' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+       |  FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)),
+       |p AS (
+       |  SELECT phase, epoch, shard, doc_id, avg_nll,
+       |         row_number() OVER (PARTITION BY phase, epoch, shard ORDER BY tag, doc_id) AS pos
+       |  FROM d)
+       |SELECT phase, CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       |       count(*) AS n_docs,
+       |       CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum,
+       |       round(CAST(sum(CAST(round(avg_nll * 1e6) AS BIGINT)) AS DOUBLE) / count(*) / 1e6, 6) AS mean_nll
+       |FROM p GROUP BY 1, 2, 3 ORDER BY phase, epoch, shard""".stripMargin,
+  ) { t =>
+    val scored = Curation.lmQuality(
+      t.documents, t.documents.filter(col("lang") === "en"), "doc_id", "text", 256)
+      .select(col("doc_id"), col("avg_nll"))
+    val thr = scored.agg(percentile(col("avg_nll"), lit(0.25)).as("thr"))
+    val annealDocs = scored.crossJoin(broadcast(thr))
+      .filter(col("avg_nll") <= col("thr")).select("doc_id", "avg_nll")
+    def phase(name: String, epoch: Int, docs: DataFrame): DataFrame =
+      Curation.epochShuffle(docs, col("doc_id"), epoch, 8)
+        .groupBy("shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("pos") * col("doc_id")).as("order_checksum"),
+          round(sum(round(col("avg_nll") * 1e6, 0).cast("long")).cast("double") /
+            count(lit(1)) / 1e6, 6).as("mean_nll"))
+        .select(lit(name).as("phase"), lit(epoch.toLong).as("epoch"), col("shard"),
+          col("n_docs"), col("order_checksum"), col("mean_nll"))
+    phase("main", 0, scored)
+      .unionByName(phase("main", 1, scored))
+      .unionByName(phase("anneal", 2, annealDocs))
+      .orderBy("phase", "epoch", "shard")
+  }
+
   val x88_dsir_select = Q(
     "x88_dsir_select",
     s"""WITH dbg AS (
@@ -1537,6 +1624,6 @@ object TrainPrep {
     x29_ingest_pipeline, x29_fast_ingest, x30_mixture_budget,
     x97_doremi_weights, x97b_mixture_from_learned,
     x57_reservoir_sample, x74_epoch_shuffle, x78_leakage_split,
-    x79_fuzzy_decontam, x80_bpe_merges, x80b_bpe_local, x81_bpe_encode,
+    x79_fuzzy_decontam, x80_bpe_merges, x80b_bpe_local, x81_bpe_encode, x104_anneal_schedule,
     x87_lm_quality, x88_dsir_select)
 }

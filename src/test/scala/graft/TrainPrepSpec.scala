@@ -461,4 +461,38 @@ class TrainPrepSpec extends SparkSpec {
     val evenShare = got.count(_._2 % 2 == 0).toDouble / got.size
     assert(evenShare > 0.6, s"target share $evenShare should exceed the 0.5 base rate")
   }
+
+  test("x104 anneal schedule: quartile cut from scratch, phases partition, anneal is strictly higher quality") {
+    val out = TrainPrep.x104_anneal_schedule.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // from-scratch reference for the anneal membership: score with the
+    // same public kernel, take the exact interpolated 25th percentile by
+    // hand, count the <= slice
+    val scored = Curation.lmQuality(
+      spark.read.parquet(s"$sf0001/documents.parquet"),
+      spark.read.parquet(s"$sf0001/documents.parquet").filter(col("lang") === "en"),
+      "doc_id", "text", 256)
+      .select("avg_nll").collect().map(_.getDouble(0)).sorted
+    val rank = 0.25 * (scored.length - 1)
+    val (lo, hi) = (scored(rank.toInt), scored(math.ceil(rank).toInt))
+    val thr = lo + (rank - rank.toInt) * (hi - lo)
+    val expectAnneal = scored.count(_ <= thr).toLong
+    val total = scored.length.toLong
+
+    val byPhase = out.groupBy(r => (r._1, r._2))
+    // both main epochs shard-partition the FULL corpus; anneal the slice
+    assert(byPhase(("main", 0L)).map(_._4).sum == total)
+    assert(byPhase(("main", 1L)).map(_._4).sum == total)
+    assert(byPhase(("anneal", 2L)).map(_._4).sum == expectAnneal)
+    assert(expectAnneal >= total / 4 && expectAnneal < total / 2)
+    // the reshuffle is real: epoch 0 and epoch 1 deal differently
+    val ck0 = byPhase(("main", 0L)).sortBy(_._3).map(_._5).toSeq
+    val ck1 = byPhase(("main", 1L)).sortBy(_._3).map(_._5).toSeq
+    assert(ck0 != ck1, "epoch reshuffle must change the order checksums")
+    // the anneal phase is strictly higher quality than EVERY main shard
+    val worstAnneal = byPhase(("anneal", 2L)).map(_._6).max
+    val bestMain    = byPhase(("main", 0L)).map(_._6).min
+    assert(worstAnneal < bestMain,
+      s"anneal shards (worst $worstAnneal) must beat all main shards (best $bestMain)")
+  }
 }

@@ -41,8 +41,38 @@ object TraceQueries {
     */
   private def st6Sql(completedOnly: Boolean, sliced: Boolean = false): String = {
     val where = if (completedOnly) "WHERE t.turn_status = 'completed'\n" else ""
+    s"""WITH ${st6Ctes(sliced)}
+      |SELECT t.sid AS session_id, t.seg - 1 AS turn_idx,
+      |       t.sid || ':t' || CAST(t.seg - 1 AS VARCHAR) AS turn_id,
+      |       t.turn_status, t.start_ms, em.end_ms,
+      |       'p' || CAST(t.prompt_line AS VARCHAR) AS user_message,
+      |       COALESCE(th.n_thinking, 0) AS n_thinking,
+      |       COALESCE(tl.tool_pos, 0) AS tool_pos,
+      |       'g' || CAST(tl.i AS VARCHAR) AS tool_id,
+      |       'n' || CAST(tl.i % 2 AS VARCHAR) AS tool_name,
+      |       CASE WHEN tl.line IS NULL THEN NULL
+      |            WHEN tl.pline IS NULL THEN 'running'
+      |            WHEN tl.pline % 10 <> 3 THEN 'completed' ELSE 'error' END AS tool_status,
+      |       tl.tool_start_ms, tl.pms AS tool_end_ms,
+      |       CAST(tl.pms - tl.tool_start_ms AS DOUBLE) AS duration_ms,
+      |       CASE WHEN tl.pline IS NOT NULL AND tl.pline % 10 <> 3
+      |            THEN 'ok' || CAST(tl.pline AS VARCHAR) END AS result,
+      |       CASE WHEN tl.pline IS NOT NULL AND tl.pline % 10 = 3
+      |            THEN 'm' || CAST(tl.pline AS VARCHAR) END AS error
+      |FROM turns t
+      |LEFT JOIN endms em ON em.sid = t.sid AND em.seg = t.seg
+      |LEFT JOIN think th ON th.sid = t.sid AND th.seg = t.seg
+      |LEFT JOIN tools tl ON tl.sid = t.sid AND tl.seg = t.seg
+      |${where}ORDER BY session_id, turn_idx, tool_pos""".stripMargin
+  }
+
+  /** The shared CTE scaffold of the pure-SQL sessionizer reconstruction —
+    * one definition used by st6Sql's flat projection AND x105's example
+    * renderer, so the two oracles cannot drift on edge semantics.
+    */
+  private def st6Ctes(sliced: Boolean): String = {
     val slice = if (sliced) "\n  WHERE user_id % 5 = 2" else ""
-    s"""WITH ev AS (
+    s"""ev AS (
       |  SELECT CAST(user_id AS VARCHAR) AS sid, event_id AS line,
       |         CAST(epoch_ms(ts) AS BIGINT) AS ms, event_type,
       |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS i
@@ -79,29 +109,7 @@ object TraceQueries {
       |         po.pline, po.pms
       |  FROM pres pr LEFT JOIN posts po
       |    ON po.sid = pr.sid AND po.i = pr.i AND po.pseg = pr.seg AND po.pline > pr.line AND po.plive
-      |  WHERE pr.seg >= 1 AND pr.live)
-      |SELECT t.sid AS session_id, t.seg - 1 AS turn_idx,
-      |       t.sid || ':t' || CAST(t.seg - 1 AS VARCHAR) AS turn_id,
-      |       t.turn_status, t.start_ms, em.end_ms,
-      |       'p' || CAST(t.prompt_line AS VARCHAR) AS user_message,
-      |       COALESCE(th.n_thinking, 0) AS n_thinking,
-      |       COALESCE(tl.tool_pos, 0) AS tool_pos,
-      |       'g' || CAST(tl.i AS VARCHAR) AS tool_id,
-      |       'n' || CAST(tl.i % 2 AS VARCHAR) AS tool_name,
-      |       CASE WHEN tl.line IS NULL THEN NULL
-      |            WHEN tl.pline IS NULL THEN 'running'
-      |            WHEN tl.pline % 10 <> 3 THEN 'completed' ELSE 'error' END AS tool_status,
-      |       tl.tool_start_ms, tl.pms AS tool_end_ms,
-      |       CAST(tl.pms - tl.tool_start_ms AS DOUBLE) AS duration_ms,
-      |       CASE WHEN tl.pline IS NOT NULL AND tl.pline % 10 <> 3
-      |            THEN 'ok' || CAST(tl.pline AS VARCHAR) END AS result,
-      |       CASE WHEN tl.pline IS NOT NULL AND tl.pline % 10 = 3
-      |            THEN 'm' || CAST(tl.pline AS VARCHAR) END AS error
-      |FROM turns t
-      |LEFT JOIN endms em ON em.sid = t.sid AND em.seg = t.seg
-      |LEFT JOIN think th ON th.sid = t.sid AND th.seg = t.seg
-      |LEFT JOIN tools tl ON tl.sid = t.sid AND tl.seg = t.seg
-      |${where}ORDER BY session_id, turn_idx, tool_pos""".stripMargin
+      |  WHERE pr.seg >= 1 AND pr.live)""".stripMargin
   }
 
   /** Deterministic trace-event synthesis from the `events` table — one
@@ -300,5 +308,76 @@ object TraceQueries {
     flattenTurns(spark.table("st6_replay_sink").as[TraceTurn])
   }
 
-  val all: Seq[Q] = Seq(st6_trace_turns, st6_variant_turns, st6_stream_replay)
+  /** x105: trace logs → SFT training examples — the bridge from the trace
+    * family to train-prep that an agent-training pipeline runs daily: the
+    * REAL sessionizer assembles nested turns from raw events, every
+    * COMPLETED turn renders into one deterministic training example
+    * (user message, thinking segments in arrival order, tool calls with
+    * their outcomes in tool order — a chat-template rendering built
+    * entirely from codegen'd array expressions, no UDF), token counts use
+    * the registry's whitespace contract (C:tokenCount), and the
+    * train/val/test deal happens at SESSION grain — the x78 leakage
+    * lesson applied to SFT: turns of one conversation never straddle the
+    * eval wall, because a model that saw turn 1 of a session in training
+    * has been contaminated for turn 2's eval. The oracle replays the
+    * whole chain — sessionization (st6Ctes, the SAME scaffold st6's
+    * oracle uses), rendering, md5 of every example, token counts, and
+    * the hash deal — so a single byte of rendering drift breaks the
+    * hash. At 100 TB: rendering is projection-local on the sessionizer
+    * output (one shuffle total, inherited from W1), the deal is
+    * map-side.
+    */
+  val x105_sft_examples = Q(
+    "x105_sft_examples",
+    s"""WITH ${st6Ctes(sliced = false)},
+      |thinkparts AS (
+      |  SELECT sid, seg, string_agg('d' || CAST(line AS VARCHAR), ' ' ORDER BY line) AS tp
+      |  FROM lv WHERE event_type='purchase' AND seg >= 1 AND live GROUP BY sid, seg),
+      |toolparts AS (
+      |  SELECT sid, seg, string_agg(
+      |    'n' || CAST(i % 2 AS VARCHAR) || '(g' || CAST(i AS VARCHAR) || ')' ||
+      |    CASE WHEN pline IS NULL THEN '?'
+      |         WHEN pline % 10 <> 3 THEN '=ok' || CAST(pline AS VARCHAR)
+      |         ELSE '!m' || CAST(pline AS VARCHAR) END,
+      |    ' ' ORDER BY tool_pos) AS cp
+      |  FROM tools GROUP BY sid, seg),
+      |ex AS (
+      |  SELECT t.sid, t.seg,
+      |         'U:p' || CAST(t.prompt_line AS VARCHAR) || '|T:' || coalesce(th.tp, '') ||
+      |         '|C:' || coalesce(tl.cp, '') AS example
+      |  FROM turns t
+      |  LEFT JOIN thinkparts th ON th.sid = t.sid AND th.seg = t.seg
+      |  LEFT JOIN toolparts tl ON tl.sid = t.sid AND tl.seg = t.seg
+      |  WHERE t.turn_status = 'completed')
+      |SELECT sid AS session_id, seg - 1 AS turn_idx, md5(example) AS example_md5,
+      |       CAST(len(string_split(example, ' ')) AS BIGINT) AS n_tokens,
+      |       CASE WHEN ${TrainPrep.md5BucketSql("'p|' || sid")} % 10 < 8 THEN 'train'
+      |            WHEN ${TrainPrep.md5BucketSql("'p|' || sid")} % 10 = 8 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM ex ORDER BY session_id, turn_idx""".stripMargin,
+  ) { t =>
+    TraceSessionizer.aggregate(rawTraceEvents(t))(t.spark).toDF()
+      .filter(col("status") === "completed")
+      .select(
+        col("sessionId").as("session_id"),
+        regexp_extract(col("id"), ":t(\\d+)$", 1).cast("long").as("turn_idx"),
+        concat(
+          lit("U:"), col("userMessage"), lit("|T:"),
+          expr("array_join(transform(thinking, th -> th.content), ' ')"),
+          lit("|C:"),
+          expr("""array_join(transform(tools, x ->
+            concat(x.name, '(', x.parallelGroupId, ')',
+              CASE WHEN x.status = 'completed' THEN concat('=', x.result)
+                   WHEN x.status = 'error' THEN concat('!', x.error)
+                   ELSE '?' END)), ' ')""")).as("example"))
+      .select(
+        col("session_id"), col("turn_idx"),
+        md5(col("example")).as("example_md5"),
+        Curation.tokenCount(col("example")).as("n_tokens"),
+        Curation.assignSplit(col("session_id")).as("split"))
+      .orderBy("session_id", "turn_idx")
+  }
+
+  val all: Seq[Q] = Seq(st6_trace_turns, st6_variant_turns, st6_stream_replay,
+    x105_sft_examples)
 }

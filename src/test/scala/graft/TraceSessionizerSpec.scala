@@ -359,4 +359,34 @@ class TraceSessionizerSpec extends SparkSpec {
       assert(out.head.tools.head.duration.contains(1000.0)) // state carried across batches
     } finally query.stop()
   }
+
+  test("x105 SFT examples: session-grain split, completed-only, token arithmetic from the flat turn surface") {
+    import graft.operators.TraceQueries
+    val ex = TraceQueries.x105_sft_examples.run(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
+    assert(ex.nonEmpty)
+    // leakage-safe deal: every turn of a session carries the SAME split
+    ex.groupBy(_._1).foreach { case (sid, rows) =>
+      assert(rows.map(_._5).distinct.length == 1, s"session $sid straddles splits")
+    }
+    // deal shares are the 8/1/1 hash-deal at SESSION grain
+    val bySplit = ex.map(r => (r._1, r._5)).distinct.groupBy(_._2).view.mapValues(_.size)
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("val", 0))
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("test", 0))
+    // completed-only, one example per completed turn, cross-checked
+    // against the flat oracle surface; and the whitespace-token count is
+    // exactly 1 + (n_think-1)+ + (n_tools-1)+ because spaces exist ONLY
+    // inside the two segment joins
+    val flat = TraceQueries.st6_trace_turns.run(spark, sf0001).collect()
+      .filter(_.getString(3) == "completed")
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    assert(ex.length == flat.size)
+    ex.foreach { case (sid, idx, _, nTokens, _) =>
+      val rows    = flat((sid, idx))
+      val nThink  = rows.head.getLong(7)
+      val nTools  = rows.map(_.getLong(8)).max // tool_pos 0 when no tools
+      val expect  = 1 + math.max(nThink - 1, 0) + math.max(nTools - 1, 0)
+      assert(nTokens == expect, s"turn $sid:$idx tokens $nTokens != $expect")
+    }
+  }
 }

@@ -253,11 +253,15 @@ object Extras {
     // the interpolated percentiles engine-exact, and the capped sum runs
     // in DECIMAL(18,2) (the clamp can emit interpolated thresholds with a
     // third decimal; the half-up cast is identical in both engines).
+    // Both thresholds from ONE percentile buffer (array form): the exact
+    // `percentile` aggregate builds a per-group value->count map and sorts
+    // it once per requested array, so two scalar calls built and sorted
+    // the identical map twice (r15 optimization, guide §1.2 "per-task
+    // work": same interpolation, same output, half the aggregate cost).
     val th = t.lineitem
       .groupBy(col("l_returnflag").as("rf"))
-      .agg(
-        percentile(col("l_extendedprice"), lit(0.01)).as("p01"),
-        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+      .agg(percentile(col("l_extendedprice"), array(lit(0.01), lit(0.99))).as("band"))
+      .select(col("rf"), col("band").getItem(0).as("p01"), col("band").getItem(1).as("p99"))
     val capped = least(greatest(col("l_extendedprice"), col("p01")), col("p99"))
     t.lineitem
       .join(broadcast(th), col("rf") === col("l_returnflag"))

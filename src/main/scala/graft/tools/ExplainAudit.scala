@@ -30,9 +30,24 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLAN_DIR + SPARK_GRAFT_PLAN_SUFFIX write each plan to
+    // <dir>/<query>_<suffix>.txt instead of stdout — the r15 optimization
+    // round's before/after plan evidence (plans/r15/).
+    val planDir    = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val planSuffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "before")
     names.foreach { n =>
-      println(s"\n===================== $n =====================")
-      graft.SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      val df   = graft.SparkEntry.queries(n)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      planDir match {
+        case Some(dir) =>
+          val f = new java.io.PrintWriter(s"$dir/${n}_$planSuffix.txt")
+          try f.println(plan) finally f.close()
+          println(s"wrote $dir/${n}_$planSuffix.txt")
+        case None =>
+          println(s"\n===================== $n =====================")
+          println(plan)
+      }
     }
     spark.stop()
   }

@@ -221,6 +221,25 @@ class MultiStoreSpec extends SparkSpec {
     assert(MultiStore.fileBlooms(spark, r, "t").count() == total.toLong)
   }
 
+  test("readPrunedEqMulti equals per-key readPrunedEq: same files opened, same rows") {
+    val r = root()
+    val data = spark.range(0, 800).toDF("id")
+    MultiStore.commit(r, Map("t" -> data.repartition(8, expr("id * 2654435761 % 997"))),
+      bloom = Map("t" -> Seq("id")))
+    val keys = Seq(3L, 250L, 777L, 123456L) // three hits + one bloom miss
+    val multi = MultiStore.readPrunedEqMulti(spark, r, "t", "id", keys.map(lit(_)))
+    assert(multi.size == keys.size)
+    keys.zip(multi).foreach { case (k, m) =>
+      val single = MultiStore.readPrunedEq(spark, r, "t", "id", lit(k))
+      assert(m.inputFiles.sorted.toSeq == single.inputFiles.sorted.toSeq,
+        s"key $k: batched lookup pruned a different file set")
+      assert(m.as[Long].collect().toSeq == single.as[Long].collect().toSeq)
+    }
+    // the type-cast contract holds per batched probe too (INT vs BIGINT)
+    val intProbe = MultiStore.readPrunedEqMulti(spark, r, "t", "id", Seq(lit(250))).head
+    assert(intProbe.as[Long].collect().toSeq == Seq(250L))
+  }
+
   test("an in-flight write BELOW a later-published version survives a default-grace prune") {
     val r = root()
     // Committer A claims v=0 and is still writing: claim file + a data dir

@@ -121,7 +121,9 @@ final case class SessionStore(sessions: Dataset[model.Session]) {
     val edges = sessions.toDF()
       .filter(col("parent_session_id").isNotNull)
       .select(col("parent_session_id").as("parent"), col("session_id").as("child"))
-    GraphOps.descendants(edges, Seq(rootId).toDF("node"))
+    // parent_session_id is a scalar -> parent-pointer tree; the tree walk
+    // skips bfs's per-round cycle-tolerance shuffles (GraphOps r15 note)
+    GraphOps.descendantsTree(edges, Seq(rootId).toDF("node"))
   }
 
   /** M3: retention sweep survivors (30-day default, protected statuses). */
@@ -140,7 +142,7 @@ final case class SessionStore(sessions: Dataset[model.Session]) {
   def cloneSubtree(rootId: String, suffix: String)(implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
     val df = sessions.toDF()
-    val doomed = GraphOps.descendants(
+    val doomed = GraphOps.descendantsTree(
       df.filter(col("parent_session_id").isNotNull)
         .select(col("parent_session_id").as("parent"), col("session_id").as("child")),
       Seq(rootId).toDF("node")).select(col("node").as("session_id"))

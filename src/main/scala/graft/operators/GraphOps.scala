@@ -75,15 +75,76 @@ object GraphOps {
     * parent->child edge table — the set a recursive clone copies or a
     * cascade delete removes (routers/sessions.py:368-516;
     * sessions/manager.py:422-452). Output: (node, depth), roots at 0.
+    *
+    * Generic form: delegates to [[bfs]], whose per-round visited anti-join
+    * gives cycle tolerance and cross-path dedup on arbitrary graphs.
     */
   def descendants(parentChild: DataFrame, roots: DataFrame, maxDepth: Int = 100): DataFrame =
     bfs(parentChild.select(col("parent").as("src"), col("child").as("dst")), roots, maxDepth)
 
+  /** [[descendants]] specialized to PARENT-POINTER TREES — the shape every
+    * session-tree caller actually has (parent_session_id is a scalar, so
+    * each child has exactly one parent, and a clone/cascade walks from one
+    * root). On that contract a node is reachable by AT MOST ONE path, so
+    * the per-round `distinct()` and visited anti-join that [[bfs]] pays
+    * for cycle tolerance are provably no-ops — dropping them turns each
+    * round from three sequential stage waves (broadcast join + frontier
+    * exchange + growing visited exchange) into ONE broadcast-join wave
+    * (r15 measurement: the anti-join re-shuffled the GROWING visited set
+    * every round — O(depth x subtree) shuffled bytes on a ~19-deep sf0.1
+    * tree; guide §2.4 "remove shuffles outright"). Same loop discipline as
+    * [[ancestorWalk]], which never needed the anti-join for the same
+    * reason.
+    *
+    * Contract: each child has at most one parent, and `roots` must be an
+    * antichain (no root a descendant of another) — both hold for every
+    * caller (single-root clone/cascade over session trees). Cycles cannot
+    * be silently mislabeled: a parent-pointer cycle reachable from a root
+    * keeps the frontier non-empty until `maxDepth`, which now throws
+    * loudly (the CC convergence-guard discipline) instead of returning a
+    * wrong closure.
+    */
+  def descendantsTree(parentChild: DataFrame, roots: DataFrame, maxDepth: Int = 100): DataFrame = {
+    val e = parentChild.select(col("parent").as("src"), col("child").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cp = Checkpoints.scope(roots.sparkSession)
+    try {
+      var acc      = cp.checkpoint(roots.select(col("node")).distinct()
+        .withColumn("depth", lit(0)))
+      var frontier = acc
+      var depth    = 0
+      while (depth < maxDepth && !frontier.isEmpty) {
+        depth += 1
+        // depth from the frontier column, not lit(depth) — the bfs codegen-
+        // cache rule: byte-identical plans across rounds.
+        val next = cp.checkpoint(frontier
+          .select(col("node").as("src"), (col("depth") + 1).as("depth"))
+          .join(e, Seq("src"))
+          .select(col("dst").as("node"), col("depth")))
+        frontier = next
+        acc = acc.unionByName(frontier)
+        if (depth % CheckpointEvery == 0) {
+          acc = cp.checkpoint(acc)
+          cp.retain(acc, frontier)
+        }
+      }
+      if (!frontier.isEmpty)
+        throw new IllegalStateException(
+          s"descendantsTree hit maxDepth=$maxDepth with a live frontier — " +
+            "the input has a cycle or is deeper than the cap; use descendants() " +
+            "for cyclic graphs or raise maxDepth")
+      acc
+    } finally { e.unpersist(false); () }
+  }
+
   /** G3: cascade delete = anti-join survivors against the closure, then
-    * overwrite (the DELETE WHERE idiom without Delta).
+    * overwrite (the DELETE WHERE idiom without Delta). Session tables are
+    * parent-pointer trees, so the closure walks via [[descendantsTree]]
+    * (duplicate doomed rows from overlapping roots would be absorbed by
+    * the anti-join anyway; the tree walk just never produces them).
     */
   def cascadeDeleteSurvivors(all: DataFrame, idCol: String, parentChild: DataFrame, roots: DataFrame): DataFrame = {
-    val doomed = descendants(parentChild, roots).select(col("node").as(idCol))
+    val doomed = descendantsTree(parentChild, roots).select(col("node").as(idCol))
     all.join(doomed, Seq(idCol), "left_anti")
   }
 

@@ -33,6 +33,31 @@ class GraphOpsSpec extends SparkSpec {
     assert(survivors == Set("bystander"))
   }
 
+  test("descendantsTree equals bfs-descendants on random parent-pointer trees") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 2 + rnd.nextInt(60)
+      // heap-ish random tree: node i's parent is a uniform pick below it
+      val pc = (1 until n).map(i => (rnd.nextInt(i).toString, i.toString))
+        .toDF("parent", "child")
+      val root  = Seq("0").toDF("node")
+      val viaBfs  = GraphOps.descendants(pc, root)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toSet
+      val viaTree = GraphOps.descendantsTree(pc, root)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toSet
+      assert(viaTree == viaBfs, s"tree walk diverged on n=$n")
+    }
+  }
+
+  test("descendantsTree: a reachable parent-pointer cycle throws loudly at the cap") {
+    // a -> b -> a: both have one parent, but the walk from a never drains
+    val pc = Seq(("a", "b"), ("b", "a")).toDF("parent", "child")
+    val ex = intercept[IllegalStateException] {
+      GraphOps.descendantsTree(pc, Seq("a").toDF("node"), maxDepth = 8).count()
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
   test("orphans: child with absent parent id") {
     val nodes = Seq(
       ("s1", null.asInstanceOf[String]),
